@@ -1,0 +1,108 @@
+"""Per-group sequential IQR outlier filter (reference A2).
+
+Semantics (``/root/reference/src/preprocessing.py:69-113``): for each group,
+for each target column IN ORDER, compute Q1/Q3 (exact linear-interpolation
+quantiles) over the *current, already-filtered* group; skip the column for
+that group when fewer than 2 non-null values (py:97) or IQR == 0 (py:104);
+otherwise keep rows with ``value <= Q3 + 1.5*IQR`` (rows with a null value
+are dropped by the comparison, matching pandas NaN semantics at py:108).
+The column cascade is order-sensitive: filtering by SIZE_X reshapes SIZE_Y's
+quantiles, so the rounds cannot be merged.
+
+Spark-first design — NOT the reference's split-apply-combine:
+the reference materializes every group and loops in one process. Here each
+round is ``groupBy(group).agg(percentile)`` → tiny per-group bounds table →
+**broadcast** join back → filter. The big table is never shuffled: partial
+aggregation (map-side combine) ships only per-group quantile state, and the
+bounds join is a broadcast hash join, so N cascade rounds cost N scans of the
+(pipelined, pruned) input and zero full-table shuffles. At 100 TB switch
+``mode="approx"`` — exact ``percentile`` keeps all values per group in the
+aggregation buffer, while ``percentile_approx`` is a bounded-size sketch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantile_exprs(col: str, mode: str, accuracy: int) -> tuple[Column, Column]:
+    if mode == "exact":
+        # exact percentile with linear interpolation == pandas quantile default
+        return (
+            F.expr(f"percentile(`{col}`, 0.25)"),
+            F.expr(f"percentile(`{col}`, 0.75)"),
+        )
+    if mode == "approx":
+        return (
+            F.percentile_approx(col, 0.25, accuracy),
+            F.percentile_approx(col, 0.75, accuracy),
+        )
+    raise ValueError(f"unknown quantile mode: {mode!r}")
+
+
+def iqr_upper_bounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 1.5,
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group upper bound Q3 + k*IQR, with the reference's two guards.
+
+    Returns one row per group: ``(group_col, __ub)`` where ``__ub`` is null
+    when the group is exempt from filtering (count<2 or IQR==0).
+    """
+    q1e, q3e = _quantile_exprs(value_col, mode, accuracy)
+    bounds = df.groupBy(group_col).agg(
+        q1e.alias("__q1"), q3e.alias("__q3"), F.count(value_col).alias("__cnt")
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    ub = F.when(
+        (F.col("__cnt") < 2) | (iqr == 0) | iqr.isNull(), F.lit(None)
+    ).otherwise(F.col("__q3") + F.lit(k) * iqr)
+    return bounds.select(F.col(group_col), ub.alias("__ub"))
+
+
+def iqr_filter_round(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 1.5,
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One cascade round: bound per group, broadcast-join, filter."""
+    if value_col not in df.columns:
+        return df
+    bounds = iqr_upper_bounds(df, group_col, value_col, k, mode, accuracy)
+    out = df.join(F.broadcast(bounds), on=group_col, how="left")
+    # null __ub (guarded group, or null group key that can't equi-join) keeps
+    # every row; otherwise the <= comparison drops value-null rows like pandas.
+    out = out.filter(F.col("__ub").isNull() | (F.col(value_col) <= F.col("__ub")))
+    return out.drop("__ub")
+
+
+def remove_outliers_by_group(
+    df: DataFrame,
+    group_col: str = "Class",
+    columns: Sequence[str] = ("SIZE_X", "SIZE_Y", "DEFECT_AREA"),
+    k: float = 1.5,
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The full sequential cascade — reference ``remove_outliers_by_class``.
+
+    One divergence by design: pandas ``groupby`` silently drops rows whose
+    group key is NaN (they appear in no group, so ``pd.concat`` loses them);
+    here a null group key never matches the bounds join, gets a null bound,
+    and is KEPT. Callers needing bug-parity can pre-filter
+    ``df.filter(F.col(group_col).isNotNull())``.
+    """
+    out = df
+    for col in columns:
+        out = iqr_filter_round(out, group_col, col, k, mode, accuracy)
+    return out
