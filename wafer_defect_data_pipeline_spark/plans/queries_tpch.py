@@ -1,1 +1,488 @@
-"""Placeholder — populated in a later milestone."""
+"""TPC-H-style relational query pack (SURVEY.md §2.4/§2.9).
+
+The reference has no joins/windows/SQL; this pack is the extension surface's
+relational core, the bulk of the DuckDB-oracle matrix. Every query is pure
+DataFrame API (Catalyst plans it; small dims broadcast; AQE handles skew).
+Sort keys always include a unique tiebreaker so top-k/limit results are
+deterministic for hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import register
+
+
+# --- TPC-H Q1: pricing summary --------------------------------------------
+def _q1(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "tpch_q1_pricing_summary",
+    _q1,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# --- 3-way join + agg + top-k (Q3 shape) -----------------------------------
+def _q3(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+register(
+    "tpch_q3_top_orders",
+    _q3,
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+
+# --- 6-way star join (Q5 shape): regional revenue --------------------------
+def _q5(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy("r_name", F.desc("revenue"), "n_name")
+    )
+
+
+register(
+    "tpch_q5_regional_revenue",
+    _q5,
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, revenue DESC, n_name
+    """,
+)
+
+
+# --- semi join: orders that have at least one big lineitem -----------------
+def _semi_join(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 48)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+register(
+    "join_semi",
+    _semi_join,
+    """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+
+# --- anti join: customers with no orders -----------------------------------
+def _anti_join(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+register(
+    "join_anti",
+    _anti_join,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+
+
+# --- left outer join + conditional agg -------------------------------------
+def _outer_join(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+register(
+    "join_left_outer",
+    _outer_join,
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+
+
+# --- window: top-3 per group by row_number ---------------------------------
+def _window_topk(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "rn")
+    )
+
+
+register(
+    "window_topk_per_group",
+    _window_topk,
+    """
+    SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) t WHERE rn <= 3
+    ORDER BY l_returnflag, rn
+    """,
+)
+
+
+# --- window: running sum + rank --------------------------------------------
+def _window_running(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 4).alias("running_total"),
+            F.rank().over(w).alias("order_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+register(
+    "window_running_sum",
+    _window_running,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_rank
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+
+# --- window: orders above their customer's average (decorrelated) ----------
+def _above_avg(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("cust_avg", 4).alias("cust_avg"))
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "window_above_customer_avg",
+    _above_avg,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 4) AS cust_avg
+    FROM (
+      SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    ) t WHERE o_totalprice > cust_avg
+    ORDER BY o_orderkey
+    """,
+)
+
+
+# --- rollup ----------------------------------------------------------------
+def _rollup(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+register(
+    "rollup_counts",
+    _rollup,
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+)
+
+
+# --- cube ------------------------------------------------------------------
+def _cube(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+register(
+    "cube_counts",
+    _cube,
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+)
+
+
+# --- distinct aggregates ---------------------------------------------------
+def _distinct_agg(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "distinct_aggregates",
+    _distinct_agg,
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+
+# --- global top-k with deterministic tiebreaker ----------------------------
+def _global_topk(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+register(
+    "global_topk",
+    _global_topk,
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+
+
+# --- string functions ------------------------------------------------------
+def _string_funcs(spark, sf_dir):
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_type").alias("type_len"),
+            F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+            F.col("p_name").like("%steel%").alias("has_steel"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+register(
+    "string_functions",
+    _string_funcs,
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_type) AS type_len,
+           concat_ws('::', p_brand, p_type) AS brand_type,
+           p_name LIKE '%steel%' AS has_steel,
+           coalesce(regexp_extract(p_type, '^(\\w+)', 1), '') AS type_first_word
+    FROM part ORDER BY p_partkey
+    """,
+)
+
+
+# --- date/time functions ---------------------------------------------------
+def _date_funcs(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_1999"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "date_functions",
+    _date_funcs,
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+
+
+# --- JSON extraction (events.props) ----------------------------------------
+def _json_extract(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "json_extract",
+    _json_extract,
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events ORDER BY event_id
+    """,
+)
+
+
+# --- grouped string agg (collect + sort for determinism) -------------------
+def _grouped_collect(spark, sf_dir):
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+register(
+    "grouped_string_agg",
+    _grouped_collect,
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
