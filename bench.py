@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` sink — the full plan
+executes on the executors (scan → shuffle → agg) but nothing is collected
+to the driver, so the number measures the engine, not result transfer.
+A tiny warm-up query runs first so JVM/codegen startup isn't billed to the
+first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from wafer_defect_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from wafer_defect_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# One representative per operator family (SURVEY.md §2 / §2.9): relational
+# agg + joins + window/top-k, the reference's flagship IQR cascade, the full
+# wafer pipeline, event-time windows, dedup, similarity, text analysis.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "window_topk_per_group",
+    "flagship_iqr_summary",
+    "wafer_pipeline_on_lineitem",
+    "events_tumbling_window",
+    "events_sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "similarity_bruteforce_topk",
+    "text_quality_scores",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else float("nan")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="wafer-pipeline-bench")
+    registry = all_queries()
+
+    # warm-up: JVM classloading + codegen + parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Unit tests for the extension operators: dedup recall, similarity
+correctness, streaming/batch equivalence, multimodal stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wafer_defect_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from wafer_defect_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_metadata,
+)
+from wafer_defect_data_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+from wafer_defect_data_pipeline_spark.sources import read_table
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_small):
+    d = read_table(spark, sf_small, "documents")
+    planted = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    both = d.unionByName(planted)
+    pairs = minhash_lsh_pairs(both, "doc_id", "text", threshold=0.4).toPandas()
+    planted_ids = set(range(0, 500, 10))
+    found = {(a, b - 1_000_000) for a, b in zip(pairs.id_a, pairs.id_b) if b >= 1_000_000}
+    recall = len({p for p in found if p[0] == p[1]}) / len(planted_ids)
+    assert recall >= 0.9, f"LSH recall {recall} too low"
+
+
+def test_exact_dedup_idempotent(spark, sf_small):
+    d = read_table(spark, sf_small, "documents")
+    once = exact_dedup(d, ["text"], "doc_id")
+    twice = exact_dedup(once, ["text"], "doc_id")
+    assert once.count() == twice.count() == d.select("text").distinct().count()
+
+
+def test_jaccard_identical_docs_score_one(spark, sf_small):
+    d = read_table(spark, sf_small, "documents").limit(50)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(dup).withColumn("blk", F.lit(1))
+    pairs = jaccard_pairs(both, "doc_id", "text", "blk", threshold=0.999).toPandas()
+    exact_self = pairs[(pairs.id_b - pairs.id_a) == 1_000_000]
+    assert len(exact_self) == 50
+    assert (exact_self.jaccard == 1.0).all()
+
+
+def test_bruteforce_topk_self_excluded_and_sorted(spark, sf_small):
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(e, q, k=4).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    for qid, grp in out.groupby("query_id"):
+        assert list(grp["rank"]) == [1, 2, 3, 4]
+        assert (grp.cos_sim.diff().dropna() <= 1e-12).all()
+        assert qid not in set(grp.corpus_id)
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_small):
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(e, q, k=5).toPandas()
+    approx = ivf_topk(e, q, k=5, n_probe=10).toPandas()  # all 10 cells -> exact
+    ex = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ap = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # probing every cell must recover the exact result
+    assert (ex[["query_id", "rank", "corpus_id"]] == ap[["query_id", "rank", "corpus_id"]]).all().all()
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.plans.queries_events import _tumbling
+    from wafer_defect_data_pipeline_spark.streaming.events import run_tumbling_stream_batch
+
+    batch = _tumbling(spark, sf_small).toPandas()
+    stream = run_tumbling_stream_batch(spark, sf_small).toPandas()
+    assert len(batch) == len(stream)
+    b = batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    s = stream.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert (b["n"] == s["n"]).all()
+    assert (abs(b["total_value"] - s["total_value"]) < 1e-6).all()
+
+
+def test_streaming_session_windows_run(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.streaming.events import run_session_stream_batch
+
+    out = run_session_stream_batch(spark, sf_small).toPandas()
+    assert len(out) > 0
+    assert (out.session_end >= out.session_start).all()
+
+
+def test_multimodal_metadata(spark, sf_small):
+    d = read_table(spark, sf_small, "documents")
+    meta = extract_metadata(attach_binary_payload(d)).toPandas()
+    docs = d.select("doc_id", F.length("text").alias("n")).toPandas()
+    assert len(meta) == len(docs)
+    merged = meta.merge(docs, on="doc_id")
+    assert (merged.n_bytes == merged.n).all()  # ascii text: bytes == chars
+    assert (merged.media_type == "application/octet-stream").all()
+    assert merged.sha256.str.len().eq(64).all()
+
+
+def test_decode_image_stub_raises(spark, sf_small):
+    d = read_table(spark, sf_small, "documents")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(attach_binary_payload(d))

@@ -1,0 +1,219 @@
+"""Deduplication operators (extension surface, SURVEY.md §2.9).
+
+Four families, all shuffle-disciplined for 100 TB:
+
+- **exact**: hash-groupBy keep-first. One shuffle on the dedup key; with
+  map-side partial agg the shuffle carries one row per distinct key.
+- **MinHash + LSH**: shingle → n md5 "permutations" → banded signature →
+  self-join on band key. The candidate-pair join is an equi-join on band
+  hash, so only same-bucket rows meet — never an O(n²) cross join. Built
+  from native column functions (md5/transform/array_min), so the whole
+  scheme is oracle-SQL-expressible, unlike the ml.feature.MinHashLSH
+  estimator (which is also provided as the MLlib path).
+- **SimHash (32-bit, md5-nibble)**: per-token md5, bit i = majority of
+  nibble-i high bits. A pure projection; near-dup = small Hamming distance
+  within a blocking key.
+- **n-gram Jaccard**: exact Jaccard on distinct token shingles for
+  candidate pairs produced by a blocking key (default: same ``source``).
+
+Everything is deterministic — md5-derived "hash permutations" replace RNG
+so Spark and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_shingles, tokens
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the min-``order_col`` row per distinct ``key_cols``.
+
+    groupBy+min instead of Window.row_number: the aggregate combines
+    map-side, shuffling one row per key instead of every row.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
+    return df.join(keep, on=key_cols + [order_col], how="left_semi")
+
+
+# --- MinHash ---------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """``(id_col, sig: array<string>)`` — one row per input row.
+
+    Relational shape instead of nested higher-order functions: HOF lambdas
+    (``transform``/``array_min``) run interpreted outside WholeStageCodegen,
+    and a column-level formulation re-evaluates the whole shingle expression
+    once per permutation (measured 16×-redundant and ~50× slower). Here
+    shingles are exploded to rows, each hashed by ceil(n/4) scalar md5 calls
+    (codegen'd, CSE'd), split into four independent 32-bit hex chunks, and
+    min-aggregated. The groupBy combines map-side, so the shuffle carries one
+    short row per document — the shape that survives 100 TB.
+
+    Permutation ``4j+i`` = chars ``[8i+1, 8i+8]`` of ``md5("j:" + shingle)``;
+    lexicographic min of fixed-width lowercase hex == numeric min.
+    """
+    n_seeds = -(-n_hashes // 4)
+    sh = df.select(
+        F.col(id_col).alias(id_col), F.explode(token_shingles(text_col, shingle_k)).alias("__s")
+    )
+    chunks = []
+    for j in range(n_seeds):
+        h = F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))
+        chunks += [
+            F.substring(h, 1 + 8 * i, 8).alias(f"__h{j * 4 + i}")
+            for i in range(4)
+            if j * 4 + i < n_hashes
+        ]
+    agg = (
+        sh.select(id_col, *chunks)
+        .groupBy(id_col)
+        .agg(*[F.min(f"__h{k}").alias(f"__m{k}") for k in range(n_hashes)])
+    )
+    return agg.select(id_col, F.array(*[F.col(f"__m{k}") for k in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + signature-overlap estimate.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard = matching signature positions / n_hashes >= threshold.
+
+    The band self-join carries only (band, key, id) — candidate dedup happens
+    on the narrow (id_a, id_b) pair before the 16-string signatures are
+    joined back in for the overlap estimate, so wide rows never shuffle
+    through the hot join.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig_df = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
+        F.col(id_col).alias("__id"), "sig"
+    ).localCheckpoint(eager=False)  # compute signatures once, reuse in bands + estimate
+
+    bands = sig_df.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws("|", *[F.col("sig").getItem(b * rows_per_band + i) for i in range(rows_per_band)]).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = bands.select(F.col("__id").alias("id_a"), "band", "key")
+    right = bands.select(F.col("__id").alias("id_b"), "band", "key")
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(sig_df.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
+        .join(sig_df.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
+    )
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(n_match / F.lit(float(n_hashes)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash32(text: Column | str) -> Column:
+    """32-char bitstring simhash from per-token md5 nibbles.
+
+    Bit i is 1 when, summed over all tokens, the high bit of md5 nibble i
+    (+1 if hex digit >= 8, else -1) is positive. String representation
+    sidesteps engine-specific integer/hex conversions.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def bit(i: int):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(i) for i in range(32)])
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-char bitstrings."""
+    idx = F.sequence(F.lit(1), F.lit(32))
+    return F.aggregate(
+        idx, F.lit(0), lambda acc, i: acc + F.when(a.substr(i, F.lit(1)) == b.substr(i, F.lit(1)), 0).otherwise(1)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance within a blocking key."""
+    s = df.select(
+        F.col(block_col).alias("__blk"), F.col(id_col).alias("__id"), simhash32(text_col).alias("__sh")
+    ).localCheckpoint(eager=False)
+    a = s.select(F.col("__blk"), F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = s.select(F.col("__blk"), F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming32(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over distinct token shingles for block-mate pairs."""
+    s = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        token_shingles(text_col, shingle_k).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    a = s.select("__blk", F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = s.select("__blk", F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (extension surface §2.9).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast; the
+  corpus streams through one codegen'd projection + per-query top-k window.
+  Cost O(|corpus|·|queries|·dim) but zero shuffle of the corpus — the
+  correct baseline, and at 100 TB still the right choice for small query
+  batches.
+- ``ivf_topk``: IVF-style ANN. Coarse centroids (here: per-label mean
+  vectors, computed distributedly via posexplode + group-avg) partition the
+  corpus into cells; each query probes only its ``n_probe`` nearest cells.
+  The cell assignment join is a broadcast of the (tiny) centroid table —
+  the classic trade of recall for a |corpus|/n_cells scan reduction.
+- ``knn_join_pairs``: all-pairs cosine above a threshold with an optional
+  blocking column; the scale path for all-pairs is LSH blocking (see
+  operators/dedup.py), this is the exact verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double, cosine, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self) for each query row."""
+    c = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cos_sim")
+    )
+
+
+def array_mean(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Distributed element-wise mean vector per group.
+
+    posexplode → groupBy(group, pos) avg → re-assemble sorted. The shuffle
+    carries (group, pos) partial sums — combinable map-side, so the full
+    vectors never shuffle. This is how IVF centroids are (re)computed at
+    100 TB without collecting anything.
+    """
+    exploded = df.select(F.col(group_col).alias("__g"), F.posexplode(as_double(vec_col)).alias("pos", "val"))
+    per_dim = exploded.groupBy("__g", "pos").agg(F.avg("val").alias("avg_val"))
+    return (
+        per_dim.groupBy("__g")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("pairs"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.transform("pairs", lambda p: p.getField("avg_val")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` nearest cells per query, exact within.
+
+    Cells here come from an existing partition column (the corpus label);
+    a production build would k-means the corpus for centroids — the probe
+    and search machinery is identical.
+    """
+    centroids = array_mean(corpus, cell_col, vec_col)  # tiny: one row per cell
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", cell_col, cosine(F.col("qv"), F.col("centroid")).alias("cell_sim"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qv", cell_col)
+    )
+
+    c = corpus.select(F.col(cell_col), F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(probes), on=cell_col)
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cos_sim")
+    )
+
+
+def knn_join_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold; optional blocking."""
+    base = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("__id"),
+        as_double(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    a = base.select(*([block_col] if block_col else []), F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    b = base.select(*([block_col] if block_col else []), F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    from ..functions.arrays import dot
+
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

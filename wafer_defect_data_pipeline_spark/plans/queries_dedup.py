@@ -1,1 +1,215 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup queries over ``documents`` (extension surface §2.9).
+
+The md5-derived hash "permutations" make MinHash/SimHash deterministic and
+oracle-SQL-expressible — the driver hash-verifies the actual signatures and
+pairs, not just row counts. The ml.feature.MinHashLSH estimator variant is
+registered rows-only (its hash family is JVM-seeded, not reproducible in
+SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash32,
+    simhash_pairs,
+)
+from ..sources import read_table
+from .registry import register
+
+
+# --- exact dedup on a duplicated input -------------------------------------
+def _exact_dedup(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    # duplicate every doc under a shifted id: dedup must keep the originals
+    dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = d.unionByName(dup)
+    out = exact_dedup(both, ["text"], "doc_id")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+register(
+    "dedup_exact",
+    _exact_dedup,
+    """
+    WITH both_rows AS (
+      SELECT doc_id, lang, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source, text FROM documents
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM both_rows
+    ) t WHERE doc_id = keep_id
+    ORDER BY doc_id
+    """,
+)
+
+
+# --- MinHash signatures (deterministic, value-checked) ---------------------
+def _minhash_sigs(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", n_hashes=8)
+    return sig.select("doc_id", F.concat_ws(",", "sig").alias("signature")).orderBy("doc_id")
+
+
+# permutation 4j+i = hex chars [8i+1, 8i+8] of md5('j:' || shingle) — mirrors
+# operators/dedup.minhash_signatures exactly (4 chunks per md5 seed)
+_MINHASH_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+                  ELSE [concat_ws(' ', toks)] END AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           concat_ws(',',
+             list_min(list_transform(shingles, s -> substring(md5('0:' || s), 1, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('0:' || s), 9, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('0:' || s), 17, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('0:' || s), 25, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('1:' || s), 1, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('1:' || s), 9, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('1:' || s), 17, 8))),
+             list_min(list_transform(shingles, s -> substring(md5('1:' || s), 25, 8)))) AS signature
+    FROM sh ORDER BY doc_id
+    """
+
+register("dedup_minhash_signatures", _minhash_sigs, _MINHASH_ORACLE)
+
+
+# --- MinHash LSH candidate pairs on a duplicated corpus --------------------
+def _minhash_lsh(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    # plant near-dups: copy of every 10th doc with one token appended
+    planted = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    both = d.unionByName(planted)
+    pairs = minhash_lsh_pairs(both, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.4)
+    return pairs.orderBy("id_a", "id_b")
+
+
+register("dedup_minhash_lsh_pairs", _minhash_lsh, None)  # join-heavy; rows-only
+
+
+# --- SimHash values --------------------------------------------------------
+def _simhash(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")
+
+
+_SIMHASH_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(lower(text)), '\s+'), x -> md5(x)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(range(1, 33), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN substring(h, i, 1) IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END)) > 0
+                  THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+    FROM t ORDER BY doc_id
+    """
+
+register("dedup_simhash", _simhash, _SIMHASH_ORACLE)
+
+
+# --- SimHash near-dup pairs (planted dups, within-source blocking) ---------
+def _simhash_pairs(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    planted = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = d.unionByName(planted)
+    return simhash_pairs(both, "doc_id", "text", "source", max_hamming=4).orderBy("id_a", "id_b")
+
+
+register("dedup_simhash_pairs", _simhash_pairs, None)  # rows-only (join fan-out)
+
+
+# --- n-gram Jaccard near-dup pairs -----------------------------------------
+def _jaccard(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    planted = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = d.unionByName(planted)
+    return jaccard_pairs(both, "doc_id", "text", "source", shingle_k=3, threshold=0.6).orderBy("id_a", "id_b")
+
+
+register(
+    "dedup_jaccard_pairs",
+    _jaccard,
+    r"""
+    WITH both_rows AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text || ' tail' FROM documents WHERE doc_id % 25 = 0
+    ), t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM both_rows
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+                  ELSE [concat_ws(' ', toks)] END AS shingles
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 6) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+# --- MLlib MinHashLSH estimator path (rows-only) ---------------------------
+def _mllib_minhash(spark, sf_dir):
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = read_table(spark, sf_dir, "documents")
+    planted = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    both = d.unionByName(planted)
+    from ..functions.text import token_shingles
+
+    shingled = both.select("doc_id", token_shingles("text", 3).alias("shingles"))
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True).fit(shingled)
+    feats = cv.transform(shingled).filter(F.expr("aggregate(shingles, 0, (a, x) -> a + 1) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(feats)
+    pairs = mh.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+register("dedup_mllib_minhash_lsh", _mllib_minhash, None)

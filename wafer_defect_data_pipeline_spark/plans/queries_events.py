@@ -1,1 +1,185 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time analytics over ``events`` (extension surface §2.9).
+
+Batch window aggregations (tumbling/sliding), lag/lead deltas, and
+gap-based sessionization — the batch twins of the Structured Streaming
+operators in streaming/events.py. Time arithmetic is done in integer
+microseconds (``unix_micros`` / ``epoch_us``) on both engines so no
+sub-second truncation can diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import register
+
+
+# --- tumbling window -------------------------------------------------------
+def _tumbling(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+register(
+    "events_tumbling_window",
+    _tumbling,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+
+
+# --- sliding window (1h size, 30min slide) ---------------------------------
+def _sliding(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        # sum, not avg: an avg can land exactly on a round-half boundary,
+        # where a last-ulp summation-order difference flips the hash
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+register(
+    "events_sliding_window",
+    _sliding,
+    """
+    WITH grid AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM grid GROUP BY 1 ORDER BY window_start
+    """,
+)
+
+
+# --- lag/lead deltas -------------------------------------------------------
+def _lag_lead(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            # whole microseconds (bigint): exact in every engine, unlike a
+            # rounded double of seconds which can land on a half boundary
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+register(
+    "events_lag_lead",
+    _lag_lead,
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+
+
+# --- gap sessionization (30 min) -------------------------------------------
+def _sessionize(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    with_sess = (
+        e.withColumn("is_new", new_sess)
+        .withColumn("session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+register(
+    "events_sessionization",
+    _sessionize,
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+
+
+# --- per-user event-type share (conditional agg over groups) ---------------
+def _user_profile(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 4).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_user_profile",
+    _user_profile,
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+
+# --- Structured Streaming tumbling agg (rows-only; see streaming/events.py) -
+def _streaming_tumbling(spark, sf_dir):
+    from ..streaming.events import run_tumbling_stream_batch
+
+    return run_tumbling_stream_batch(spark, sf_dir)
+
+
+register("events_streaming_tumbling", _streaming_tumbling, None)

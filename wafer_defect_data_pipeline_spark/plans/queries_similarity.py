@@ -1,1 +1,153 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (extension surface §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double, l2_norm
+from ..operators.similarity import array_mean, brute_force_topk, ivf_topk, knn_join_pairs
+from ..sources import read_table
+from .registry import register
+
+
+# --- array stats (norms/dims) ----------------------------------------------
+def _vector_stats(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "embedding_vector_stats",
+    _vector_stats,
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+
+
+# --- brute-force cosine top-k ----------------------------------------------
+def _bf_topk(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(e, queries, k=5).orderBy("query_id", "rank")
+
+
+register(
+    "similarity_bruteforce_topk",
+    _bf_topk,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rank, corpus_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+
+
+# --- near-dup pairs with planted perturbed copies --------------------------
+def _neardup_pairs(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    planted = (
+        e.filter(F.col("vec_id") % 40 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform(as_double("embedding"), lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x)),
+        )
+    )
+    both = e.select("vec_id", as_double("embedding").alias("embedding")).unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    return knn_join_pairs(both, threshold=0.9).orderBy("id_a", "id_b")
+
+
+register(
+    "similarity_neardup_pairs",
+    _neardup_pairs,
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+                                     range(0, len(embedding))),
+                            p -> CASE WHEN p[2] = 0 THEN p[1] + 0.05 ELSE p[1] END)
+      FROM embeddings WHERE vec_id % 40 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+# --- distributed centroid computation --------------------------------------
+def _centroids(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    c = array_mean(e, "label")
+    return c.select(
+        "label",
+        F.round(l2_norm("centroid"), 6).alias("centroid_norm"),
+        F.round(F.col("centroid").getItem(0), 6).alias("dim0"),
+        F.round(F.col("centroid").getItem(1), 6).alias("dim1"),
+    ).orderBy("label")
+
+
+register(
+    "embedding_label_centroids",
+    _centroids,
+    """
+    WITH ex AS (
+      SELECT label, u.pos - 1 AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ), per_dim AS (
+      SELECT label, pos, avg(val) AS avg_val FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+    )
+    SELECT label,
+           round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) AS centroid_norm,
+           round(centroid[1], 6) AS dim0,
+           round(centroid[2], 6) AS dim1
+    FROM cent ORDER BY label
+    """,
+)
+
+
+# --- IVF ANN (rows-only: approx by construction) ---------------------------
+def _ivf(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(e, queries, k=5, n_probe=3).orderBy("query_id", "rank")
+
+
+register("similarity_ivf_topk", _ivf, None)

@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over ``documents`` (extension surface §2.9).
+
+Each operator from functions/text.py registered with a DuckDB oracle that
+re-derives the same value in SQL — the heuristics are deliberately built
+from SQL-expressible primitives so the driver can hash-verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources import read_table
+from .registry import register
+
+
+# --- token counting --------------------------------------------------------
+def _token_stats(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            X.token_count("text").alias("n_tokens"),
+            X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+            F.length("text").alias("n_chars_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_token_stats",
+    _token_stats,
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+
+# --- quality scoring -------------------------------------------------------
+def _quality(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(X.stopword_ratio("text", X.LANG_STOPWORDS["en"]), 6).alias("stopword_ratio"),
+            F.round(X.mean_token_length("text"), 6).alias("mean_token_len"),
+            X.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_quality_scores",
+    _quality,
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             greatest(length(text), 1) AS n_chars_g,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g'))) AS n_punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, n_punct / n_chars_g AS pr,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+               / greatest(len(toks), 1) AS swr,
+             list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mtl,
+             least(length(text) / 400.0, 1.0) AS len_score
+      FROM t
+    )
+    SELECT doc_id,
+           round(pr, 6) AS punct_ratio,
+           round(swr, 6) AS stopword_ratio,
+           round(CAST(mtl AS DOUBLE), 6) AS mean_token_len,
+           round(0.4 * len_score + 0.4 * least(swr * 4.0, 1.0) + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+
+
+# --- language id -----------------------------------------------------------
+def _lang_id(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", X.detect_language("text").alias("detected_lang"))
+        .orderBy("doc_id")
+    )
+
+
+_LANG_CASE = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), v AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','que'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de'], x))) AS h_fr
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_fr > h_es AND h_fr > h_en AND h_fr > h_de AND h_fr > 0 THEN 'fr'
+             WHEN h_es > h_en AND h_es > h_de AND h_es > 0 THEN 'es'
+             WHEN h_en > h_de AND h_en > 0 THEN 'en'
+             WHEN h_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS detected_lang
+    FROM v ORDER BY doc_id
+    """
+
+register("text_language_id", _lang_id, _LANG_CASE)
+
+
+# --- fingerprints ----------------------------------------------------------
+def _fingerprints(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            X.fingerprint_md5("text").alias("doc_md5"),
+            X.rolling_min_fingerprint("text", 3).alias("min_shingle_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_fingerprints",
+    _fingerprints,
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, norm, toks,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+                  ELSE [concat_ws(' ', toks)] END AS shingles
+      FROM t
+    )
+    SELECT doc_id, md5(norm) AS doc_md5,
+           list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_md5
+    FROM sh ORDER BY doc_id
+    """,
+)
+
+
+# --- per-language aggregate profile ---------------------------------------
+def _lang_profile(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.round(F.avg(X.token_count("text")), 4).alias("avg_tokens"),
+            F.round(F.avg(X.quality_score("text")), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "text_language_profile",
+    _lang_profile,
+    r"""
+    WITH t AS (
+      SELECT lang, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             greatest(length(text), 1) AS n_chars_g,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g'))) AS n_punct
+      FROM documents
+    ), q AS (
+      SELECT lang, text, toks,
+             round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.4 * least((len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                               / greatest(len(toks), 1)) * 4.0, 1.0)
+                 + 0.2 * (1.0 - least((n_punct / n_chars_g) * 5.0, 1.0)), 6) AS quality
+      FROM t
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(length(text)), 4) AS avg_chars,
+           round(avg(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END), 4) AS avg_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM q GROUP BY lang ORDER BY lang
+    """,
+)

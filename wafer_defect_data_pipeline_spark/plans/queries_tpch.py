@@ -267,12 +267,25 @@ register(
 
 # --- window: orders above their customer's average (decorrelated) ----------
 def _above_avg(spark, sf_dir):
+    # exact decimal sum/count instead of double avg(): double summation order
+    # differs between engines (and between runs under AQE), flipping rows that
+    # sit within one ulp of their group mean. Decimal arithmetic is
+    # order-independent, so the filter and the emitted average are stable.
     orders = read_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    tot = F.sum(dec).over(w)
+    cnt = F.count(F.lit(1)).over(w)
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
-        .filter(F.col("o_totalprice") > F.col("cust_avg"))
-        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("cust_avg", 4).alias("cust_avg"))
+        orders.withColumn("__tot", tot)
+        .withColumn("__cnt", cnt)
+        .filter(dec * F.col("__cnt") > F.col("__tot"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.col("__tot").cast("double") / F.col("__cnt")).alias("cust_avg"),
+        )
         .orderBy("o_orderkey")
     )
 
@@ -281,11 +294,15 @@ register(
     "window_above_customer_avg",
     _above_avg,
     """
-    SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 4) AS cust_avg
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(tot AS DOUBLE) / cnt AS cust_avg
     FROM (
-      SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      SELECT *,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS tot,
+             count(*) OVER (PARTITION BY o_custkey) AS cnt
       FROM orders
-    ) t WHERE o_totalprice > cust_avg
+    ) t WHERE d * cnt > tot
     ORDER BY o_orderkey
     """,
 )

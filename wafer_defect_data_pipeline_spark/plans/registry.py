@@ -50,6 +50,7 @@ def _load_all() -> None:
     from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_similarity  # noqa: F401
+    from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
 
 

@@ -1,0 +1,102 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §7.8).
+
+The reference is batch-only; this is the engine's streaming surface:
+watermarked tumbling-window aggregation and gap-based session windows,
+driven to completion synchronously via the memory sink for tests/driver
+checks. On a real deployment the same plan reads Kafka and writes a
+transactional sink via ``foreachBatch`` — only the source/sink lines
+change, the transformation is identical (that symmetry is the point of
+Structured Streaming).
+
+The events parquet stores TIMESTAMP(NANOS); streaming reads declare the
+column as long and convert, same as sources/parquet.read_table.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long (see module doc)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file-stream source requires a directory; select the single table
+    # file with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark
+    are dropped and window state is evicted, bounding memory at any scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-merged) — the streaming twin of the batch
+    lag+cumsum sessionization in plans/queries_events.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion against the memory sink."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def run_tumbling_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot: stream the events parquet through the tumbling agg.
+
+    Returns the materialized memory-sink table, ordered for determinism.
+    Matches the batch `events_tumbling_window` query result (complete mode,
+    so no rows are withheld by the final watermark).
+    """
+    events = read_events_stream(spark, sf_dir)
+    out = _run_to_memory(tumbling_counts(events), "complete")
+    return out.orderBy("window_start", "event_type")
+
+
+def run_session_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    out = _run_to_memory(session_counts(events), "complete")
+    return out.orderBy("user_id", "session_start")
