@@ -59,38 +59,51 @@ def _analysed_subset(df: DataFrame, steps: list[str], features: list[str]) -> Da
 
 
 def _predictions_distributed(subset: DataFrame, steps, features, n_clusters, random_state) -> DataFrame | None:
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.feature import VectorAssembler
 
-    preds = []
-    for step in steps:
-        step_df = subset.filter(F.col("Step_desc") == step)
-        # single aggregate → 1 row of 2*|features| stats, broadcast into the
-        # z-score projection (ddof=0 parity; zero-std scales by 1.0)
-        stats = step_df.agg(
+    # ONE job for every step's mean/stddev_pop/count (map-side combinable,
+    # |steps| result rows — safe to collect at any scale). Doubles as the
+    # empty-step guard, and materializes the row-id checkpoint before the
+    # concurrent fits below race to be first.
+    stats = (
+        subset.groupBy("Step_desc")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
             *[F.avg(c).alias(f"m_{c}") for c in features],
             *[F.stddev_pop(c).alias(f"s_{c}") for c in features],
         )
+        .collect()
+    )
+    by_step = {r["Step_desc"]: r for r in stats if r["__n"] > 0}
+    todo = [s for s in steps if s in by_step]
+    if not todo:
+        return None
+
+    def fit_one(step: str) -> DataFrame:
+        r = by_step[step]
+        # z-score with collected literals (ddof=0 parity; zero-std scales 1.0)
         scaled_cols = [
             (
-                (F.col(c) - F.col(f"m_{c}"))
-                / F.when(F.col(f"s_{c}") == 0.0, F.lit(1.0)).otherwise(F.col(f"s_{c}"))
+                (F.col(c) - F.lit(float(r[f"m_{c}"])))
+                / F.lit(1.0 if not r[f"s_{c}"] else float(r[f"s_{c}"]))
             ).alias(f"z_{c}")
             for c in features
         ]
-        scaled = step_df.crossJoin(F.broadcast(stats)).select(ROW_ID, *scaled_cols)
-        if scaled.isEmpty():
-            continue
+        scaled = subset.filter(F.col("Step_desc") == step).select(ROW_ID, *scaled_cols)
         assembled = VectorAssembler(
             inputCols=[f"z_{c}" for c in features], outputCol="__features"
         ).transform(scaled)
         model = MLKMeans(k=n_clusters, seed=random_state, featuresCol="__features").fit(assembled)
-        pred = model.transform(assembled).select(
+        return model.transform(assembled).select(
             ROW_ID, F.col("prediction").cast("int").alias("KMeans_Cluster")
         )
-        preds.append(pred)
-    if not preds:
-        return None
+
+    # per-step models are independent — fit them as concurrent Spark jobs
+    with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+        preds = list(ex.map(fit_one, todo))
     out = preds[0]
     for p in preds[1:]:
         out = out.unionByName(p)
