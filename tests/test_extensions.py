@@ -116,3 +116,57 @@ def test_decode_image_stub_raises(spark, sf_small):
         pass
     with pytest.raises(NotImplementedError):
         decode_image(attach_binary_payload(d))
+
+
+def test_asof_join_backward_semantics(spark):
+    from wafer_defect_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 7, "d")],
+        "key string, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 15, 2.0), ("u3", 1, 9.0)],
+        "key string, ts int, val double",
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(left, right, on=["key"], left_ts="ts", right_ts="ts").collect()
+    }
+    assert out["a"] == (10, 1.0)  # equal ts matches (inclusive <=)
+    assert out["b"] == (15, 2.0)  # latest prior, not first
+    assert out["c"] == (None, None)  # no prior right row
+    assert out["d"] == (None, None)  # key absent from right
+
+
+def test_asof_join_null_payload_stays_atomic(spark):
+    from wafer_defect_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u1", 30)], "key string, ts int")
+    right = spark.createDataFrame(
+        [("u1", 10, 5.0), ("u1", 20, None)], "key string, ts int, val double"
+    )
+    row = asof_join(left, right, on=["key"], left_ts="ts", right_ts="ts").collect()[0]
+    # the ts=20 row wins even though its payload is null — no splicing of
+    # the older row's value
+    assert row["asof_ts"] == 20 and row["asof_val"] is None
+
+
+def test_stateful_profile_matches_batch_groupby(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.streaming.stateful import run_stateful_profile_batch
+
+    out = run_stateful_profile_batch(spark, sf_small).toPandas()
+    batch = (
+        read_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert len(out) == len(batch)
+    merged = out.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (abs(merged.total_value_s - merged.total_value_b) < 1e-6).all()

@@ -183,3 +183,109 @@ def _streaming_tumbling(spark, sf_dir):
 
 
 register("events_streaming_tumbling", _streaming_tumbling, None)
+
+
+# --- Structured Streaming session windows (rows-only) ----------------------
+def _streaming_sessions(spark, sf_dir):
+    from ..streaming.events import run_session_stream_batch
+
+    return run_session_stream_batch(spark, sf_dir)
+
+
+register("events_streaming_sessions", _streaming_sessions, None)
+
+
+# --- as-of join: each click matched to the user's latest prior purchase ----
+def _asof_click_purchase(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    # dedupe purchases per (user, ts) so as-of tie-break is deterministic
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("asof_ts").alias("purchase_ts"),
+        F.round("asof_purchase_value", 4).alias("purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+register(
+    "events_asof_join",
+    _asof_click_purchase,
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, c.ts,
+           p.ts AS purchase_ts, round(p.purchase_value, 4) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.user_id, c.event_id
+    """,
+)
+
+
+# --- range join: errors within 5 minutes after each click ------------------
+def _range_join(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    # equi-join on user_id with a range predicate: Catalyst plans the equi
+    # part as the shuffle key, the range as a post-join filter — no cross join
+    joined = clicks.join(
+        errors,
+        (clicks.user_id == errors.user_id)
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy(clicks.user_id.alias("user_id"), "click_id", "click_ts")
+        .agg(F.count("error_ts").alias("n_errors_5m"))
+        .orderBy("user_id", "click_id")
+    )
+
+
+register(
+    "events_range_join",
+    _range_join,
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), errors AS (
+      SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, c.click_ts, count(e.error_ts) AS n_errors_5m
+    FROM clicks c LEFT JOIN errors e
+      ON c.user_id = e.user_id
+     AND e.error_ts > c.click_ts
+     AND e.error_ts <= c.click_ts + INTERVAL 5 MINUTE
+    GROUP BY c.user_id, c.click_id, c.click_ts
+    ORDER BY c.user_id, c.click_id
+    """,
+)
+
+
+# --- custom stateful streaming operator (applyInPandasWithState; rows-only) -
+def _stateful_profile(spark, sf_dir):
+    from ..streaming.stateful import run_stateful_profile_batch
+
+    return run_stateful_profile_batch(spark, sf_dir)
+
+
+register("events_stateful_profile", _stateful_profile, None)

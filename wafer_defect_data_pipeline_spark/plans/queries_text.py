@@ -198,3 +198,53 @@ register(
     FROM q GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# --- relational TF-IDF: top-3 terms per doc --------------------------------
+def _tfidf_topk(spark, sf_dir):
+    """TF-IDF built from groupBy/join/window — no HashingTF hash opacity,
+    fully oracle-checkable. The doc-frequency table is one row per distinct
+    term; Spark auto-broadcasts it into the tf join below the 64 MB
+    threshold, and AQE falls back to shuffle join above it (100 TB path)."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(d.count())  # scalar action: one number to the driver
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs + 1.0) / (F.col("df") + F.lit(1.0))), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+register(
+    "text_tfidf_topk",
+    _tfidf_topk,
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)

@@ -503,3 +503,54 @@ register(
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
+
+
+# --- set operations: intersect / except ------------------------------------
+def _set_ops(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = big.intersect(urgent).withColumn("bucket", F.lit("big_and_urgent"))
+    only_big = big.exceptAll(urgent).distinct().withColumn("bucket", F.lit("big_not_urgent"))
+    return both.unionByName(only_big).orderBy("bucket", "o_custkey")
+
+
+register(
+    "set_ops_customers",
+    _set_ops,
+    """
+    WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT o_custkey, 'big_and_urgent' AS bucket FROM (
+      SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent)
+    UNION ALL
+    SELECT DISTINCT o_custkey, 'big_not_urgent' AS bucket FROM (
+      SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM urgent)
+    ORDER BY bucket, o_custkey
+    """,
+)
+
+
+# --- approximate aggregates (sketches; rows-only — HLL/KLL families differ
+# per engine, so values can't hash-match an oracle) --------------------------
+def _approx_aggs(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_price_iqr"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.round("approx_median_price", 4).alias("approx_median_price"),
+            F.round(F.col("approx_price_iqr")[0], 4).alias("approx_q1"),
+            F.round(F.col("approx_price_iqr")[1], 4).alias("approx_q3"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register("approx_aggregates", _approx_aggs, None)
