@@ -1,0 +1,123 @@
+"""Property-based invariants (SURVEY.md §5.3), hypothesis-generated.
+
+Each property drives the real Spark operator on small generated frames.
+Example counts are kept low because every example is a Spark job; the
+deterministic unit/oracle suites carry the volume, these carry the edges
+(null placement, IQR==0 groups, sub-2-row groups, all-null columns).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wafer_defect_data_pipeline_spark.functions.derived import add_engineered_features
+from wafer_defect_data_pipeline_spark.operators.asof import asof_join
+from wafer_defect_data_pipeline_spark.operators.labeling import label_killer_defects
+from wafer_defect_data_pipeline_spark.operators.outliers import remove_outliers_by_group
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+value = st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False), st.just(0.0))
+wafer_row = st.tuples(st.sampled_from(["c1", "c2", "c3"]), value, value)
+
+
+@given(rows=st.lists(wafer_row, min_size=0, max_size=30))
+@settings(**PROP_SETTINGS)
+def test_iqr_filter_is_shrinking_and_keeps_guarded_groups(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["Class", "SIZE_X", "SIZE_Y"]).astype(
+        {"SIZE_X": "float64", "SIZE_Y": "float64"}
+    )
+    df = spark.createDataFrame(pdf, "Class string, SIZE_X double, SIZE_Y double")
+    out = remove_outliers_by_group(df, "Class", ["SIZE_X", "SIZE_Y"])
+    n_in, n_out = df.count(), out.count()
+    assert n_out <= n_in
+    # groups whose every column has <2 non-null values or zero IQR lose no rows
+    for klass, grp in pdf.groupby("Class"):
+        guarded = all(
+            grp[c].count() < 2 or (grp[c].quantile(0.75) - grp[c].quantile(0.25)) == 0
+            for c in ["SIZE_X", "SIZE_Y"]
+        )
+        if guarded:
+            assert out.filter(F.col("Class") == klass).count() == len(grp)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.floats(-1e3, 1e3, allow_nan=False), st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False))),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_derived_features_never_inf(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    df = spark.createDataFrame(pdf, "a double, b double")
+    out = add_engineered_features(df, {"r": ("a", "b", True)}).toPandas()
+    assert not any(v is not None and not pd.isna(v) and math.isinf(v) for v in out["r"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["REAL", "FALSE"]),
+            st.sampled_from(["PC", "RMG", "CBCMP", "OTHER"]),
+            st.one_of(st.none(), st.integers(0, 1)),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_killer_implies_real_defect_in_mapped_step(spark, rows):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["IS_DEFECT", "Step_desc", "KMeans_Cluster"]).astype(
+            {"KMeans_Cluster": "Int64"}
+        ),
+        "IS_DEFECT string, Step_desc string, KMeans_Cluster int",
+    )
+    out = label_killer_defects(df, {"PC": 1, "RMG": 1, "CBCMP": 0}).toPandas()
+    killers = out[out.is_killer_defect]
+    assert (killers.IS_DEFECT == "REAL").all()
+    assert killers.Step_desc.isin(["PC", "RMG", "CBCMP"]).all()
+    for _, r in killers.iterrows():
+        assert r.KMeans_Cluster == {"PC": 1, "RMG": 1, "CBCMP": 0}[r.Step_desc]
+
+
+@given(
+    left=st.lists(st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)), min_size=1, max_size=15),
+    right=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50), st.floats(0, 10, allow_nan=False)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # dedupe right per (key, ts) — documented precondition for deterministic ties
+    rdict = {}
+    for k, ts, v in right:
+        rdict[(k, ts)] = max(v, rdict.get((k, ts), -1.0))
+    rrows = [(k, ts, v) for (k, ts), v in rdict.items()]
+    ldf = spark.createDataFrame(pd.DataFrame(left, columns=["key", "ts"]), "key string, ts int")
+    rdf = spark.createDataFrame(
+        pd.DataFrame(rrows, columns=["key", "ts", "val"]), "key string, ts int, val double"
+    )
+    out = asof_join(ldf, rdf, on=["key"], left_ts="ts", right_ts="ts").collect()
+    assert len(out) == len(left)
+    for row in out:
+        prior = [(ts, v) for (k, ts, v) in rrows if k == row["key"] and ts <= row["ts"]]
+        if not prior:
+            assert row["asof_ts"] is None and row["asof_val"] is None
+        else:
+            exp_ts, exp_v = max(prior)
+            assert (row["asof_ts"], row["asof_val"]) == (exp_ts, exp_v)

@@ -142,26 +142,37 @@ def minhash_lsh_pairs(
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash32(text: Column | str) -> Column:
-    """32-char bitstring simhash from per-token md5 nibbles.
+def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id_col, simhash: 32-char bitstring)`` from per-token md5 nibbles.
 
     Bit i is 1 when, summed over all tokens, the high bit of md5 nibble i
     (+1 if hex digit >= 8, else -1) is positive. String representation
     sidesteps engine-specific integer/hex conversions.
+
+    Same relational reshape as :func:`minhash_signatures`: a column-level
+    ``aggregate(transform(tokens, md5), ...)`` per bit re-evaluates the
+    tokenize+hash subtree 32× per row in interpreted HOF mode. Exploding to
+    token rows makes md5 a scalar (codegen'd, CSE'd across the 32 nibble
+    votes) and the 32 vote sums combine map-side, shuffling one short row
+    per document.
     """
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.md5(t))
-
-    def bit(i: int):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
-        )
-        return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return F.concat(*[bit(i) for i in range(32)])
+    hexes = "89abcdef"
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    h = F.md5(F.col("__t"))
+    votes = tok.select(
+        id_col,
+        *[
+            F.when(F.substring(h, i + 1, 1).isin(*hexes), 1).otherwise(-1).alias(f"__b{i}")
+            for i in range(32)
+        ],
+    )
+    agg = votes.groupBy(id_col).agg(*[F.sum(f"__b{i}").alias(f"__v{i}") for i in range(32)])
+    return agg.select(
+        F.col(id_col),
+        F.concat(
+            *[F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(32)]
+        ).alias("simhash"),
+    )
 
 
 def hamming32(a: Column, b: Column) -> Column:
@@ -176,8 +187,9 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, block_col: str, max_hamming: int = 6
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance within a blocking key."""
-    s = df.select(
-        F.col(block_col).alias("__blk"), F.col(id_col).alias("__id"), simhash32(text_col).alias("__sh")
+    sig = simhash_values(df, id_col, text_col)
+    s = df.select(F.col(block_col).alias("__blk"), F.col(id_col).alias("__id")).join(
+        sig.select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")), on="__id"
     ).localCheckpoint(eager=False)
     a = s.select(F.col("__blk"), F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = s.select(F.col("__blk"), F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))

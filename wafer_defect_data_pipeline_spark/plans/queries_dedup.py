@@ -16,8 +16,8 @@ from ..operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
-    simhash32,
     simhash_pairs,
+    simhash_values,
 )
 from ..sources import read_table
 from .registry import register
@@ -106,7 +106,7 @@ register("dedup_minhash_lsh_pairs", _minhash_lsh, None)  # join-heavy; rows-only
 # --- SimHash values --------------------------------------------------------
 def _simhash(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")
+    return simhash_values(d, "doc_id", "text").orderBy("doc_id")
 
 
 _SIMHASH_ORACLE = r"""
