@@ -170,3 +170,52 @@ def test_stateful_profile_matches_batch_groupby(spark, sf_small):
     merged = out.merge(batch, on="user_id", suffixes=("_s", "_b"))
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (abs(merged.total_value_s - merged.total_value_b) < 1e-6).all()
+
+
+def test_salted_join_and_two_phase_agg_match_plain(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.skew import salted_join, two_phase_agg
+
+    li = read_table(spark, sf_small, "lineitem").select("l_suppkey", "l_quantity")
+    supp = read_table(spark, sf_small, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    plain = (
+        li.join(supp, "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+        .orderBy("s_nationkey")
+        .collect()
+    )
+    salted = two_phase_agg(
+        salted_join(li, supp, ["l_suppkey"], "inner", n_salts=4),
+        ["s_nationkey"],
+        [F.sum("l_quantity").alias("pq"), F.count(F.lit(1)).alias("pn")],
+        [F.sum("pq").alias("q"), F.sum("pn").alias("n")],
+    ).orderBy("s_nationkey").collect()
+    assert [(r.s_nationkey, r.n) for r in plain] == [(r.s_nationkey, r.n) for r in salted]
+    for p, s in zip(plain, salted):
+        assert abs(p.q - s.q) < 1e-6
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_small, tmp_path):
+    from wafer_defect_data_pipeline_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    orders = read_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, path=str(tmp_path / "ob"))
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 4, path=str(tmp_path / "lb"))
+    try:
+        a = read_bucketed(spark, "t_orders_b")
+        b = read_bucketed(spark, "t_lineitem_b")
+        # disable broadcast so the join would otherwise need an exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.o_orderkey == b.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

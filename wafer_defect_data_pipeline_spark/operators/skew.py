@@ -1,0 +1,72 @@
+"""Skew-mitigation operators (SURVEY.md §7.7 scale hardening).
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew;
+these are the *explicit* tools for the cases AQE can't fix — a known hot key
+feeding a shuffle join whose one partition would otherwise dwarf the rest,
+or a high-cardinality aggregation whose combiner can't keep up.
+
+``salted_join``: replicate the small side ``n_salts`` ways and scatter the
+big side's hot keys uniformly across the replicas. The join key becomes
+(key, salt), so the hot key's rows land on ``n_salts`` reducers instead of
+one. Results are identical to the plain join (verified by oracle), cost is
+|small| × n_salts extra rows — only worth it when the small side is small
+and the big side is skewed, which is exactly the broadcast-threshold gap:
+too big to broadcast, too skewed to shuffle plainly.
+
+``two_phase_agg``: pre-aggregate on (key, salt) then finish on key. Spark's
+map-side partial aggregation already does this per-task; the explicit salt
+round helps when per-task partials stay large (many distinct groups per
+task or expression state too big to combine early).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the big side's rows scattered over ``n_salts`` buckets.
+
+    ``how`` must be a big-side-preserving type ('inner' / 'left'): every
+    small-side row exists in all buckets, so big-side multiplicity is
+    unchanged; a 'right'/'full' join would multiply unmatched small rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join preserves big-side semantics only for inner/left, got {how!r}")
+    # salt from the whole row hash: uniform, deterministic, no RNG
+    big_s = big.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int")
+    )
+    small_s = small.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, on=on + [SALT], how=how).drop(SALT)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Salted two-phase aggregation for algebraic aggregates.
+
+    ``partial_aggs`` run per (keys, salt); ``final_aggs`` merge the partials
+    per keys. Caller guarantees the pair is a valid decomposition
+    (sum/sum, count/sum, min/min, max/max, ...).
+    """
+    salted = df.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+    )
+    partial = salted.groupBy(*keys, SALT).agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -554,3 +554,47 @@ def _approx_aggs(spark, sf_dir):
 
 
 register("approx_aggregates", _approx_aggs, None)
+
+
+# --- skew tools: salted join + two-phase agg (identical result to plain
+# join+agg — that's the point; the oracle proves it) --------------------------
+def _salted_skew(spark, sf_dir):
+    from ..operators.skew import salted_join, two_phase_agg
+
+    # decimal revenue: exact, summation-order-independent, so the salted
+    # two-phase sum hashes identically to the oracle's single-phase sum
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("rev"),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["l_suppkey"], how="inner", n_salts=8)
+    return two_phase_agg(
+        joined,
+        ["s_nationkey"],
+        [F.sum("rev").alias("__p_rev"), F.count(F.lit(1)).alias("__p_n")],
+        [
+            F.sum("__p_rev").cast("double").alias("revenue"),
+            F.sum("__p_n").alias("n_items"),
+        ],
+    ).orderBy("s_nationkey")
+
+
+register(
+    "join_salted_skew",
+    _salted_skew,
+    """
+    SELECT s_nationkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
