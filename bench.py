@@ -62,23 +62,29 @@ def main() -> None:
     # warm-up: JVM classloading + codegen + parquet footer reads
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
+    # two runs per query: first pays one-time costs (codegen, classloading,
+    # MLlib init), second is the steady-state number a long-running cluster
+    # sees. "queries"/"value" report warm; "cold" keeps the first-run times.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for target in (cold, warm):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            target[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold": cold,
                 "sf": _sf_from_dir(sf_dir),
             }
         )
