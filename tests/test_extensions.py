@@ -219,3 +219,16 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_small, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_arrow_bruteforce_matches_hof(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = read_table(spark, sf_small, "embeddings")
+    q = emb.limit(20)
+    jvm = brute_force_topk(emb, q, k=5).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    arrow = brute_force_topk_arrow(emb, q, k=5).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(jvm) == len(arrow)
+    assert (jvm.query_id == arrow.query_id).all()
+    assert (jvm.corpus_id == arrow.corpus_id).all()
+    assert (abs(jvm.cos_sim - arrow.cos_sim) <= 1e-5).all()

@@ -136,3 +136,64 @@ def knn_join_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow batches + numpy matmul — the dense-math
+    scale path.
+
+    The HOF formulation in :func:`brute_force_topk` evaluates an interpreted
+    fold per (corpus, query) pair; fine for small batches, but dense scoring
+    at scale wants BLAS. Here the (small) normalized query matrix is
+    broadcast to executors, each corpus partition streams through
+    ``mapInPandas`` as Arrow batches, one ``C @ Q.T`` scores the whole batch,
+    and ``argpartition`` keeps the per-batch top-k per query, so at most
+    |queries|·k rows per batch reach the final global top-k window. The
+    corpus never shuffles.
+
+    Same contract as :func:`brute_force_topk` (self-matches excluded, ties
+    broken by corpus id); results verified equivalent in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()  # query batch is small by contract
+    q_ids = q_pdf[id_col].to_numpy()
+    qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, qm))
+
+    def score(batches):
+        ids, q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims = c @ q.T  # (batch, n_queries)
+            c_ids = pdf[id_col].to_numpy()
+            kk = min(k + 1, len(c_ids))  # +1 headroom for a self-match
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_queries)
+            rows = {
+                "query_id": np.repeat(ids, kk),
+                "corpus_id": c_ids[top].T.ravel(),
+                "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    out_schema = "query_id long, corpus_id long, cos_sim double"
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        partial.filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cos_sim")
+    )

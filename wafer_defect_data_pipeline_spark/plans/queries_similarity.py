@@ -151,3 +151,16 @@ def _ivf(spark, sf_dir):
 
 
 register("similarity_ivf_topk", _ivf, None)
+
+
+# --- Arrow/numpy brute-force (rows-only; equivalence test vs the HOF
+# variant covers values — float ulps differ between BLAS and fold order) ----
+def _bf_topk_arrow(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk_arrow(emb, q, k=5).orderBy("query_id", "rank")
+
+
+register("similarity_bruteforce_topk_arrow", _bf_topk_arrow, None)
