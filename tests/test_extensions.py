@@ -232,3 +232,33 @@ def test_arrow_bruteforce_matches_hof(spark, sf_small):
     assert (jvm.query_id == arrow.query_id).all()
     assert (jvm.corpus_id == arrow.corpus_id).all()
     assert (abs(jvm.cos_sim - arrow.cos_sim) <= 1e-5).all()
+
+
+def test_iqr_approx_mode_close_to_exact(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.outliers import remove_outliers_by_group
+
+    li = read_table(spark, sf_small, "lineitem")
+    exact = remove_outliers_by_group(li, "l_returnflag", ["l_extendedprice"], mode="exact").count()
+    approx = remove_outliers_by_group(
+        li, "l_returnflag", ["l_extendedprice"], mode="approx", accuracy=10_000
+    ).count()
+    assert abs(exact - approx) <= max(5, exact * 0.01)
+
+
+def test_cosine_lsh_finds_planted_dups(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = read_table(spark, sf_small, "embeddings")
+    planted = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)))
+    )
+    both = emb.unionByName(planted)
+    pairs = cosine_lsh_pairs(both, threshold=0.99).toPandas()
+    planted_ids = {r.vec_id for r in emb.filter(F.col("vec_id") % 25 == 0).select("vec_id").collect()}
+    found = {a for a, b in zip(pairs.id_a, pairs.id_b) if b == a + 1_000_000}
+    # identical-direction vectors have identical signatures -> always same band
+    assert found == planted_ids
+    # every emitted pair really is >= threshold (verified exactly)
+    assert (pairs.cos_sim >= 0.99).all()

@@ -197,3 +197,79 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "corpus_id", "cos_sim")
     )
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via random-hyperplane LSH blocking.
+
+    The scale path for embedding near-dup dedup: sign(V @ H.T) gives each
+    vector an ``n_bits`` signature (P[bit match] = 1 - angle/pi), banded
+    like MinHash so only same-band candidates meet in an equi-join; the
+    survivors are verified with exact cosine. Hyperplanes come from a
+    fixed-seed PCG64 generator — deterministic across runs/executors, no
+    shared state. Corpus cost: one Arrow pass for signatures + a band
+    self-join on (band, key); no O(n^2) stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = n_bits // n_bands
+
+    def signatures(batches):
+        rng_h = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rng_h is None:
+                rng_h = np.random.default_rng(seed).standard_normal((n_bits, mat.shape[1]))
+            bits = (mat @ rng_h.T) > 0  # (batch, n_bits)
+            sigs = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame({"__id": pdf[id_col].to_numpy(), "__sig": sigs})
+
+    sig = df.select(id_col, vec_col).mapInPandas(
+        signatures, schema="__id long, __sig string"
+    ).localCheckpoint(eager=False)
+
+    bands = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("__sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bands.select(F.col("__id").alias("id_a"), "band", "key")
+        .join(bands.select(F.col("__id").alias("id_b"), "band", "key"), on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("__v"), l2_norm(vec_col).alias("__n"))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    from ..functions.arrays import dot
+
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -359,3 +359,51 @@ register(
     SELECT l_orderkey, l_linenumber FROM r2 ORDER BY l_orderkey, l_linenumber
     """,
 )
+
+
+# --- M4 relational form: labeling via broadcast mapping join ---------------
+def _label_by_join(spark, sf_dir):
+    """Same labeling semantics as `conditional_label`, expressed as a
+    broadcast join against a mapping dimension (the idiomatic relational
+    form of the reference's killer-cluster dict, SURVEY.md §2.6 M4)."""
+    o = read_table(spark, sf_dir, "orders")
+    mapping = spark.createDataFrame(
+        [("1-URGENT",), ("2-HIGH",)], "o_orderpriority string"
+    ).withColumn("__hit", F.lit(True))
+    out = o.join(F.broadcast(mapping), on="o_orderpriority", how="left")
+    flag = (F.col("o_orderstatus") == "O") & F.coalesce(F.col("__hit"), F.lit(False))
+    return (
+        out.withColumn("is_priority", flag)
+        .select("o_orderkey", "is_priority")
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "conditional_label_join",
+    _label_by_join,
+    """
+    SELECT o_orderkey,
+           (o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT','2-HIGH')) AS is_priority
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+
+
+# --- A2 at scale: approx-percentile IQR cascade (rows-only — sketch
+# quantiles are engine-specific; exact-mode agreement is the oracle) --------
+def _iqr_cascade_approx(spark, sf_dir):
+    from ..operators.outliers import remove_outliers_by_group
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = remove_outliers_by_group(
+        li, "l_returnflag", ["l_extendedprice", "l_quantity"], mode="approx"
+    )
+    return (
+        out.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+register("iqr_cascade_approx", _iqr_cascade_approx, None)

@@ -164,3 +164,22 @@ def _bf_topk_arrow(spark, sf_dir):
 
 
 register("similarity_bruteforce_topk_arrow", _bf_topk_arrow, None)
+
+
+# --- embedding near-dup via hyperplane LSH (rows-only; recall + exactness
+# covered by the test against the exact all-pairs verifier) -----------------
+def _lsh_pairs(spark, sf_dir):
+    from ..operators.similarity import cosine_lsh_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # plant exact near-dups: every 25th vector rescaled (cosine == 1)
+    planted = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)))
+    )
+    both = emb.unionByName(planted)
+    return cosine_lsh_pairs(both, threshold=0.95).orderBy("id_a", "id_b")
+
+
+register("similarity_lsh_pairs", _lsh_pairs, None)
