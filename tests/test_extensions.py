@@ -262,3 +262,77 @@ def test_cosine_lsh_finds_planted_dups(spark, sf_small):
     assert found == planted_ids
     # every emitted pair really is >= threshold (verified exactly)
     assert (pairs.cos_sim >= 0.99).all()
+
+
+def test_streaming_multibatch_state_accumulates(spark, sf_small, tmp_path):
+    """Split events over 4 files -> 4 micro-batches (maxFilesPerTrigger=1):
+    tumbling counts and applyInPandasWithState running profiles must equal
+    the single-pass batch results, proving cross-batch state is correct."""
+    import pyspark.sql.functions as F2
+    from wafer_defect_data_pipeline_spark.streaming.events import EVENTS_STREAM_SCHEMA, tumbling_counts
+    from wafer_defect_data_pipeline_spark.streaming.stateful import user_running_profile
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    events = read_table(spark, sf_small, "events")
+    # write as raw nanos-long ts to mirror the driver file's physical schema
+    raw = events.withColumn("ts", (F2.unix_micros("ts") * 1000))
+    raw.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ev"))
+        .withColumn("ts", F2.expr("timestamp_micros(ts div 1000)"))
+    )
+
+    name = "mb_tumbling"
+    q = tumbling_counts(stream).writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] >= 3  # really ran multiple batches
+    finally:
+        q.stop()
+    got = spark.table(name).orderBy("window_start", "event_type").toPandas()
+    want = (
+        events.groupBy(F2.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.round(F2.sum("value"), 4).alias("total_value"))
+        .select(F2.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    name2 = "mb_stateful"
+    q2 = (
+        user_running_profile(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name2)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("user_id").orderBy(F2.desc("n_events"))
+    final = (
+        spark.table(name2)
+        .withColumn("__rn", F2.row_number().over(w))
+        .filter(F2.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+        .toPandas()
+    )
+    batch = (
+        events.groupBy("user_id")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_events"),
+            F2.round(F2.sum(F2.coalesce(F2.col("value"), F2.lit(0.0))), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert (final.n_events.to_numpy() == batch.n_events.to_numpy()).all()
+    assert (abs(final.total_value.to_numpy() - batch.total_value.to_numpy()) < 1e-6).all()
