@@ -336,3 +336,68 @@ def test_streaming_multibatch_state_accumulates(spark, sf_small, tmp_path):
     )
     assert (final.n_events.to_numpy() == batch.n_events.to_numpy()).all()
     assert (abs(final.total_value.to_numpy() - batch.total_value.to_numpy()) < 1e-6).all()
+
+
+def test_q5_plan_broadcasts_all_dims_and_prunes(spark, sf_small):
+    """Plan-shape regression: the star join must broadcast every dimension
+    (no sort-merge at this scale) and the lineitem scan must read only the
+    columns the query needs."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["tpch_q5_regional_revenue"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # column pruning: the 11-column lineitem scan narrows to the 4 used
+    for unused in ["l_comment", "l_tax", "l_shipdate", "l_linenumber"]:
+        assert f"lineitem.{unused}" not in opt
+
+
+def test_flagship_scan_prunes_and_pushes(spark, sf_small):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # AQE hides scan detail until the final plan
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    # column pruning reaches the scan: unused lineitem columns never read
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("l_partkey" not in l and "l_suppkey" not in l for l in read_schemas)
+
+
+def test_streaming_dedup_removes_planted_duplicates(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.streaming.events import run_dedup_stream_batch
+
+    got = run_dedup_stream_batch(spark, sf_small).toPandas()
+    want = (
+        read_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_operators_handle_empty_input(spark):
+    """Driver-robustness: every core operator must survive 0-row input."""
+    import pandas as pd
+    from wafer_defect_data_pipeline_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from wafer_defect_data_pipeline_spark.operators.outliers import remove_outliers_by_group
+    from wafer_defect_data_pipeline_spark.plans.pipeline import WaferPipeline
+    from tests.wafer_fixture import make_wafer_pdf
+
+    empty_wafer = spark.createDataFrame(make_wafer_pdf(50)).limit(0)
+    out = WaferPipeline().preprocess(empty_wafer)
+    assert out.count() == 0 and "is_killer_defect" in out.columns
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty_docs, ["text"], "doc_id").count() == 0
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert remove_outliers_by_group(empty_docs.withColumn("v", F.lit(1.0)), "doc_id", ["v"]).count() == 0

@@ -289,3 +289,13 @@ def _stateful_profile(spark, sf_dir):
 
 
 register("events_stateful_profile", _stateful_profile, None)
+
+
+# --- streaming exact dedup (dropDuplicatesWithinWatermark; rows-only) -------
+def _streaming_dedup(spark, sf_dir):
+    from ..streaming.events import run_dedup_stream_batch
+
+    return run_dedup_stream_batch(spark, sf_dir)
+
+
+register("events_streaming_dedup", _streaming_dedup, None)

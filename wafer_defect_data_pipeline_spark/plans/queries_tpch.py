@@ -598,3 +598,51 @@ register(
     ORDER BY s_nationkey
     """,
 )
+
+
+# --- Q17 shape: correlated scalar subquery (decorrelated to join) -----------
+def _small_quantity_revenue(spark, sf_dir):
+    """Avg yearly revenue loss from small orders — the reference TPC-H Q17
+    shape. The correlated 'l_quantity < 0.2 * avg(quantity) per part'
+    subquery is expressed as an explicit pre-aggregation + broadcast join,
+    which is exactly what Catalyst's decorrelation would produce."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    # exact decimal threshold: order-independent across engines
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
+        F.count("l_quantity").alias("__nq"),
+    )
+    brass = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    joined = (
+        li.join(F.broadcast(brass), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, on="l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * F.lit(5) * F.col("__nq")
+            < F.col("__sq")  # qty < 0.2 * avg  ==  5 * qty * n < sum
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+register(
+    "tpch_q17_small_quantity",
+    _small_quantity_revenue,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             count(l_quantity) AS nq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_small,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+    JOIN per_part USING (l_partkey)
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq
+    """,
+)

@@ -100,3 +100,34 @@ def run_session_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     out = _run_to_memory(session_counts(events), "complete")
     return out.orderBy("user_id", "session_start")
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: state holds each key only until the watermark
+    passes it, so memory is bounded by keys-per-watermark-window — the
+    streaming twin of operators/dedup.exact_dedup, and the shape of
+    ingest-time dedup in a training-data pipeline."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def run_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot: stream events unioned with itself (every row duplicated),
+    dedup within the watermark, and summarize per event_type. Row counts
+    equal the batch distinct counts when nothing is watermark-late."""
+    e1 = read_events_stream(spark, sf_dir)
+    e2 = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(e1.unionByName(e2))
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")
