@@ -65,3 +65,14 @@ def test_partitioned_parquet_write(spark, wafer_csv, tmp_path):
     assert any(p.name.startswith("Class=") for p in out.iterdir())
     back = spark.read.parquet(str(out)).filter(F.col("Class") == 1)
     assert back.count() == df.filter(F.col("Class") == 1).count()
+
+
+def test_cli_main_end_to_end(spark, wafer_csv, tmp_path, capsys):
+    from wafer_defect_data_pipeline_spark.cli import main
+
+    out = main(wafer_csv, output_dir=str(tmp_path / "out"), save_processed=True, show_summary=True)
+    assert "is_killer_defect" in out.columns and "KMeans_Cluster" in out.columns
+    printed = capsys.readouterr().out
+    assert "[load] rows=200" in printed and "loss=" in printed and "[sink]" in printed
+    csvs = list((tmp_path / "out" / "processed_data.csv").glob("*.csv"))
+    assert len(csvs) == 1

@@ -9,4 +9,6 @@ columns, event-time analytics). See SURVEY.md for the blueprint.
 
 __version__ = "0.1.0"
 
+from .plans.pipeline import WaferPipeline  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .sources.csv import load_data  # noqa: F401
