@@ -401,3 +401,20 @@ def test_operators_handle_empty_input(spark):
     assert exact_dedup(empty_docs, ["text"], "doc_id").count() == 0
     assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
     assert remove_outliers_by_group(empty_docs.withColumn("v", F.lit(1.0)), "doc_id", ["v"]).count() == 0
+
+
+def test_q1_results_invariant_to_partitioning(spark, sf_small):
+    """Decimal aggregation makes q1 bit-identical regardless of partition
+    count — the property that keeps the oracle hash stable when the driver's
+    session config differs from the test session's."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    q1 = all_queries()["tpch_q1_pricing_summary"]
+    base = q1(spark, sf_small).toPandas()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        other = q1(spark, sf_small).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base.equals(other)
