@@ -418,3 +418,49 @@ def test_q1_results_invariant_to_partitioning(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base.equals(other)
+
+
+def test_frame_sampling_reassembles_payload(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    d = read_table(spark, sf_small, "documents").limit(20)
+    withbin = attach_binary_payload(d)
+    frames = sample_frames(withbin, frame_bytes=64).toPandas()
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in withbin.collect()}
+    for doc_id, grp in frames.groupby("doc_id"):
+        joined = b"".join(bytes(f) for f in grp.sort_values("frame_idx")["frame"])
+        assert joined == orig[doc_id]
+
+
+def test_extract_features_shape_and_determinism(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    d = read_table(spark, sf_small, "documents").limit(20)
+    f1 = extract_features(attach_binary_payload(d), dim=8).toPandas().sort_values("doc_id")
+    f2 = extract_features(attach_binary_payload(d), dim=8).toPandas().sort_values("doc_id")
+    assert all(len(v) == 8 for v in f1.features)
+    assert all((a == b).all() for a, b in zip(f1.features.to_numpy(), f2.features.to_numpy()))
+    assert all(all(0.0 <= x < 1.0 for x in v) for v in f1.features)
+
+
+def test_resize_stub_raises_without_codec(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_image,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub not applicable")
+    except ImportError:
+        pass
+    d = read_table(spark, sf_small, "documents").limit(5)
+    with pytest.raises(Exception):
+        resize_image(attach_binary_payload(d), 32, 32).collect()

@@ -115,3 +115,84 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
             )
 
     return df.mapInPandas(batches, schema="doc_id long, width int, height int")
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", frame_bytes: int = 1024
+) -> DataFrame:
+    """Frame sampling over binary payloads: one output row per fixed-size
+    window (the batch shape of video frame extraction). The byte slicing is
+    real; a codec would replace ``_slice`` with actual frame decode — the
+    schema (id, frame_idx, frame) and the mapInPandas fan-out are what a
+    100 TB video pipeline exercises.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = b or b""
+                for j in range(0, max(len(b), 1), frame_bytes):
+                    ids.append(i)
+                    idxs.append(j // frame_bytes)
+                    frames.append(bytes(b[j : j + frame_bytes]))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, frame_idx int, frame binary")
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize plumbing. With a codec (PIL) present this decodes,
+    resizes, and re-encodes; without one it raises NotImplementedError —
+    per the build brief the Spark-side schema and batch handling are real,
+    the pixel math is stubbed."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_codec = True
+    except ImportError:
+        have_codec = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not have_codec:
+            raise NotImplementedError(
+                "image resize requires a codec library (PIL); not available in this environment"
+            )
+        import io
+
+        from PIL import Image
+
+        for pdf in it:
+            out = []
+            for b in pdf[payload_col]:
+                img = Image.open(io.BytesIO(b)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, resized binary")
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", dim: int = 8
+) -> DataFrame:
+    """Deterministic fake feature extractor: ``dim`` floats derived from the
+    payload's sha256 (uniform in [0,1)). Stands in for an embedding model so
+    the array<float> column shape, Arrow batching, and downstream similarity
+    operators are exercisable end-to-end without model weights."""
+    import hashlib as _hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf[payload_col]:
+                digest = _hashlib.sha256(b or b"").digest()
+                feats.append(
+                    [int.from_bytes(digest[4 * j : 4 * j + 4], "big") / 2**32 for j in range(dim)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, features array<double>")

@@ -58,3 +58,28 @@ register(
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# --- frame sampling: per-doc frame counts (byte-window plumbing) -----------
+def _frame_counts(spark, sf_dir):
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(d), frame_bytes=128)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.sum(F.length("frame")).alias("n_bytes"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "multimodal_frame_sample",
+    _frame_counts,
+    """
+    SELECT doc_id,
+           CAST(greatest(ceil(length(text) / 128.0), 1) AS BIGINT) AS n_frames,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)

@@ -167,7 +167,13 @@ def _lang_profile(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
             F.round(F.avg(X.token_count("text")), 4).alias("avg_tokens"),
-            F.round(F.avg(X.quality_score("text")), 6).alias("avg_quality"),
+            # quality is a 6-decimal value: sum in exact decimal so the avg is
+            # the same double in every engine/partitioning before rounding
+            F.round(
+                F.sum(X.quality_score("text").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
         )
         .orderBy("lang")
     )
@@ -194,7 +200,7 @@ register(
     SELECT lang, count(*) AS n_docs,
            round(avg(length(text)), 4) AS avg_chars,
            round(avg(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END), 4) AS avg_tokens,
-           round(avg(quality), 6) AS avg_quality
+           round(CAST(sum(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS avg_quality
     FROM q GROUP BY lang ORDER BY lang
     """,
 )
