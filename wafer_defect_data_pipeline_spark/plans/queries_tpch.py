@@ -658,3 +658,89 @@ register(
     WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq
     """,
 )
+
+
+# --- Q13 shape: left-join count histogram -----------------------------------
+def _order_count_distribution(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+register(
+    "tpch_q13_order_counts",
+    _order_count_distribution,
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) t GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+
+# --- Q22 shape: scalar avg subquery + anti join ------------------------------
+def _idle_rich_customers(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    # scalar subquery: avg acctbal of positive-balance customers, computed in
+    # exact decimal then collected as the one number it is. The predicate
+    # 'acctbal > avg/2' is evaluated as exact 'acctbal * 2n > sum' — no
+    # division, no float, identical row set in every engine.
+    avg_row = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    rich = cust.filter(
+        F.col("c_acctbal").cast("decimal(18,2)") * F.lit(2 * int(avg_row["n"]))
+        > F.lit(str(avg_row["s"])).cast("decimal(28,2)")
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        cust.c_custkey == orders.o_custkey,
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+register(
+    "tpch_q22_idle_balance",
+    _idle_rich_customers,
+    """
+    WITH stats AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * 2 * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
