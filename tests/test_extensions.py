@@ -464,3 +464,33 @@ def test_resize_stub_raises_without_codec(spark, sf_small):
     d = read_table(spark, sf_small, "documents").limit(5)
     with pytest.raises(Exception):
         resize_image(attach_binary_payload(d), 32, 32).collect()
+
+
+def test_pandas_udf_norm_matches_jvm(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.functions.arrays import l2_norm
+    from wafer_defect_data_pipeline_spark.functions.udfs import l2_norm_arrow
+
+    emb = read_table(spark, sf_small, "embeddings").limit(100)
+    both = emb.select(
+        "vec_id", l2_norm("embedding").alias("jvm"), l2_norm_arrow("embedding").alias("arrow")
+    ).toPandas()
+    assert (abs(both.jvm - both.arrow) < 1e-9).all()
+
+
+def test_udtf_sentence_split(spark):
+    from wafer_defect_data_pipeline_spark.functions.udfs import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    out = spark.sql(
+        "SELECT t.doc_id, s.sent_idx, s.sentence "
+        "FROM VALUES (1, 'Hello there. How are you? Fine!'), (2, ''), (3, 'One') AS t(doc_id, txt), "
+        "LATERAL split_sentences(t.txt) AS s "
+        "ORDER BY doc_id, sent_idx"
+    ).collect()
+    got = [(r.doc_id, r.sent_idx, r.sentence) for r in out]
+    assert got == [
+        (1, 0, "Hello there"),
+        (1, 1, "How are you"),
+        (1, 2, "Fine"),
+        (3, 0, "One"),
+    ]

@@ -254,3 +254,38 @@ register(
     ORDER BY doc_id, rank
     """,
 )
+
+
+# --- Python UDTF: sentence explode + per-doc stats -------------------------
+def _sentence_stats(spark, sf_dir):
+    from ..functions.udfs import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               count(s.sentence) AS n_sentences,
+               coalesce(CAST(sum(length(s.sentence)) AS BIGINT), 0) AS total_chars
+        FROM __docs_udtf d, LATERAL split_sentences(d.text) AS s
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    )
+
+
+register(
+    "text_sentence_stats",
+    _sentence_stats,
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_sum(list_transform(sents, x -> length(x))), 0) AS BIGINT) AS total_chars
+    FROM s WHERE len(sents) > 0
+    ORDER BY doc_id
+    """,
+)
