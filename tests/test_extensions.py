@@ -494,3 +494,66 @@ def test_udtf_sentence_split(spark):
         (1, 2, "Fine"),
         (3, 0, "One"),
     ]
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Two files processed as two micro-batches: batch 1 advances the
+    watermark; batch 2 carries one on-time row and one row older than the
+    watermark. Append mode must finalize windows without the late row."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F2
+    from wafer_defect_data_pipeline_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        tumbling_counts,
+    )
+
+    d = tmp_path / "late_ev"
+    d.mkdir()
+    base = 1_700_000_000  # epoch seconds
+    hour = 3600
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([int((base + r[1]) * 1e9) for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: events at 10:00 and 11:00 -> watermark 9:00 after the batch
+    write("a.parquet", [(1, 10 * hour), (2, 11 * hour)], 1_000_000)
+    # batch 2: on-time 12:30 (advances watermark to 10:30) + late 8:30
+    write("b.parquet", [(3, int(12.5 * hour)), (4, int(8.5 * hour))], 2_000_000)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F2.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("late_test").toPandas()
+    # only the 10:00 window is finalized (end 11:00 <= watermark 10:30);
+    # the late 8:30 row was discarded, so its window never appears
+    assert out["n"].sum() == 1
+    hours = {t.hour for t in out.window_start}
+    assert 8 not in hours

@@ -76,3 +76,28 @@ def test_cli_main_end_to_end(spark, wafer_csv, tmp_path, capsys):
     assert "[load] rows=200" in printed and "loss=" in printed and "[sink]" in printed
     csvs = list((tmp_path / "out" / "processed_data.csv").glob("*.csv"))
     assert len(csvs) == 1
+
+
+def test_json_roundtrip(spark, wafer_csv, tmp_path):
+    from wafer_defect_data_pipeline_spark.sources.sinks import write_json
+
+    df = load_wafer_csv(spark, wafer_csv).select("Class", "SIZE_X", "IS_DEFECT")
+    out = str(tmp_path / "json_out")
+    write_json(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 200
+    assert set(back.columns) == {"Class", "SIZE_X", "IS_DEFECT"}
+
+
+def test_compact_parquet_reduces_file_count(spark, wafer_csv, tmp_path):
+    from wafer_defect_data_pipeline_spark.sources.sinks import compact_parquet
+
+    df = load_wafer_csv(spark, wafer_csv)
+    frag = str(tmp_path / "fragmented")
+    df.repartition(40).write.parquet(frag)  # 40 tiny files
+    n_in = len(list((tmp_path / "fragmented").glob("*.parquet")))
+    assert n_in >= 30
+    n_out = compact_parquet(spark, frag, str(tmp_path / "compact"))
+    assert n_out == 1  # tiny dataset -> single right-sized file
+    back = spark.read.parquet(str(tmp_path / "compact"))
+    assert back.count() == df.count()

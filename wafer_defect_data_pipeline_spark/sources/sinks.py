@@ -27,3 +27,35 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", encoding: str =
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite", encoding: str = "UTF-8") -> None:
     """Single-file CSV, parity with the reference sink. Small outputs only."""
     df.coalesce(1).write.mode(mode).option("header", True).option("encoding", encoding).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — one file per partition, splittable on read."""
+    df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark, in_path: str, out_path: str, target_bytes: int = 128 << 20
+) -> int:
+    """Rewrite a parquet dataset into ~``target_bytes`` files; returns the
+    output file count.
+
+    The small-files problem is the quiet killer of 100 TB table scans: a
+    million 1 MB files means a million scheduler tasks and footer reads.
+    Compaction reads the dataset once and rewrites it with partition count
+    sized from actual input bytes. Uses the Hadoop FS API so it sees the
+    same storage Spark does (HDFS/S3A/local alike).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, int(total // target_bytes) + (1 if total % target_bytes else 0))
+    spark.read.parquet(in_path).repartition(n).write.mode("overwrite").parquet(out_path)
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    return sum(
+        1
+        for f in fs.listStatus(out)
+        if f.getPath().getName().endswith(".parquet")
+    )
