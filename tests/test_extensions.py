@@ -557,3 +557,29 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     assert out["n"].sum() == 1
     hours = {t.hour for t in out.window_start}
     assert 8 not in hours
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from wafer_defect_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 16, "b"), ("u1", 100, "c")], "key string, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 15, 2.0), ("u1", 20, 3.0)], "key string, ts int, val double"
+    )
+    fwd = {
+        r["tag"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(left, right, ["key"], "ts", "ts", direction="forward").collect()
+    }
+    assert fwd["a"] == (10, 1.0)  # inclusive >=
+    assert fwd["b"] == (20, 3.0)  # next, not previous
+    assert fwd["c"] == (None, None)  # nothing after
+
+    tol = {
+        r["tag"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(left, right, ["key"], "ts", "ts", tolerance=3).collect()
+    }
+    assert tol["a"] == (10, 1.0)  # gap 0 <= 3
+    assert tol["b"] == (15, 2.0)  # gap 1 <= 3
+    assert tol["c"] == (None, None)  # gap 80 > 3 -> nulled

@@ -36,12 +36,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with right_ts <= left_ts.
+    """pandas ``merge_asof``-style join, one shuffle, no range fan-out.
+
+    ``direction="backward"`` (default): latest right row with
+    right_ts <= left_ts. ``direction="forward"``: earliest right row with
+    right_ts >= left_ts. ``tolerance``: maximum |right_ts - left_ts| for a
+    match, measured after casting the ts columns to double (seconds for
+    timestamps, raw units for numerics) — matches outside it become null.
 
     Right payload columns (everything except ``on`` + ``right_ts``) come back
     as ``{payload_prefix}{col}``, plus ``{payload_prefix}ts`` for the matched
-    right timestamp; all null when no prior right row exists.
+    right timestamp; all null when no matching right row exists.
     """
     payload = [c for c in right.columns if c not in set(on) | {right_ts}]
 
@@ -61,16 +69,36 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
-    w = (
-        W.partitionBy(*on)
-        .orderBy(F.col(_TS), F.col(_SIDE))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    if direction == "backward":
+        # right (0) sorts before left (1) at equal ts -> inclusive <=
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    elif direction == "forward":
+        # left sorts before right at equal ts -> inclusive >=
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        matched = F.first(_PAYLOAD, ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    out = unioned.withColumn(_PAYLOAD, matched).filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        gap = F.abs(
+            F.col(f"{_PAYLOAD}.ts").cast("double") - F.col(_TS).cast("double")
+        )
+        out = out.withColumn(
+            _PAYLOAD, F.when(gap <= F.lit(float(tolerance)), F.col(_PAYLOAD))
+        )
 
     return (
-        unioned.withColumn(_PAYLOAD, matched)
-        .filter(F.col(_SIDE) == 1)
+        out
         .select(
             *left.columns,
             F.col(f"{_PAYLOAD}.ts").alias(f"{payload_prefix}ts"),
