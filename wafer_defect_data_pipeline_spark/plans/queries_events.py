@@ -299,3 +299,59 @@ def _streaming_dedup(spark, sf_dir):
 
 
 register("events_streaming_dedup", _streaming_dedup, None)
+
+
+# --- funnel: view -> click -> purchase conversion ---------------------------
+def _funnel(spark, sf_dir):
+    """Ordered-funnel conversion: first view, first click after that view,
+    first purchase after that click, per user; then stage counts. Three
+    conditional-min passes over one shuffled-by-user frame — no self-join
+    explosion, the idiomatic funnel shape at scale."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return spark.createDataFrame(
+        [("1_view",), ("2_click",), ("3_purchase",)], "stage string"
+    ).join(
+        v.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("1_view"))
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("2_click")))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("3_purchase"))),
+        on="stage",
+    ).orderBy("stage")
+
+
+register(
+    "events_funnel",
+    _funnel,
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY e.user_id
+    )
+    SELECT stage, n FROM (
+      SELECT '1_view' AS stage, count(*) AS n FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+    ) t ORDER BY stage
+    """,
+)

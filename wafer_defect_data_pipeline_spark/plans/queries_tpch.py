@@ -885,3 +885,66 @@ register(
        OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
     """,
 )
+
+
+# --- numeric histogram (fixed-width binning) ---------------------------------
+def _price_histogram(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50_000).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("lo", F.col("bucket") * 50_000)
+        .select("bucket", "lo", "n_orders")
+        .orderBy("bucket")
+    )
+
+
+register(
+    "histogram_order_price",
+    _price_histogram,
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+           CAST(floor(o_totalprice / 50000) AS INT) * 50000 AS lo,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+
+
+# --- null-safe join (<=>) ----------------------------------------------------
+def _null_safe_join(spark, sf_dir):
+    """Join on a nullable derived key with null-safe equality: null keys
+    match each other under <=>, unlike plain = where null = null is null
+    and the rows silently drop."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_key"),
+    )
+    dim = (
+        a.select("prio_key").distinct()
+        .withColumn("prio_label", F.coalesce(F.col("prio_key"), F.lit("URGENT-REDACTED")))
+    )
+    return (
+        a.join(dim, a.prio_key.eqNullSafe(dim.prio_key), "inner")
+        .groupBy("prio_label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("prio_label")
+    )
+
+
+register(
+    "join_null_safe",
+    _null_safe_join,
+    """
+    WITH a AS (
+      SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio_key FROM orders
+    ), dim AS (
+      SELECT DISTINCT prio_key, coalesce(prio_key, 'URGENT-REDACTED') AS prio_label FROM a
+    )
+    SELECT dim.prio_label, count(*) AS n_orders
+    FROM a JOIN dim ON a.prio_key IS NOT DISTINCT FROM dim.prio_key
+    GROUP BY dim.prio_label ORDER BY dim.prio_label
+    """,
+)
