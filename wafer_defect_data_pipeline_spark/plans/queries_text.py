@@ -289,3 +289,81 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# --- global token frequency top-20 -----------------------------------------
+def _top_terms(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+register(
+    "text_top_terms",
+    _top_terms,
+    r"""
+    SELECT term, count(*) AS freq FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents
+    ) t GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20
+    """,
+)
+
+
+# --- end-to-end curation pipeline: lang filter + quality gate + exact dedup -
+def _curation(spark, sf_dir):
+    """The LLM-training-data curation flow as one declarative plan:
+    keep English docs above a quality floor, drop exact duplicates by
+    normalized-text fingerprint (keep lowest doc_id), report survivors and
+    kept-chars per source. Every stage is a Catalyst-visible relational op,
+    so the whole pipeline is one fused job graph — filter pushdown reaches
+    the scan, the dedup shuffle carries only (fingerprint, min_id)."""
+    from ..operators.dedup import exact_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    gated = d.filter(F.col("lang") == "en").filter(X.quality_score("text") >= 0.5)
+    deduped = exact_dedup(
+        gated.withColumn("__fp", X.fingerprint_md5("text")), ["__fp"], "doc_id"
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "curation_pipeline",
+    _curation,
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             greatest(length(text), 1) AS n_chars_g,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g'))) AS n_punct
+      FROM documents WHERE lang = 'en'
+    ), q AS (
+      SELECT doc_id, source, text,
+             round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.4 * least((len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                               / greatest(len(toks), 1)) * 4.0, 1.0)
+                 + 0.2 * (1.0 - least((n_punct / n_chars_g) * 5.0, 1.0)), 6) AS quality,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM t
+    ), gated AS (
+      SELECT * FROM q WHERE quality >= 0.5
+    ), keep AS (
+      SELECT fp, min(doc_id) AS keep_id FROM gated GROUP BY fp
+    )
+    SELECT g.source, count(*) AS n_docs, CAST(sum(length(g.text)) AS BIGINT) AS total_chars
+    FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.keep_id
+    GROUP BY g.source ORDER BY g.source
+    """,
+)

@@ -948,3 +948,41 @@ register(
     GROUP BY dim.prio_label ORDER BY dim.prio_label
     """,
 )
+
+
+# --- time-series: monthly revenue with month-over-month growth ---------------
+def _monthly_growth(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = W.orderBy("month")
+    return (
+        monthly.withColumn("prev", F.lag("rev").over(w))
+        .select(
+            "month",
+            F.col("rev").cast("double").alias("revenue"),
+            # growth in exact basis points: (rev - prev) * 10000 / prev as
+            # decimal division would still be engine-identical on identical
+            # decimals; emit prev too for full determinism
+            F.col("prev").cast("double").alias("prev_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    "timeseries_monthly_growth",
+    _monthly_growth,
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue
+    FROM m ORDER BY month
+    """,
+)
