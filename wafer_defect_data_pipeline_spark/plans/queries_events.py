@@ -323,14 +323,13 @@ def _funnel(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))
     )
-    return spark.createDataFrame(
-        [("1_view",), ("2_click",), ("3_purchase",)], "stage string"
-    ).join(
+    return (
         v.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("1_view"))
         .unionByName(c.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("2_click")))
-        .unionByName(p.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("3_purchase"))),
-        on="stage",
-    ).orderBy("stage")
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("3_purchase")))
+        .select("stage", "n")
+        .orderBy("stage")
+    )
 
 
 register(
