@@ -583,3 +583,33 @@ def test_asof_join_forward_and_tolerance(spark):
     assert tol["a"] == (10, 1.0)  # gap 0 <= 3
     assert tol["b"] == (15, 2.0)  # gap 1 <= 3
     assert tol["c"] == (None, None)  # gap 80 > 3 -> nulled
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.sampling import hash_split
+
+    d = read_table(spark, sf_small, "documents")
+    s1 = hash_split(d, "doc_id").groupBy("split").count().toPandas().set_index("split")["count"]
+    s2 = hash_split(d, "doc_id").groupBy("split").count().toPandas().set_index("split")["count"]
+    assert s1.equals(s2)  # pure projection: identical every run
+    total = s1.sum()
+    assert abs(s1["train"] / total - 0.8) < 0.06
+    assert abs(s1.get("val", 0) / total - 0.1) < 0.05
+    # a row's split never changes when the dataset grows
+    half = hash_split(d.filter(F.col("doc_id") < 250), "doc_id").select("doc_id", "split")
+    full = hash_split(d, "doc_id").select("doc_id", F.col("split").alias("split_full"))
+    joined = half.join(full, "doc_id").filter(F.col("split") != F.col("split_full"))
+    assert joined.count() == 0
+
+
+def test_stratified_sample_fractions(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.sampling import stratified_sample
+
+    d = read_table(spark, sf_small, "documents")
+    fracs = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2}
+    samp = stratified_sample(d, "lang", fracs).groupBy("lang").count().toPandas().set_index("lang")["count"]
+    base = d.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, frac in fracs.items():
+        if lang in base.index and base[lang] >= 50:
+            got = samp.get(lang, 0) / base[lang]
+            assert abs(got - frac) < 0.2, (lang, got, frac)

@@ -213,3 +213,64 @@ def _mllib_minhash(spark, sf_dir):
 
 
 register("dedup_mllib_minhash_lsh", _mllib_minhash, None)
+
+
+# --- deterministic hash split (train/val/test) ------------------------------
+def _hash_split(spark, sf_dir):
+    from ..operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+register(
+    "sample_hash_split",
+    _hash_split,
+    """
+    SELECT split, count(*) AS n_docs FROM (
+      SELECT CASE
+               WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ) t GROUP BY split ORDER BY split
+    """,
+)
+
+
+# --- stratified sampling (seeded Bernoulli; rows-only — RNG streams are
+# engine-specific, properties tested in tests/test_extensions.py) ------------
+def _stratified(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    samp = stratified_sample(d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25})
+    return samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
+
+
+register("sample_stratified", _stratified, None)
+
+
+# --- deterministic shuffle: first 10 docs in stable pseudo-random order -----
+def _shuffled_head(spark, sf_dir):
+    from ..operators.sampling import deterministic_shuffle
+
+    d = read_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, "doc_id").select("doc_id").limit(10)
+
+
+register(
+    "sample_shuffled_head",
+    _shuffled_head,
+    """
+    SELECT doc_id FROM documents
+    ORDER BY md5(concat('shuffle:', CAST(doc_id AS VARCHAR)))
+    LIMIT 10
+    """,
+)
