@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None):
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import queries_reference  # noqa: F401
+    from . import queries_sources  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_events  # noqa: F401
     from . import queries_text  # noqa: F401
@@ -54,11 +55,90 @@ def _load_all() -> None:
     from . import queries_wafer  # noqa: F401
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The driver's correctness sweep covers the registry in iteration order (50
+# entries in round 1), so the emitted order must span EVERY query family
+# early: reference §2 parity first, then ≥1 representative of each extension
+# family (sources, dedup, similarity, text, multimodal, sampling, events,
+# streaming, wafer pipeline) before any redundant TPC-H variant. Names not
+# listed here follow in registration order; a listed name that is missing
+# from the registry is a hard error (catches renames).
+_PRIORITY: list[str] = [
+    # reference §2 parity block (P/A/U/M ops)
+    "flagship_iqr_summary",
+    "filter_project",
+    "range_filter",
+    "drop_nulls",
+    "derived_ratio",
+    "conditional_label",
+    "cast_columns",
+    "grouped_quantiles",
+    "iqr_bounds",
+    "null_counts",
+    "distinct_sorted",
+    "value_counts",
+    "boolean_sum",
+    "crosstab_pivot",
+    "union_by_name",
+    "iqr_cascade_rows",
+    "conditional_label_join",
+    "iqr_cascade_approx",
+    # wafer pipeline capstone (M1-M3 / O1)
+    "wafer_pipeline_on_lineitem",
+    # sources (S1/S2/S5)
+    "csv_roundtrip",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
+    # similarity family
+    "embedding_vector_stats",
+    "similarity_bruteforce_topk",
+    "similarity_neardup_pairs",
+    "embedding_label_centroids",
+    "similarity_ivf_topk",
+    "similarity_lsh_pairs",
+    # text family
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "text_tfidf_topk",
+    "curation_pipeline",
+    # multimodal family
+    "multimodal_binary_metadata",
+    "multimodal_size_by_lang",
+    "multimodal_frame_sample",
+    # sampling family
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_shuffled_head",
+    # event-time family
+    "events_tumbling_window",
+    "events_sessionization",
+    "events_asof_join",
+    "events_funnel",
+    # structured streaming (rows-only by nature)
+    "events_streaming_tumbling",
+    "events_stateful_profile",
+]
+
+
+def _ordered() -> dict[str, RegisteredQuery]:
     _load_all()
-    return {n: r.fn for n, r in _REGISTRY.items()}
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_PRIORITY names not in registry: {missing}")
+    out = {n: _REGISTRY[n] for n in _PRIORITY}
+    out.update({n: r for n, r in _REGISTRY.items() if n not in out})
+    return out
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: r.fn for n, r in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {n: r.oracle for n, r in _REGISTRY.items() if r.oracle is not None}
+    return {n: r.oracle for n, r in _ordered().items() if r.oracle is not None}

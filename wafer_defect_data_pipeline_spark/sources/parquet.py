@@ -29,6 +29,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp with integer division — a double
     division would lose precision on ~1.7e18 nanosecond values.
     """
+    # Self-contained regardless of which session invokes us: the driver runs
+    # queries under a vanilla SparkSession, and without this conf any scan of
+    # events.parquet dies with PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS)).
+    # The conf is runtime-settable, so set it idempotently before every read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
