@@ -42,6 +42,15 @@ def test_exact_dedup_idempotent(spark, sf_small):
     assert once.count() == twice.count() == d.select("text").distinct().count()
 
 
+def test_exact_dedup_keeps_null_key_group(spark):
+    # A plain equi semi-join would never match null keys and silently drop
+    # these rows; the null-safe join must keep exactly one (min doc_id).
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = exact_dedup(d, ["text"], "doc_id").toPandas().sort_values("doc_id")
+    assert list(out.doc_id) == [1, 3, 5]
+
+
 def test_jaccard_identical_docs_score_one(spark, sf_small):
     d = read_table(spark, sf_small, "documents").limit(50)
     dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)

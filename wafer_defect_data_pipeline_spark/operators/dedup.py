@@ -35,9 +35,21 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
     groupBy+min instead of Window.row_number: the aggregate combines
     map-side, shuffling one row per key instead of every row.
+
+    The semi-join condition is null-safe (``<=>``): groupBy already treats
+    null keys as one group, so a plain equi-join back would silently drop
+    every null-key row — a curation run deduping on a nullable key would
+    lose data without warning. ``order_col`` is compared null-safely too so
+    an all-null-order group still keeps its rows. Rows tied on
+    (key, min order) are all kept; pass a unique order column (e.g. the
+    document id) for strict keep-one semantics.
     """
     keep = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
-    return df.join(keep, on=key_cols + [order_col], how="left_semi")
+    cond = None
+    for c in key_cols + [order_col]:
+        clause = df[c].eqNullSafe(keep[c])
+        cond = clause if cond is None else cond & clause
+    return df.join(keep, on=cond, how="left_semi")
 
 
 # --- MinHash ---------------------------------------------------------------

@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 
 
 def _bucket_00_99(key: Column, seed: str) -> Column:
-    # first 4 hex chars of md5 -> 16 bits -> uniform bucket in [0, 100)
-    return (F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 4), 16, 10)
-            .cast("int") % 100)
+    # First 8 hex chars of md5 -> 32 bits -> bucket in [0, 100). 2^32 % 100
+    # leaves a ~2e-8 per-bucket bias (vs ~1.5e-3 with 16 bits, which skewed
+    # the train fraction measurably); bigint cast because 32-bit values
+    # overflow a signed int.
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % 100).cast("int")
 
 
 def hash_split(

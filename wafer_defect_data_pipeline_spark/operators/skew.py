@@ -42,9 +42,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join preserves big-side semantics only for inner/left, got {how!r}")
-    # salt from the whole row hash: uniform, deterministic, no RNG
+    # Salt must NOT depend on row content: byte-identical rows (the common
+    # case in skewed hot-key data) would all hash to one salt bucket and the
+    # mitigation would degrade to an unsalted join exactly when it's needed.
+    # monotonically_increasing_id encodes (partition, row-in-partition), so
+    # pmod round-robins every partition's rows across all buckets — uniform
+    # by construction; the join result is salt-invariant either way.
     big_s = big.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int")
+        SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )
     small_s = small.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -65,8 +70,10 @@ def two_phase_agg(
     per keys. Caller guarantees the pair is a valid decomposition
     (sum/sum, count/sum, min/min, max/max, ...).
     """
+    # Content-independent salt for the same reason as salted_join: identical
+    # rows under one hot group must still scatter across partial aggregators.
     salted = df.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+        SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )
     partial = salted.groupBy(*keys, SALT).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

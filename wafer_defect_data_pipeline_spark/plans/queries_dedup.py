@@ -234,8 +234,8 @@ register(
     """
     SELECT split, count(*) AS n_docs FROM (
       SELECT CASE
-               WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 < 80 THEN 'train'
-               WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+               WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                ELSE 'test'
              END AS split
       FROM documents
