@@ -46,6 +46,11 @@ def with_row_id(df: DataFrame) -> DataFrame:
     materialization; callers that branch-and-rejoin the same lineage (as the
     write-back join does) must pin it. We localCheckpoint the id'd frame so
     re-execution cannot renumber rows (SURVEY.md §7 risk register).
+
+    Unlike the dedup/similarity signature pins, this frame is FULL-WIDTH, so
+    at 100 TB the executor-memory cost is real: on a cluster, replace with
+    ``df.checkpoint()`` to reliable storage, or derive the id from stable
+    input columns (file + row position) so no pin is needed at all.
     """
     return df.withColumn(ROW_ID, F.monotonically_increasing_id()).localCheckpoint(eager=False)
 

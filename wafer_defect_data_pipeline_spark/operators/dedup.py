@@ -18,6 +18,16 @@ Four families, all shuffle-disciplined for 100 TB:
 
 Everything is deterministic — md5-derived "hash permutations" replace RNG
 so Spark and the DuckDB oracle agree bit-for-bit.
+
+Checkpoint note (100 TB): signature frames that are re-used by 2+ downstream
+joins are pinned with ``localCheckpoint(eager=False)`` so the shingle→hash
+work runs once. localCheckpoint stores the partitions on executor
+block managers — cheap here because every pinned frame is post-aggregation
+narrow (id + a short signature, orders of magnitude smaller than the corpus),
+but it is NOT fault-tolerant storage: losing an executor forces a stage
+recompute. On a long-lived 1000-executor job, prefer an explicit parquet
+checkpoint of the signature frame (write once, read per consumer) or drop
+the checkpoint and let Catalyst recompute if the input scan is cheap.
 """
 
 from __future__ import annotations

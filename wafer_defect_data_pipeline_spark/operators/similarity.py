@@ -235,6 +235,10 @@ def cosine_lsh_pairs(
             sigs = ["".join("1" if b else "0" for b in row) for row in bits]
             yield pd.DataFrame({"__id": pdf[id_col].to_numpy(), "__sig": sigs})
 
+    # Pinned because the (id, 64-char sig) frame feeds both the band explode
+    # and nothing else heavy — narrow rows, executor-memory cost is ~bytes/doc.
+    # At cluster scale with flaky executors, swap for a parquet checkpoint
+    # (localCheckpoint is not fault-tolerant; see operators/dedup.py docstring).
     sig = df.select(id_col, vec_col).mapInPandas(
         signatures, schema="__id long, __sig string"
     ).localCheckpoint(eager=False)
