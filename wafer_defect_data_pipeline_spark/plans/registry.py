@@ -47,6 +47,7 @@ def _load_all() -> None:
     from . import queries_reference  # noqa: F401
     from . import queries_sources  # noqa: F401
     from . import queries_tpch  # noqa: F401
+    from . import queries_tpch2  # noqa: F401
     from . import queries_events  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
