@@ -622,3 +622,32 @@ def test_stratified_sample_fractions(spark, sf_small):
         if lang in base.index and base[lang] >= 50:
             got = samp.get(lang, 0) / base[lang]
             assert abs(got - frac) < 0.2, (lang, got, frac)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from wafer_defect_data_pipeline_spark.operators.graph import (
+        cluster_assignment,
+        connected_components,
+    )
+
+    # two chains (transitive merge required) + one isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    # cluster_assignment keeps untouched rows as singletons (own id)
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 50]], ["doc_id", "text"])
+    out = {r["doc_id"]: r["component"] for r in cluster_assignment(docs, "doc_id", pairs).collect()}
+    assert out[50] == 50 and out[4] == 1 and out[11] == 10
+
+
+def test_connected_components_edge_orientation_invariant(spark):
+    from wafer_defect_data_pipeline_spark.operators.graph import connected_components
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rev = spark.createDataFrame([(2, 1), (3, 2)], ["id_a", "id_b"])
+    a = sorted(map(tuple, connected_components(fwd).collect()))
+    b = sorted(map(tuple, connected_components(rev).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1)]

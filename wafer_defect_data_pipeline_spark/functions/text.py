@@ -129,6 +129,47 @@ def token_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def token_ngrams(text: Column | str, k: int = 2) -> Column:
+    """ALL k-token n-grams in order (duplicates kept — multiplicity matters
+    for repetition metrics, unlike :func:`token_shingles`).
+
+    Same zip-of-shifted-slices shape as :func:`token_shingles` (and the same
+    <k-token padding: a short doc yields one whole-text n-gram), minus the
+    ``array_distinct``.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, 2_147_483_632) for j in range(k)])
+    window = F.slice(zipped, 1, F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(window, lambda s: F.concat_ws(" ", *[s.getField(str(j)) for j in range(k)]))
+
+
+def dup_token_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that repeat an earlier token (0 = all distinct).
+
+    Gopher-style repetition signal; pure array projection (no shuffle, no
+    interpreted HOF lambda touching the split subtree).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.round((n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1)), 6)
+
+
+#: conservative PII screening patterns — identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_ipv4) occurrence counts — a screening pass, not a
+    validator (over-matching is the right bias for curation review queues)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0))
+    return n_emails, n_ips
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase text."""
     c = F.col(text) if isinstance(text, str) else text

@@ -1,0 +1,92 @@
+"""Distributed graph helpers for dedup clustering (extension surface §2.9).
+
+Near-dup pair generators (``operators/dedup.py``) emit edges; an actual
+curation run needs each *cluster* collapsed to one kept document, which is
+connected components over those edges. Implemented as iterative min-label
+propagation on DataFrames:
+
+    label(v) <- min(label(v), min over neighbours u of label(u))
+
+Each round is one equi-join + one map-side-combinable min-agg on ``(node,
+label)`` rows — never the document payload — so the shuffled rows are two
+longs regardless of corpus size. Rounds needed = graph diameter; dedup
+clusters are short chains (a handful of rounds). For adversarially long
+chains at 100 TB, swap the body for the alternating large-star/small-star
+rewrite (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) which converges in O(log n) rounds over the same join shape; the
+propagation below keeps the round logic trivially oracle-checkable.
+
+Driver-side iteration with a convergence count is the idiomatic Spark shape
+for fixpoint algorithms (same loop structure GraphFrames uses); each round is
+pinned with ``localCheckpoint`` to stop the plan growing linearly with
+iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """``(id, component)`` for every id in ``pairs``; component = min reachable id.
+
+    ``pairs`` is an undirected edge list (one row per edge, either
+    orientation). Ids must be orderable (the min id in each component names
+    it, making output deterministic). Raises if the propagation has not
+    converged after ``max_iter`` rounds rather than return a wrong answer.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("component").alias("nbr_comp")),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+            .select(F.col("a").alias("id"), "nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_comp", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def cluster_assignment(
+    df: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Every row of ``df`` labeled with its dedup cluster (singletons included).
+
+    Rows not touched by any pair keep their own id as the component — the
+    join against the (tiny) component map broadcasts, so the corpus never
+    shuffles.
+    """
+    comp = connected_components(pairs, src, dst)
+    return df.join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), on=id_col, how="left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))

@@ -1,0 +1,269 @@
+r"""Curation-pipeline queries round 2: dedup clustering, repetition quality,
+PII screening, benchmark contamination, hypertable rollup.
+
+These are the operators a 100 TB training-data curation run needs *after*
+pair generation and scoring: collapse near-dup pairs into clusters
+(connected components), flag repetitive/PII/contaminated documents, and keep
+multi-resolution event rollups. Every query here is DuckDB-oracle-checked —
+including connected components, whose oracle is a recursive CTE.
+
+Planted fixtures (appended tokens / leaked copies) are generated inside the
+query AND its oracle with identical expressions, so the checks verify real
+positives, not vacuous empty results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import dup_token_ratio, pii_counts, token_ngrams, token_shingles
+from ..operators.dedup import jaccard_pairs
+from ..operators.graph import cluster_assignment
+from ..sources import read_table
+from .registry import register
+
+
+# --- dedup cluster assignment (connected components over near-dup pairs) ----
+def _cluster_assignment(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    # two planted generations per 25th doc -> chains orig—gen1—gen2, so the
+    # component labeling must transitively merge, not just pair up
+    gen1 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    gen2 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
+    )
+    corpus = d.unionByName(gen1).unionByName(gen2)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", "source", shingle_k=3, threshold=0.6)
+    return (
+        cluster_assignment(corpus, "doc_id", pairs)
+        .select("doc_id", "component")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_cluster_assignment",
+    _cluster_assignment,
+    r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text || ' tail' FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, source, text || ' tail tail' FROM documents WHERE doc_id % 25 = 0
+    ), t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+                  ELSE [concat_ws(' ', toks)] END AS shingles
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 6) >= 0.6
+    ), edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.w, reach.r FROM reach JOIN edges e ON e.v = reach.v
+    ), comp AS (
+      SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+    )
+    SELECT c.doc_id, CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component
+    FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+
+
+# --- repetition quality (Gopher-style dup-token / top-bigram fractions) -----
+def _repetition(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    # explode + scalar + groupBy (NOT a per-element HOF over the token array:
+    # interpreted lambdas re-evaluate the split subtree per element)
+    bg = d.select("doc_id", F.explode(token_ngrams("text", 2)).alias("bg"))
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    frac = cnt.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    base = d.select("doc_id", dup_token_ratio("text").alias("dup_token_ratio"))
+    return base.join(frac, on="doc_id").orderBy("doc_id")
+
+
+register(
+    "text_repetition_scores",
+    _repetition,
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(toks) - 1, 1)),
+                    i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+      FROM t
+    ), cnt AS (
+      SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+    ), frac AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id,
+             round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS dup_token_ratio
+      FROM t
+    )
+    SELECT base.doc_id, dup_token_ratio, top_bigram_frac
+    FROM base JOIN frac ON base.doc_id = frac.doc_id
+    ORDER BY base.doc_id
+    """,
+)
+
+
+# --- PII screening (planted emails / IPs) -----------------------------------
+def _pii_scan(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" contact alice@example.com now")),
+        )
+        .when(F.col("doc_id") % 30 == 0, F.concat(F.col("text"), F.lit(" node at 10.0.0.1 up")))
+        .otherwise(F.col("text")),
+    )
+    n_emails, n_ips = pii_counts("text")
+    return (
+        planted.select("doc_id", n_emails.alias("n_emails"), n_ips.alias("n_ips"))
+        .filter(F.col("n_emails") + F.col("n_ips") > 0)
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_pii_scan",
+    _pii_scan,
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' contact alice@example.com now'
+                  WHEN doc_id % 30 = 0 THEN text || ' node at 10.0.0.1 up'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
+    FROM planted
+    WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0
+    ORDER BY doc_id
+    """,
+)
+
+
+# --- benchmark contamination (8-gram overlap vs a held-out set) -------------
+def _contamination(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(F.col("doc_id").alias("bench_id"), "text")
+    leaks = bench.select(
+        (F.col("bench_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("leaked copy follows "), F.col("text")).alias("text"),
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").unionByName(leaks)
+    # benchmark shingle set is tiny -> broadcast; the corpus never shuffles,
+    # each exploded corpus shingle probes the broadcast hash map-side
+    bsh = bench.select("bench_id", F.explode(token_shingles("text", 8)).alias("sh"))
+    csh = corpus.select("doc_id", F.explode(token_shingles("text", 8)).alias("sh"))
+    return (
+        csh.join(F.broadcast(bsh), on="sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.min("bench_id").alias("bench_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SH8 = (
+    "CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(range(0, len(toks) - 7), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7], toks[i+8]))) "
+    "ELSE [concat_ws(' ', toks)] END"
+)
+
+register(
+    "text_benchmark_contamination",
+    _contamination,
+    rf"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT bench_id + 2000000, 'leaked copy follows ' || text FROM bench
+    ), bt AS (
+      SELECT bench_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM bench
+    ), bsh AS (
+      SELECT bench_id, unnest({_SH8}) AS sh FROM bt
+    ), ct AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+    ), csh AS (
+      SELECT doc_id, unnest({_SH8}) AS sh FROM ct
+    )
+    SELECT doc_id, count(DISTINCT csh.sh) AS n_shared_shingles, min(bench_id) AS bench_id
+    FROM csh JOIN bsh ON csh.sh = bsh.sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+
+
+# --- hypertable rollup (multi-resolution continuous aggregate) --------------
+def _hypertable_rollup(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    # decimal accumulation: double `value` carries 2-decimal payloads, so the
+    # cast is exact per row and the sum is partition-order-invariant
+    ev.select(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).createOrReplaceTempView("events_rollup_src")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               count(*) AS n_events,
+               round(CAST(sum(v) AS DOUBLE), 4) AS sum_value
+        FROM events_rollup_src
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        ORDER BY event_type, day
+        """
+    )
+
+
+register(
+    "events_hypertable_rollup",
+    _hypertable_rollup,
+    """
+    WITH src AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT event_type, day, count(*) AS n_events,
+           round(CAST(sum(v) AS DOUBLE), 4) AS sum_value
+    FROM src
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+    ORDER BY event_type, day
+    """,
+)

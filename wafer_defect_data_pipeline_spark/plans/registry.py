@@ -51,6 +51,7 @@ def _load_all() -> None:
     from . import queries_events  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
+    from . import queries_curation  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
@@ -92,37 +93,37 @@ _PRIORITY: list[str] = [
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "dedup_jaccard_pairs",
+    "dedup_cluster_assignment",
     # similarity family
     "embedding_vector_stats",
     "similarity_bruteforce_topk",
     "similarity_neardup_pairs",
     "embedding_label_centroids",
     "similarity_ivf_topk",
-    "similarity_lsh_pairs",
     # text family
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",
     "text_fingerprints",
     "text_tfidf_topk",
+    "text_repetition_scores",
+    "text_pii_scan",
+    "text_benchmark_contamination",
     "curation_pipeline",
     # multimodal family
     "multimodal_binary_metadata",
     "multimodal_size_by_lang",
-    "multimodal_frame_sample",
     # sampling family
     "sample_hash_split",
     "sample_stratified",
-    "sample_shuffled_head",
     # event-time family
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_join",
     "events_funnel",
+    "events_hypertable_rollup",
     # structured streaming (rows-only by nature)
-    "events_streaming_tumbling",
     "events_stateful_profile",
 ]
 
