@@ -267,3 +267,170 @@ register(
     ORDER BY event_type, day
     """,
 )
+
+
+# --- CDC-style MERGE / upsert (full-outer coalesce form) --------------------
+def _merge_upsert(spark, sf_dir):
+    from pyspark.sql import Window as W  # noqa: F401  (parallel import shape with ntile below)
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    # deterministic change batch derived from the target itself: every 7th
+    # key gets a 10% reprice (update), every 1000th key arrives as a new row
+    # (insert). MERGE INTO without a table format = full-outer join + coalesce;
+    # at 100 TB both sides shuffle once on the merge key (or zero times if the
+    # target is bucketed by it — sources/bucketed.py).
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(F.col("price") * F.lit("1.1").cast("decimal(2,1)"), 2).alias("price"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"), "price"
+    )
+    source = upd.unionByName(ins)
+    t, s = o.alias("t"), source.alias("s")
+    return (
+        t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("s.price"), F.col("t.price")).cast("double").alias("o_totalprice"),
+            F.when(F.col("s.o_orderkey").isNotNull() & F.col("t.o_orderkey").isNotNull(), "update")
+            .when(F.col("s.o_orderkey").isNotNull(), "insert")
+            .otherwise("keep")
+            .alias("op"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "merge_upsert",
+    _merge_upsert,
+    """
+    WITH target AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+    ), source AS (
+      SELECT o_orderkey, round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, CAST(o_totalprice AS DECIMAL(18,2)) FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CAST(coalesce(s.price, t.price) AS DOUBLE) AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'update'
+                WHEN s.o_orderkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS op
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+
+
+# --- int8 embedding quantization + recall@k vs exact ------------------------
+def _quantization_recall(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    # per-vector symmetric int8 scale; cosine is invariant to per-vector
+    # scaling, so recall loss comes only from rounding. The scale subtree is
+    # O(d) per row and d=64, so even HOF-interpreted re-evaluation is
+    # per-row-constant work — no shuffle, no corpus blowup.
+    scale = F.lit(127.0) / F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    quant = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * scale, 0)).alias(
+            "embedding"
+        ),
+    )
+    exact_k = brute_force_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5).select(
+        "query_id", "corpus_id"
+    )
+    quant_k = (
+        brute_force_topk(quant, quant.filter(F.col("vec_id") % 50 == 0), k=5)
+        .select("query_id", "corpus_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact_k.join(quant_k, on=["query_id", "corpus_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(5.0), 6).alias("recall"))
+        .orderBy("query_id")
+    )
+
+
+register(
+    "embedding_quantization_recall",
+    _quantization_recall,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+    qv AS (SELECT vec_id, list_transform(v, x -> round(x * scale)) AS v FROM s),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos_sim
+      FROM e c CROSS JOIN e q WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+    ), exact_k AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rank
+        FROM exact_scored) t WHERE rank <= 5
+    ), quant_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos_sim
+      FROM qv c CROSS JOIN qv q WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+    ), quant_k AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rank
+        FROM quant_scored) t WHERE rank <= 5
+    )
+    SELECT exact_k.query_id,
+           round(CAST(count(quant_k.corpus_id) AS DOUBLE) / 5, 6) AS recall
+    FROM exact_k LEFT JOIN quant_k
+      ON exact_k.query_id = quant_k.query_id AND exact_k.corpus_id = quant_k.corpus_id
+    GROUP BY exact_k.query_id
+    ORDER BY exact_k.query_id
+    """,
+)
+
+
+# --- quantile binning (grouped ntile feature bucketization) -----------------
+def _ntile_quartiles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # ntile partitions by group, so the sort is per-group (bounded key
+    # cardinality), never a single global ORDER BY — the scalable binning
+    # shape. Tie-proof: the order key ends in the unique (orderkey, linenumber).
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag", "quartile")
+    )
+
+
+register(
+    "window_ntile_quartiles",
+    _ntile_quartiles,
+    """
+    SELECT l_returnflag, quartile, count(*) AS n_rows,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             ntile(4) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile
+      FROM lineitem
+    ) t
+    GROUP BY l_returnflag, quartile
+    ORDER BY l_returnflag, quartile
+    """,
+)

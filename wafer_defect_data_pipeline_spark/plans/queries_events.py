@@ -354,3 +354,13 @@ register(
     ) t ORDER BY stage
     """,
 )
+
+
+# --- Structured Streaming stream-stream interval join (rows-only) -----------
+def _streaming_interval_join(spark, sf_dir):
+    from ..streaming.events import run_interval_join_stream_batch
+
+    return run_interval_join_stream_batch(spark, sf_dir)
+
+
+register("events_streaming_join", _streaming_interval_join, None)

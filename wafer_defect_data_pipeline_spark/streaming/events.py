@@ -131,3 +131,59 @@ def run_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("event_type")
+
+
+def interval_join_stream(
+    views: DataFrame, clicks: DataFrame, horizon: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to same-user views at
+    most ``horizon`` before it.
+
+    Both sides are watermarked and the join condition is time-bounded in
+    BOTH directions, so Spark can evict view-side state once the click
+    watermark passes ``view_ts + horizon`` — the state store stays bounded
+    regardless of stream length (the unbounded-state trap of an
+    unconstrained stream-stream join).
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND click_ts <= view_ts + interval {horizon}"
+        ),
+    ).select("c_user", "click_id", "view_id", "click_ts", "view_ts")
+
+
+def run_interval_join_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot: per-user counts of click→recent-view attribution pairs.
+
+    The join runs in append mode (stream-stream joins emit matched rows
+    only); the summary aggregation happens batch-side on the memory sink.
+    """
+    pairs = interval_join_stream(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    out = _run_to_memory(pairs, "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
