@@ -44,8 +44,11 @@ HEADLINE = [
     "events_sessionization",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_assignment",
     "similarity_bruteforce_topk",
     "text_quality_scores",
+    "text_repetition_scores",
+    "merge_upsert",
 ]
 
 

@@ -121,3 +121,35 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         else:
             exp_ts, exp_v = max(prior)
             assert (row["asof_ts"], row["asof_val"]) == (exp_ts, exp_v)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from wafer_defect_data_pipeline_spark.operators.graph import connected_components
+
+    # reference: driver-side union-find with min-id canonical labels
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected

@@ -251,3 +251,41 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidate generation + exact-Jaccard verification.
+
+    The textbook two-stage shape for corpus-scale dedup: the banded MinHash
+    self-join proposes candidates (never O(n²) — only same-bucket rows meet),
+    then exact Jaccard runs ONLY on candidate pairs (two narrow id-joins ship
+    each candidate's shingle set once). Contrast :func:`jaccard_pairs`, which
+    verifies every block-mate pair exactly and is quadratic per block — fine
+    as a small-block verifier, wrong as the corpus-wide path.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and exact
+    jaccard >= threshold. Deterministic (md5 permutations), so the whole
+    pipeline — candidates included — is oracle-SQL-expressible.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, shingle_k=shingle_k,
+        threshold=0.0,  # keep every band collision; the exact verify decides
+    ).select("id_a", "id_b")
+    sh = df.select(F.col(id_col).alias("__id"), token_shingles(text_col, shingle_k).alias("__sh"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

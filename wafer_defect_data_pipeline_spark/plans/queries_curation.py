@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import dup_token_ratio, pii_counts, token_ngrams, token_shingles
-from ..operators.dedup import jaccard_pairs
+from ..operators.dedup import lsh_verified_pairs
 from ..operators.graph import cluster_assignment
 from ..sources import read_table
 from .registry import register
@@ -39,7 +39,12 @@ def _cluster_assignment(spark, sf_dir):
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
     )
     corpus = d.unionByName(gen1).unionByName(gen2)
-    pairs = jaccard_pairs(corpus, "doc_id", "text", "source", shingle_k=3, threshold=0.6)
+    # two-stage pair generation — LSH candidates, then exact-Jaccard verify on
+    # candidates only. The blocked all-pairs verifier (jaccard_pairs) is
+    # quadratic per block and ~17x slower on this corpus at sf0.1.
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=16, n_bands=4, shingle_k=3, threshold=0.6
+    )
     return (
         cluster_assignment(corpus, "doc_id", pairs)
         .select("doc_id", "component")
@@ -47,10 +52,16 @@ def _cluster_assignment(spark, sf_dir):
     )
 
 
+_MINS16 = ",\n             ".join(
+    f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), {1 + 8 * i}, 8)))"
+    for j in range(4)
+    for i in range(4)
+)
+
 register(
     "dedup_cluster_assignment",
     _cluster_assignment,
-    r"""
+    rf"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, source, text FROM documents
       UNION ALL
@@ -58,19 +69,32 @@ register(
       UNION ALL
       SELECT doc_id + 2000000, source, text || ' tail tail' FROM documents WHERE doc_id % 25 = 0
     ), t AS (
-      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
     ), sh AS (
-      SELECT doc_id, source,
+      SELECT doc_id,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct(list_transform(range(0, len(toks) - 2),
                        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
                   ELSE [concat_ws(' ', toks)] END AS shingles
       FROM t
+    ), sig AS (
+      SELECT doc_id,
+             [{_MINS16}] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             concat_ws('|', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+      FROM sig, range(4) tt(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 6) >= 0.6
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON cand.id_a = sa.doc_id
+      JOIN sh sb ON cand.id_b = sb.doc_id
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1), 6) >= 0.6
     ), edges AS (
       SELECT id_a AS v, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs
     ), reach(v, r) AS (
