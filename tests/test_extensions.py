@@ -651,3 +651,56 @@ def test_connected_components_edge_orientation_invariant(spark):
     a = sorted(map(tuple, connected_components(fwd).collect()))
     b = sorted(map(tuple, connected_components(rev).collect()))
     assert a == b == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_contamination_plan_broadcasts_benchmark_side(spark, sf_small):
+    """Plan-shape regression: the benchmark shingle set must broadcast (corpus
+    shingles probe map-side; no sort-merge join of the corpus explode)."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["text_benchmark_contamination"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cluster_assignment_plan_has_no_cartesian(spark, sf_small):
+    """The LSH candidate join must stay an equi-join on (band, key) — never a
+    cartesian/nested-loop product of the corpus with itself. The component map
+    joins back to the corpus as a broadcast."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["dedup_cluster_assignment"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_upsert_scan_prunes_columns(spark, sf_small):
+    """The MERGE reads only (o_orderkey, o_totalprice) from the 9-column
+    orders table — pruning must reach the scan."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["merge_upsert"](spark, sf_small)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for unused in ["o_custkey", "o_orderstatus", "o_orderdate", "o_comment"]:
+        assert f"orders.{unused}" not in opt
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_small):
+    """The lang='de' filter must become a planning-time PartitionFilter on
+    the hive-partitioned layout — only one lang directory is scanned."""
+    import contextlib
+    import io
+
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["partitioned_pruned_read"](spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("lang" in l for l in pf_lines)

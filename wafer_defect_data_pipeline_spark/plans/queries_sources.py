@@ -15,6 +15,7 @@ from __future__ import annotations
 import tempfile
 from pathlib import Path
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources import read_table
@@ -57,5 +58,63 @@ register(
     """
     SELECT n_nationkey, n_name, n_regionkey
     FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
+_REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+
+def _json_roundtrip(spark, sf_dir):
+    """JSON sink -> schema'd JSON source -> same rows as parquet.
+
+    Explicit schema on the read so there is no inference pass (JSON
+    inference reads the whole dataset twice — never acceptable at scale).
+    """
+    from ..sources.sinks import write_json
+
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = Path(tempfile.gettempdir()) / f"wdps_json_roundtrip_{Path(sf_dir).name}"
+    write_json(r, str(out))
+    return spark.read.schema(_REGION_SCHEMA).json(str(out)).orderBy("r_regionkey")
+
+
+register(
+    "json_roundtrip",
+    _json_roundtrip,
+    """
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+)
+
+
+def _partitioned_pruned_read(spark, sf_dir):
+    """Hive-partitioned parquet write + partition-pruned read.
+
+    documents written partitioned by ``lang``; the read filters one lang, so
+    the scan lists ONE partition directory (PartitionFilters in the plan —
+    asserted by the plan-shape test). This is the layout a 100 TB corpus
+    actually uses: partition by coarse key, prune at planning time, never
+    touch the other partitions' files.
+    """
+    from ..sources.sinks import write_parquet
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = Path(tempfile.gettempdir()) / f"wdps_part_docs_{Path(sf_dir).name}"
+    write_parquet(d, str(out), partition_by=["lang"])
+    back = spark.read.parquet(str(out)).filter(F.col("lang") == "de")
+    return back.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+register(
+    "partitioned_pruned_read",
+    _partitioned_pruned_read,
+    """
+    SELECT doc_id, lang, source FROM documents WHERE lang = 'de' ORDER BY doc_id
     """,
 )
