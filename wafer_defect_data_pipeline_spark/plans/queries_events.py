@@ -364,3 +364,42 @@ def _streaming_interval_join(spark, sf_dir):
 
 
 register("events_streaming_join", _streaming_interval_join, None)
+
+
+# --- cohort retention (first-seen week x week offset, distinct users) -------
+def _cohort_retention(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    # (user, week) distinct first: the count-distinct downstream then shuffles
+    # one short row per user-week, not one per event
+    act = ev.select(
+        "user_id", F.date_trunc("WEEK", F.col("ts")).alias("week")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    "events_cohort_retention",
+    _cohort_retention,
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+           count(DISTINCT act.user_id) AS n_users
+    FROM act JOIN first ON act.user_id = first.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
