@@ -704,3 +704,76 @@ def test_partitioned_read_prunes_partitions(spark, sf_small):
     assert "PartitionFilters" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("lang" in l for l in pf_lines)
+
+
+# --- round-2 sampling / packing / layout ops --------------------------------
+def test_mixture_sampling_budget_and_determinism(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.sampling import (
+        apply_mixture_sample,
+        mixture_sampling_rates,
+    )
+
+    d = read_table(spark, sf_small, "documents")
+    rates = mixture_sampling_rates(d, "source", "n_chars", token_budget=5_000, alpha=0.5)
+    rp = rates.toPandas()
+    assert (rp.rate <= 1.0).all() and (rp.rate >= 0).all()
+    assert abs(rp.weight.sum() - 1.0) < 1e-4
+    # expected kept tokens ~= sum(rate_s * n_s) <= ~budget (cap at 1 only lowers it)
+    assert (rp.rate * rp.n_tokens).sum() <= 5_000 * 1.01
+    s1 = apply_mixture_sample(d, rates, "source", "doc_id").toPandas()
+    s2 = apply_mixture_sample(d, rates, "source", "doc_id").toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    # plan: rates side must broadcast, corpus must not shuffle for the filter
+    plan = apply_mixture_sample(d, rates, "source", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_concat_chunks_contiguous_and_exact(spark):
+    from wafer_defect_data_pipeline_spark.operators.packing import pack_concat_chunks
+
+    rows = [("a", i, n) for i, n in enumerate([100, 900, 600, 600, 600, 2048, 1])]
+    df = spark.createDataFrame(rows, "src string, id long, n long")
+    out = pack_concat_chunks(df, "src", "id", "n", seq_len=1024).orderBy("id").toPandas()
+    # cum_before: 0,100,1000,1600,2200,2800,4848 -> div 1024: 0,0,0,1,2,2,4
+    assert out.pack_id.tolist() == [0, 0, 0, 1, 2, 2, 4]
+    # deterministic + partition-count invariant
+    out2 = pack_concat_chunks(df.repartition(7), "src", "id", "n", seq_len=1024).orderBy("id").toPandas()
+    assert out2.pack_id.tolist() == out.pack_id.tolist()
+
+
+def test_topk_per_group_exact_k(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.sampling import topk_per_group
+
+    d = read_table(spark, sf_small, "documents")
+    sizes = topk_per_group(d, "lang", "doc_id", k=7).groupBy("lang").count().toPandas()
+    full = d.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, n in zip(sizes.lang, sizes["count"]):
+        assert n == min(7, int(full[lang]))
+
+
+def test_zorder_buckets_bound_both_columns(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.layout import with_zvalue, zorder_by
+
+    li = read_table(spark, sf_small, "lineitem")
+    z = with_zvalue(li, "l_orderkey", "l_partkey", bits=8)
+    zp = z.agg(F.min("zvalue"), F.max("zvalue")).collect()[0]
+    assert zp[0] >= 0 and zp[1] < (1 << 16)
+    # each top-4-bit bucket's bounding box must be narrower than the global
+    # range on BOTH dimensions (the point of z-ordering vs single-col sort)
+    stats = (
+        z.groupBy(F.expr("zvalue div 4096").alias("b"))
+        .agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("ow"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pw"),
+        )
+        .toPandas()
+    )
+    g = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("ow"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pw"),
+    ).collect()[0]
+    assert stats.ow.median() < g["ow"] * 0.6
+    assert stats.pw.median() < g["pw"] * 0.6
+    # layout op: range exchange, no global single-partition sort
+    plan = zorder_by(li, "l_orderkey", "l_partkey")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()

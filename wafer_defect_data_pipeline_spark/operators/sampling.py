@@ -12,11 +12,16 @@ Three tools a 100 TB curation pipeline needs constantly:
 - ``deterministic_shuffle``: a stable pseudo-random row order from a keyed
   hash — the "shuffle the corpus once, same order every epoch" primitive;
   at scale this is a sort, which Spark does out-of-core.
+- ``mixture_sampling_rates`` + ``apply_mixture_sample``: temperature-weighted
+  per-source keep-rates hitting a global token budget (the pretraining
+  mixture), applied as a broadcast join + hash filter — no corpus shuffle.
+- ``topk_per_group``: deterministic fixed-size uniform sample per stratum
+  (hash-ranked row_number), where ``sampleBy`` only fixes the fraction.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,6 +57,105 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (seeded, scan-level filter, no shuffle)."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def _hash_frac(key: Column, seed: str) -> Column:
+    """Uniform [0,1) fraction from the first 32 md5 bits of ``seed + key``.
+
+    The value is an exact dyadic rational (m / 2³²), so Spark and a DuckDB
+    oracle computing the same expression compare bit-identically — the
+    engine-portable replacement for ``rand()`` in sampling decisions.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
+def mixture_sampling_rates(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source temperature-weighted sampling rates hitting a token budget.
+
+    The standard LLM-pretraining mixture: source ``s`` with ``n_s`` tokens
+    gets weight ``w_s = n_s^alpha / Σ n^alpha`` (``alpha < 1`` upweights
+    small sources, ``alpha = 1`` is proportional) and keep-rate
+    ``min(1, budget·w_s / n_s)``. Output is one row per source —
+    ``(source, n_tokens, weight, rate)`` — tiny at any corpus scale, so the
+    caller broadcasts it back onto the corpus (:func:`apply_mixture_sample`);
+    the corpus itself is touched by exactly one map-side-combinable agg.
+
+    ``rate`` is rounded to 6 decimals BEFORE it is compared against the
+    sampling hash so Spark and the DuckDB oracle make identical keep/drop
+    decisions (the unrounded value can differ in the last ulp because
+    Σ n^alpha is order-sensitive).
+    """
+    per = df.groupBy(source_col).agg(F.sum(size_col).alias("n_tokens"))
+    z = per.agg(F.sum(F.pow("n_tokens", F.lit(alpha))).alias("__z"))
+    return (
+        per.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("__z"), 6))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(token_budget))
+                    * F.pow("n_tokens", F.lit(alpha))
+                    / F.col("__z")
+                    / F.col("n_tokens"),
+                ),
+                6,
+            ),
+        )
+        .drop("__z")
+    )
+
+
+def apply_mixture_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    source_col: str,
+    key_col: str,
+    seed: str = "mix:",
+) -> DataFrame:
+    """Keep each row iff its stable hash fraction clears its source's rate.
+
+    Broadcast join (rates has one row per source) + scan-level filter — the
+    corpus never shuffles. Deterministic: the same row keeps its fate across
+    runs and engines. Rows whose source is absent from ``rates`` are dropped
+    (inner join), matching "unknown source -> not in the mixture".
+    """
+    r = F.broadcast(rates.select(source_col, "rate"))
+    return (
+        df.join(r, on=source_col)
+        .filter(_hash_frac(F.col(key_col), seed) < F.col("rate"))
+        .drop("rate")
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: str = "topk:"
+) -> DataFrame:
+    """Deterministic uniform sample of exactly ``min(k, |group|)`` rows per group.
+
+    Rank rows inside each group by a stable hash of their key (tie-broken by
+    the key itself) and keep the first ``k`` — a reproducible
+    fixed-size-per-stratum sample, where ``sampleBy`` only gives a fixed
+    *fraction*. One shuffle on ``group_col``; the per-group sort is the cost.
+    At extreme group sizes replace ``row_number`` with a bounded
+    ``mapInPandas`` heap per partition + merge, but the window form is exact
+    and Catalyst-native.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), key_col
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
 
 def deterministic_shuffle(df: DataFrame, key_col: str, seed: str = "shuffle:") -> DataFrame:

@@ -458,3 +458,165 @@ register(
     ORDER BY l_returnflag, quartile
     """,
 )
+
+
+# --- temperature-weighted mixture sampling to a token budget ----------------
+def _mixture_weights(spark, sf_dir):
+    from ..operators.sampling import apply_mixture_sample, mixture_sampling_rates
+
+    d = read_table(spark, sf_dir, "documents")
+    rates = mixture_sampling_rates(d, "source", "n_chars", token_budget=50_000, alpha=0.5)
+    sampled = apply_mixture_sample(d, rates, "source", "doc_id")
+    kept = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_chars").alias("n_tokens_kept"),
+    )
+    return (
+        rates.join(kept, on="source", how="left")
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            "rate",
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "sample_mixture_weights",
+    _mixture_weights,
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens FROM documents GROUP BY source
+    ), z AS (
+      SELECT sum(pow(n_tokens, 0.5)) AS z FROM per
+    ), rates AS (
+      SELECT source, n_tokens,
+             round(pow(n_tokens, 0.5) / z, 6) AS weight,
+             round(least(1.0, 50000 * pow(n_tokens, 0.5) / z / n_tokens), 6) AS rate
+      FROM per, z
+    ), kept AS (
+      SELECT d.source, count(*) AS n_docs_kept, CAST(sum(d.n_chars) AS BIGINT) AS n_tokens_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(concat('0x', substring(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < r.rate
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_tokens, r.weight, r.rate,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    ORDER BY r.source
+    """,
+)
+
+
+# --- concat-and-chunk sequence packing --------------------------------------
+def _pack_sequences(spark, sf_dir):
+    from ..operators.packing import pack_concat_chunks
+
+    d = read_table(spark, sf_dir, "documents")
+    packed = pack_concat_chunks(d, "source", "doc_id", "n_chars", seq_len=2048)
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_tokens"))
+        .orderBy("source", "pack_id")
+    )
+
+
+register(
+    "pack_sequences",
+    _pack_sequences,
+    """
+    WITH c AS (
+      SELECT source, n_chars,
+             CAST(COALESCE(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM documents
+    )
+    SELECT source, cum_before // 2048 AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+
+
+# --- deterministic fixed-size per-stratum sample ----------------------------
+def _topk_per_group_sample(spark, sf_dir):
+    from ..operators.sampling import topk_per_group
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        topk_per_group(d, "lang", "doc_id", k=20)
+        .select("lang", "doc_id", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+register(
+    "sample_topk_per_group",
+    _topk_per_group_sample,
+    """
+    SELECT lang, doc_id, source FROM (
+      SELECT lang, doc_id, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('topk:', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+
+
+# --- z-order layout: per-bucket bounding boxes ------------------------------
+def _zorder_stats(spark, sf_dir):
+    """Top-4-bits z-buckets bound BOTH key columns — the data-skipping
+    property a single-column sort cannot give (operators/layout.py)."""
+    from ..operators.layout import with_zvalue
+
+    li = read_table(spark, sf_dir, "lineitem")
+    z = with_zvalue(li, "l_orderkey", "l_partkey", bits=8)
+    bucket = F.expr("zvalue div 4096")  # top 4 of 16 interleaved bits
+    return (
+        z.groupBy(bucket.alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_okey"),
+            F.max("l_orderkey").alias("max_okey"),
+            F.min("l_partkey").alias("min_pkey"),
+            F.max("l_partkey").alias("max_pkey"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import quantize_expr, zvalue_expr
+
+    qa = quantize_expr("l_orderkey", "la", "ha", 8, "//")
+    qb = quantize_expr("l_partkey", "lb", "hb", 8, "//")
+    zv = zvalue_expr(qa, qb, 8, "//")
+    return f"""
+    WITH b AS (
+      SELECT min(l_orderkey) AS la, max(l_orderkey) AS ha,
+             min(l_partkey) AS lb, max(l_partkey) AS hb
+      FROM lineitem
+    ), z AS (
+      SELECT l_orderkey, l_partkey, ({zv}) AS zvalue FROM lineitem, b
+    )
+    SELECT zvalue // 4096 AS z_bucket, count(*) AS n_rows,
+           min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+           min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+
+register("layout_zorder_stats", _zorder_stats, _zorder_oracle())

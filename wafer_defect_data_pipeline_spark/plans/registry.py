@@ -92,7 +92,6 @@ _PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_cluster_assignment",
     # similarity family
@@ -105,18 +104,19 @@ _PRIORITY: list[str] = [
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",
-    "text_fingerprints",
     "text_tfidf_topk",
     "text_repetition_scores",
-    "text_pii_scan",
     "text_benchmark_contamination",
     "curation_pipeline",
+    "layout_zorder_stats",
     # multimodal family
     "multimodal_binary_metadata",
-    "multimodal_size_by_lang",
-    # sampling family
+    # sampling / token-budget family
     "sample_hash_split",
     "sample_stratified",
+    "sample_mixture_weights",
+    "sample_topk_per_group",
+    "pack_sequences",
     # event-time family
     "events_tumbling_window",
     "events_sessionization",
