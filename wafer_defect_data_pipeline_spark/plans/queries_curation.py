@@ -620,3 +620,170 @@ def _zorder_oracle() -> str:
 
 
 register("layout_zorder_stats", _zorder_stats, _zorder_oracle())
+
+
+# --- boilerplate screening: cross-document common n-grams -------------------
+_SH3 = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(0, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) "
+    "ELSE [concat_ws(' ', toks)] END"
+)
+
+
+def _boilerplate(spark, sf_dir):
+    """Trigram shingles shared by >=4 docs are boilerplate; score each doc by
+    the fraction of its shingles that are common. Planted disclaimer on every
+    10th doc guarantees real positives. Shuffle shape: explode -> one
+    groupBy(sh) for doc-frequency, one equi-join back — never all-pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" all rights reserved contact support for details")),
+        ).otherwise(F.col("text")),
+    )
+    sh = planted.select("doc_id", F.explode(token_shingles("text", 3)).alias("sh"))
+    # shingles are distinct per doc, so count(*) per shingle == doc frequency
+    common = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 4).select("sh")
+    per = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boil = sh.join(common, on="sh").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_boiler"))
+    return (
+        per.join(boil, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(F.coalesce("n_boiler", F.lit(0)) / F.col("n_shingles"), 6).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_boilerplate_ngrams",
+    _boilerplate,
+    rf"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' all rights reserved contact support for details'
+                  ELSE text END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted
+    ), sh AS (
+      SELECT doc_id, unnest({_SH3}) AS sh FROM t
+    ), common AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 4
+    ), per AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), boil AS (
+      SELECT doc_id, count(*) AS n_boiler FROM sh JOIN common USING (sh) GROUP BY doc_id
+    )
+    SELECT per.doc_id, n_shingles,
+           COALESCE(n_boiler, 0) AS n_boiler,
+           round(CAST(COALESCE(n_boiler, 0) AS DOUBLE) / n_shingles, 6) AS boiler_frac
+    FROM per LEFT JOIN boil ON per.doc_id = boil.doc_id
+    ORDER BY per.doc_id
+    """,
+)
+
+
+# --- per-source quality-percentile gate -------------------------------------
+def _quality_rank_filter(spark, sf_dir):
+    """Keep each source's top half by quality score: rank-normalizing within
+    source before thresholding is how curation pipelines avoid one source's
+    score distribution starving another. Window per source — parallel across
+    sources, deterministic via the doc_id tiebreak."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    w = W.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    kept = scored.withColumn("pr", F.percent_rank().over(w)).filter(F.col("pr") <= 0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("quality"), 6).alias("min_quality_kept"),
+            F.round(F.avg("quality"), 6).alias("avg_quality_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_EXPR = r"""
+      SELECT doc_id, source,
+             round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.4 * least((len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                                / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)) * 4.0, 1.0)
+                 + 0.2 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')))
+                                / greatest(length(text), 1)) * 5.0, 1.0)), 6) AS quality
+      FROM documents
+"""
+
+register(
+    "text_quality_rank_filter",
+    _quality_rank_filter,
+    rf"""
+    WITH scored AS (
+      {_QUALITY_EXPR}
+    ), ranked AS (
+      SELECT source, quality,
+             percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS pr
+      FROM scored
+    )
+    SELECT source, count(*) AS n_kept,
+           round(min(quality), 6) AS min_quality_kept,
+           round(avg(quality), 6) AS avg_quality_kept
+    FROM ranked WHERE pr <= 0.5
+    GROUP BY source ORDER BY source
+    """,
+)
+
+
+# --- unigram-LM log-probability (perplexity proxy) --------------------------
+def _unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-likelihood per doc — the cheap LM-quality proxy.
+    Two map-side-combinable aggs (term freq, per-doc mean) and one broadcast
+    join; at 100 TB cap the vocabulary at top-K terms + an OOV smoothing
+    constant so the probe side stays broadcastable."""
+    from ..functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("total"))
+    scored = tok.join(F.broadcast(tf), on="tok").crossJoin(F.broadcast(tot))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_unigram_logprob",
+    _unigram_logprob,
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM tf
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(CAST(c AS DOUBLE) / total)), 4) AS avg_logprob
+    FROM tok JOIN tf USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)

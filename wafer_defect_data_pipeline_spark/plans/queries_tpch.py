@@ -18,28 +18,43 @@ from .registry import register
 
 # --- TPC-H Q1: pricing summary --------------------------------------------
 def _q1(spark, sf_dir):
-    # exact decimal aggregation: double sums depend on summation order, which
-    # depends on partition count — a different driver-session config must not
-    # be able to flip a round() at a half boundary (sum_charge's 6-decimal
-    # products are one ulp away from .xxxx50 boundaries ~1% of the time)
+    # Exact aggregation WITHOUT per-row decimal arithmetic: double sums depend
+    # on summation order (partition count must not flip a round() at a half
+    # boundary), but decimal multiply chains are ~2× slower than long math in
+    # codegen. All four inputs carry exactly 2 decimals, so scale them to
+    # integers (round(x·100) recovers the exact cents), multiply in LONG
+    # (charge ≤ 1e7·100·100 = 1e11 per row — no overflow), and sum:
+    #   qty/price as plain long sums (≤ ~6e16 at sf1000, within bigint);
+    #   the e4/e6-scaled products as decimal(38,0) sums (their totals pass
+    #   bigint range at the 100 TB design point).
+    # The final rescale divides by a power of 10 in DECIMAL (quotient has ≤6
+    # fractional digits → exact), so the cast to double is the same
+    # nearest-double the all-decimal formulation produces, bit for bit.
     li = read_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    one = F.lit(1).cast("decimal(4,2)")
+    q2 = F.round(F.col("l_quantity") * 100).cast("long")
+    p2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d2 = F.round(F.col("l_discount") * 100).cast("long")
+    t2 = F.round(F.col("l_tax") * 100).cast("long")
+    disc_e4 = (p2 * (F.lit(100) - d2)).cast("decimal(38,0)")
+    charge_e6 = (p2 * (F.lit(100) - d2) * (F.lit(100) + t2)).cast("decimal(38,0)")
+
+    def descale(sum_col, pow10: int, digits: int):
+        return (
+            sum_col.cast("decimal(38,0)") / F.lit(pow10).cast(f"decimal({digits},0)")
+        ).cast("double")
+
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+            descale(F.sum(q2), 100, 3).alias("sum_qty"),
+            descale(F.sum(p2), 100, 3).alias("sum_base_price"),
+            descale(F.sum(disc_e4), 10_000, 5).alias("sum_disc_price"),
+            descale(F.sum(charge_e6), 1_000_000, 7).alias("sum_charge"),
+            F.round(descale(F.sum(q2), 100, 3) / n, 4).alias("avg_qty"),
+            F.round(descale(F.sum(p2), 100, 3) / n, 4).alias("avg_price"),
+            F.round(descale(F.sum(d2), 100, 3) / n, 4).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
