@@ -1,0 +1,312 @@
+r"""Training-data governance queries (round 2): semantic dedup, split-leakage
+audit, document chunking, corpus datacard.
+
+These close the loop a 100 TB pretraining-data pipeline runs *around* the
+dedup/similarity/text primitives:
+
+- **semantic dedup** (SemDeDup-shaped): near-identical embeddings collapse to
+  one kept representative — the greedy "drop any vector that has a
+  smaller-id neighbor above the cosine threshold" rule, which needs no
+  iterative clustering and is one anti-join over the pair list.
+- **split-leakage audit**: after a deterministic train/val/test hash split,
+  count near-dup pairs that straddle split boundaries — the eval-set
+  contamination check every training run needs before trusting its val loss.
+- **document chunking**: overlapping fixed-size token windows (size 32,
+  stride 16) — the map from curated documents to training sequences. Pure
+  projection + generator; chunk identity is an md5 so the wide text never
+  reaches the output.
+- **corpus datacard**: per-(source, lang) rollup of document/token/length
+  stats with grand totals — the summary table a data card publishes.
+
+Every query is DuckDB-oracle-checked; planted fixtures (perturbed embedding
+copies, appended-token document copies) are generated identically in the
+Spark plan and the oracle SQL so the checks exercise real positives.
+
+Scale notes are inline per query; the common theme: pair generation is LSH
+(banded equi-join, operators/dedup.py) or broadcast-bounded, labels/splits
+are pure projections, and the corpus is never shuffled whole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double
+from ..functions.text import token_count, tokens
+from ..operators.dedup import lsh_verified_pairs
+from ..operators.sampling import hash_split
+from ..operators.similarity import knn_join_pairs
+from ..sources import read_table
+from .registry import register
+
+
+# --- semantic dedup over embeddings (SemDeDup-shaped greedy keep) -----------
+def _semantic_dedup(spark, sf_dir):
+    """Per-label keep/drop counts after greedy min-id semantic dedup.
+
+    Pair generation here is the exact all-pairs verifier (oracle-checkable);
+    the 100 TB path swaps in ``operators/similarity.cosine_lsh_pairs`` —
+    hyperplane-LSH banding — for candidate generation with identical
+    downstream keep logic. The keep rule is one distinct + one left-anti
+    join on narrow (id) rows: a vector is dropped iff some smaller-id vector
+    sits within the cosine threshold, so no iterative clustering runs and
+    the result is deterministic.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    planted = (
+        e.filter(F.col("vec_id") % 40 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform(as_double("embedding"), lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x)),
+        )
+    )
+    both = e.select("vec_id", "label", as_double("embedding").alias("embedding")).unionByName(
+        planted.select("vec_id", "label", "embedding")
+    )
+    pairs = knn_join_pairs(both, threshold=0.9)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn("__drop", F.lit(1))
+    return (
+        both.join(dropped, on="vec_id", how="left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("__drop", F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("__drop", F.lit(0)))).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "semantic_dedup_keep",
+    _semantic_dedup,
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+                                     range(0, len(embedding))),
+                            p -> CASE WHEN p[2] = 0 THEN p[1] + 0.05 ELSE p[1] END)
+      FROM embeddings WHERE vec_id % 40 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.9
+    ), dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(dropped.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN dropped ON base.vec_id = dropped.vec_id
+    GROUP BY label ORDER BY label
+    """,
+)
+
+
+# --- split-leakage audit ----------------------------------------------------
+_SH3 = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(0, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) "
+    "ELSE [concat_ws(' ', toks)] END"
+)
+_MINS16 = ",\n             ".join(
+    f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), {1 + 8 * i}, 8)))"
+    for j in range(4)
+    for i in range(4)
+)
+_SPLIT = (
+    "CASE WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def _split_leakage(spark, sf_dir):
+    """Near-dup pairs per (split, split) bucket — the contamination matrix.
+
+    The hash split is a pure projection (no shuffle); pair generation is the
+    two-stage LSH-candidates → exact-Jaccard verify (banded equi-join, never
+    all-pairs); the audit itself joins the narrow (id_a, id_b) pair list to
+    the (doc_id, split) projection twice and aggregates — every shuffled row
+    is two ids or two short strings. Planted copies (doc_id+1e6 hashes into
+    an independent split) guarantee cross-split positives.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    copies = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    corpus = d.unionByName(copies)
+    splits = hash_split(corpus, "doc_id").select("doc_id", "split")
+    pairs = lsh_verified_pairs(corpus, "doc_id", "text", n_hashes=16, n_bands=4, shingle_k=3, threshold=0.6)
+    labeled = (
+        pairs.join(splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), on="id_a")
+        .join(splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), on="id_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return (
+        labeled.groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("crosses_split", (F.col("split_lo") != F.col("split_hi")).cast("boolean"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+register(
+    "split_leakage_audit",
+    _split_leakage,
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id % 25 = 0
+    ), splits AS (
+      SELECT doc_id, {_SPLIT} AS split FROM corpus
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_SH3} AS shingles FROM t
+    ), sig AS (
+      SELECT doc_id, [{_MINS16}] AS sig FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             concat_ws('|', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+      FROM sig, range(4) tt(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON cand.id_a = sa.doc_id
+      JOIN sh sb ON cand.id_b = sb.doc_id
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1), 6) >= 0.6
+    ), labeled AS (
+      SELECT least(pa.split, pb.split) AS split_lo, greatest(pa.split, pb.split) AS split_hi
+      FROM pairs
+      JOIN splits pa ON pairs.id_a = pa.doc_id
+      JOIN splits pb ON pairs.id_b = pb.doc_id
+    )
+    SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           split_lo <> split_hi AS crosses_split
+    FROM labeled GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """,
+)
+
+
+# --- document chunking (overlapping token windows) ---------------------------
+_CHUNK = 32
+_STRIDE = 16
+
+
+def _doc_chunking(spark, sf_dir):
+    """One row per training chunk: size-32 token windows at stride 16.
+
+    Generator shape: tokenize once per document (scalar split, codegen'd),
+    explode a ``sequence`` of chunk starts, ``slice`` the carried token
+    array per chunk. Pure projection + Generate — no shuffle, pipelines
+    behind the scan; the output carries an md5 chunk fingerprint instead of
+    the chunk text so downstream exact-dedup-of-chunks joins on 32 bytes.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    n_chunks = F.greatest(F.ceil(F.size("toks") / F.lit(float(_STRIDE))).cast("int"), F.lit(1))
+    per_chunk = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice("toks", F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return per_chunk.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+register(
+    "doc_chunking",
+    _doc_chunking,
+    rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ), idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(CAST(ceil(len(toks) / {_STRIDE}.0) AS BIGINT), 1))) AS chunk_idx
+      FROM t
+    ), c AS (
+      SELECT doc_id, chunk_idx,
+             list_slice(toks, chunk_idx*{_STRIDE}+1, chunk_idx*{_STRIDE}+{_CHUNK}) AS chunk
+      FROM idx
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+
+
+# --- corpus datacard (rollup stats) ------------------------------------------
+def _datacard(spark, sf_dir):
+    """Per-(source, lang) + per-source + grand-total corpus statistics.
+
+    ``rollup`` computes all three grouping levels in ONE shuffle with
+    map-side partial aggregation (Spark expands grouping sets before the
+    exchange); the token count is a scalar projection, so the whole datacard
+    is one pass over the corpus. ``grouping()`` distinguishes the rollup's
+    ALL level from a hypothetical null group value.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select("source", "lang", token_count("text").alias("n_toks"), "n_chars")
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.grouping("source").alias("g_source"),
+            F.grouping("lang").alias("g_lang"),
+        )
+        .select(
+            F.when(F.col("g_source") == 1, "ALL").otherwise(F.col("source")).alias("source"),
+            F.when(F.col("g_lang") == 1, "ALL").otherwise(F.col("lang")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+            "max_chars",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+register(
+    "corpus_datacard",
+    _datacard,
+    r"""
+    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+           CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END) AS BIGINT) AS n_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    ORDER BY source, lang
+    """,
+)

@@ -52,6 +52,7 @@ def _load_all() -> None:
     from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_curation  # noqa: F401
+    from . import queries_training  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
@@ -125,6 +126,12 @@ _PRIORITY: list[str] = [
     "events_hypertable_rollup",
     # structured streaming (rows-only by nature)
     "events_stateful_profile",
+    # training-data governance family — first past the 50-entry line so a
+    # wider driver sweep reaches them immediately
+    "split_leakage_audit",
+    "semantic_dedup_keep",
+    "doc_chunking",
+    "corpus_datacard",
 ]
 
 
