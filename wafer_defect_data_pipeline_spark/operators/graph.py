@@ -55,23 +55,22 @@ def connected_components(
             .agg(F.min("nbr_comp").alias("nbr_comp"))
             .select(F.col("a").alias("id"), "nbr_comp")
         )
-        new_labels = (
+        # Carry the changed-flag inline instead of re-joining new vs old
+        # labels: the convergence probe is then a plain agg over the frame
+        # the round materializes anyway — one fewer shuffle join per round.
+        flagged = (
             labels.join(nbr_min, on="id", how="left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce("nbr_comp", F.col("component"))).alias(
-                    "component"
+                    "new_component"
                 ),
+                (F.coalesce("nbr_comp", F.col("component")) < F.col("component")).alias("__changed"),
             )
             .localCheckpoint(eager=False)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = flagged.filter(F.col("__changed")).count()
+        labels = flagged.select("id", F.col("new_component").alias("component"))
         if n_changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -1,0 +1,151 @@
+r"""Search-index queries: inverted index build and BM25 ranking.
+
+A curation platform that stores a corpus usually also serves it: the two
+classic retrieval structures are an inverted index (term → postings) and a
+BM25 ranker over it. Both are pure relational algebra here:
+
+- the posting lists come from one explode + two map-side-combinable aggs
+  (term-doc tf, then term totals) — the token rows shuffle once on
+  ``(term, doc_id)``, already the smallest shuffle that can count tfs;
+- BM25 needs only tiny side tables (per-term document frequencies for the
+  query terms, one global (N, avgdl) row) which broadcast onto the per-doc
+  tf rows, so the corpus is scanned once and never shuffled whole.
+
+Determinism: per-term score contributions are rounded to 6 decimals and
+summed as DECIMAL(18,6), so the Spark and DuckDB totals agree bit-for-bit
+regardless of addend order (the repo-wide decimal-sum convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+from ..sources import read_table
+from .registry import register
+
+_TOP_TERMS = 10
+_QUERY_TERMS = ["join", "hash", "filter"]
+_K1 = 1.2
+_B = 0.75
+
+
+# --- inverted index ---------------------------------------------------------
+def _inverted_index(spark, sf_dir):
+    """Posting rows (term, df, doc_id, tf) for the top-N terms by corpus tf.
+
+    explode → groupBy(term, doc_id) → groupBy(term): both aggs combine
+    map-side. The top-N term table is tiny and broadcasts back onto the
+    posting rows — the full posting relation never re-shuffles.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    per = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tot = per.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("total_tf"), F.count(F.lit(1)).alias("df")
+    )
+    top = tot.orderBy(F.desc("total_tf"), "term").limit(_TOP_TERMS)
+    return (
+        per.join(F.broadcast(top), on="term")
+        .select("term", "df", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
+register(
+    "text_inverted_index",
+    _inverted_index,
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), per AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term, doc_id
+    ), tot AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf, CAST(count(*) AS BIGINT) AS df
+      FROM per GROUP BY term
+    ), top AS (
+      SELECT term, df FROM tot ORDER BY total_tf DESC, term LIMIT {_TOP_TERMS}
+    )
+    SELECT per.term, top.df, per.doc_id, per.tf
+    FROM per JOIN top ON per.term = top.term
+    ORDER BY per.term, per.doc_id
+    """,
+)
+
+
+# --- BM25 ranking -----------------------------------------------------------
+def _bm25_topk(spark, sf_dir):
+    """Top-10 documents by BM25 for a fixed 3-term query.
+
+    Okapi BM25 with k1=1.2, b=0.75 and the +1-smoothed idf
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)``. Corpus stats (N, avgdl) and the
+    query-term dfs are one-row / |query|-row frames — broadcast joins; the
+    only shuffle is the (doc, term) tf aggregation over tokens matching the
+    query terms (filtered BEFORE the shuffle, so at 100 TB the exchanged
+    rows are proportional to query-term hits, not corpus size).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    lens = d.select("doc_id", token_count("text").cast("double").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term").isin(_QUERY_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (
+        F.col("tf") * (_K1 + 1.0)
+        / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(F.broadcast(lens), on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(contrib, 6).cast("decimal(18,6)").alias("c"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"), F.count(F.lit(1)).alias("n_terms_hit"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+register(
+    "text_bm25_topk",
+    _bm25_topk,
+    rf"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl FROM lens
+    ), tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('join', 'hash', 'filter') GROUP BY doc_id, term
+    ), dfs AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                        * tf.tf * ({_K1} + 1.0)
+                        / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * lens.dl / stats.avgdl)),
+                        6) AS DECIMAL(18,6)) AS c
+      FROM tf JOIN dfs ON tf.term = dfs.term
+      JOIN lens ON tf.doc_id = lens.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25, CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)

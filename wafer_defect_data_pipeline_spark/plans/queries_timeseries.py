@@ -1,0 +1,215 @@
+r"""Time-series / temporal-table queries: calendar gap-fill with forward
+fill, MAD-based robust anomaly detection, SCD2 history compaction.
+
+Round-2 additions on the ``events`` / ``orders`` tables:
+
+- **gap-fill + ffill**: telemetry rollups need a dense time axis — missing
+  hours materialized from a per-key ``sequence`` explode (rows appear only
+  for each key's own [min, max] span, not a global calendar), values carried
+  forward with ``last(..., ignorenulls)``. The per-key calendar is generated
+  FROM the tiny per-key span table, so the dense axis costs |keys|·|hours|
+  narrow rows and the event table is aggregated exactly once.
+- **MAD anomaly flags**: median / median-absolute-deviation per event type —
+  the robust outlier rule (|x - med| > 3·1.4826·MAD ≈ 3σ for normal data)
+  that survives the heavy tails that break z-scores. Two grouped exact
+  percentiles with broadcast joins back; same shape as the flagship IQR
+  cascade (`operators/outliers.py`), different statistic.
+- **SCD2 compaction**: orders → per-customer priority history as
+  [valid_from, valid_to) intervals, consecutive duplicate states collapsed
+  via lag-compare — the standard warehouse temporal-table build, two window
+  functions over one (custkey)-partitioned sort.
+
+Float-parity conventions as repo-wide: per-bucket SUMs rounded to 4 (not
+avg — a mean can land on a round-half boundary), medians rounded to 6
+before they feed comparisons, identical expressions on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import register
+
+
+# --- calendar gap-fill + forward fill ---------------------------------------
+def _gapfill(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 4).alias("hour_value"))
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        cal.join(hourly, on=["user_id", "hour"], how="left")
+        .select(
+            "user_id",
+            "hour",
+            "hour_value",
+            F.last("hour_value", ignorenulls=True).over(w).alias("ffill_value"),
+            F.col("hour_value").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+register(
+    "events_gapfill_ffill",
+    _gapfill,
+    """
+    WITH e AS (
+      SELECT * FROM events WHERE user_id < 10
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, round(sum(value), 4) AS hour_value
+      FROM e GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM e GROUP BY 1
+    ), cal AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+    )
+    SELECT cal.user_id, cal.hour, hourly.hour_value,
+           last_value(hourly.hour_value IGNORE NULLS) OVER (
+             PARTITION BY cal.user_id ORDER BY cal.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+           hourly.hour_value IS NULL AS was_gap
+    FROM cal LEFT JOIN hourly ON cal.user_id = hourly.user_id AND cal.hour = hourly.hour
+    ORDER BY cal.user_id, cal.hour
+    """,
+)
+
+
+# --- MAD-based robust anomaly counts ----------------------------------------
+def _mad_anomalies(spark, sf_dir):
+    """Per event type: median, MAD, and how many events are >3 robust σ out.
+
+    Two grouped exact percentiles (map-side-combinable agg state), each
+    broadcast back onto the events — the event table itself never shuffles,
+    mirroring the IQR-cascade join shape. Medians are rounded to 6 decimals
+    BEFORE deviations are computed so both engines threshold identical
+    doubles. At 100 TB switch the exact percentile for the
+    ``percentile_approx`` sketch exactly as ``operators/outliers.py`` does.
+    """
+    e = read_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), on="event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(absdev, 0.5)"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("med").alias("med"),  # constant per group; carried for the output
+    )
+    flagged = (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), on="event_type")
+        .filter(F.col("absdev") > 3.0 * 1.4826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
+    return (
+        mad.join(flagged, on="event_type", how="left")
+        .select(
+            "event_type",
+            "n_events",
+            "med",
+            "mad",
+            F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_anomaly_mad",
+    _mad_anomalies,
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - med.med) AS absdev
+      FROM events e JOIN med ON e.event_type = med.event_type
+    ), mad AS (
+      SELECT event_type, round(quantile_cont(absdev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    ), flagged AS (
+      SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_anomalies
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      WHERE dev.absdev > 3.0 * 1.4826 * mad.mad
+      GROUP BY dev.event_type
+    )
+    SELECT med.event_type, med.n_events, med.med, mad.mad,
+           CAST(coalesce(flagged.n_anomalies, 0) AS BIGINT) AS n_anomalies
+    FROM med
+    JOIN mad ON med.event_type = mad.event_type
+    LEFT JOIN flagged ON med.event_type = flagged.event_type
+    ORDER BY med.event_type
+    """,
+)
+
+
+# --- SCD2 temporal-table compaction ------------------------------------------
+def _scd2(spark, sf_dir):
+    """Per-customer order-priority history as SCD2 validity intervals.
+
+    Consecutive orders with the same priority collapse into one interval
+    (lag-compare keeps only state changes); ``valid_to`` is the next change's
+    start (null = current state). One shuffle on ``o_custkey``; both windows
+    share the same partitioning so Catalyst plans a single sort+exchange.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev_prio").isNull() | (F.col("prev_prio") != F.col("o_orderpriority")))
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    ).orderBy("custkey", "version")
+
+
+register(
+    "scd2_priority_history",
+    _scd2,
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      FROM orders WHERE o_custkey <= 300
+    ), changes AS (
+      SELECT *
+      FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_prio
+        FROM o
+      ) t
+      WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+    FROM changes
+    ORDER BY custkey, version
+    """,
+)

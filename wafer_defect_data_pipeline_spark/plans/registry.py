@@ -53,6 +53,8 @@ def _load_all() -> None:
     from . import queries_dedup  # noqa: F401
     from . import queries_curation  # noqa: F401
     from . import queries_training  # noqa: F401
+    from . import queries_search  # noqa: F401
+    from . import queries_timeseries  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
@@ -132,6 +134,11 @@ _PRIORITY: list[str] = [
     "semantic_dedup_keep",
     "doc_chunking",
     "corpus_datacard",
+    "text_inverted_index",
+    "text_bm25_topk",
+    "events_gapfill_ffill",
+    "events_anomaly_mad",
+    "scd2_priority_history",
 ]
 
 
