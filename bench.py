@@ -49,6 +49,11 @@ HEADLINE = [
     "text_quality_scores",
     "text_repetition_scores",
     "merge_upsert",
+    # round-2 training-data-governance / search / timeseries families
+    "split_leakage_audit",
+    "semantic_dedup_keep",
+    "text_bm25_topk",
+    "events_gapfill_ffill",
 ]
 
 

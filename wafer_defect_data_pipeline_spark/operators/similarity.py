@@ -199,6 +199,105 @@ def brute_force_topk_arrow(
     )
 
 
+def md5_hyperplanes(n_bits: int, dim: int) -> list[tuple[int, int, float]]:
+    """Deterministic pseudo-random hyperplane coefficients from md5.
+
+    ``c(bit, pos) = md5_frac(f"{bit}:{pos}") - 0.5`` — a fixed, engine-portable
+    replacement for seeded gaussian hyperplanes: both Spark and a SQL oracle
+    can regenerate the identical table, so the whole LSH pipeline (candidates
+    included) is oracle-checkable. Uniform(-0.5, 0.5) coordinates are a valid
+    random-projection family for sign-LSH (any symmetric coordinate
+    distribution separates angles; gaussian is only needed for the exact
+    collision-probability formula).
+    """
+    import hashlib
+
+    out = []
+    for b in range(n_bits):
+        for p in range(dim):
+            h = hashlib.md5(f"{b}:{p}".encode()).hexdigest()
+            out.append((b, p, int(h[:8], 16) / 4294967296.0 - 0.5))
+    return out
+
+
+def cosine_lsh_pairs_relational(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via md5-hyperplane LSH — fully relational.
+
+    The scale path for embedding near-dup without numpy: signatures come from
+    posexplode → broadcast-join the (n_bits·dim)-row hyperplane table →
+    per-(id, bit) partial sums (map-side combine ships n_bits short rows per
+    vector, the vectors themselves never shuffle) → sign-bit string. Banded
+    self-join proposes candidates (never O(n²)); survivors are verified with
+    exact cosine, so LSH recall only affects which true pairs are *found*,
+    never emits a false pair. Unlike :func:`cosine_lsh_pairs` (fixed-seed
+    numpy hyperplanes inside ``mapInPandas``), every stage here is Catalyst
+    column algebra with an exact DuckDB-SQL mirror — candidate generation
+    included — so the result is oracle-hash-checkable end to end.
+    """
+    rows_per_band = n_bits // n_bands
+    dim = len(df.select(vec_col).first()[0])
+    spark = df.sparkSession
+    hyper = spark.createDataFrame(md5_hyperplanes(n_bits, dim), "bit int, pos int, c double")
+
+    ex = df.select(F.col(id_col).alias("__id"), F.posexplode(as_double(vec_col)).alias("pos", "val"))
+    proj = (
+        ex.join(F.broadcast(hyper), on="pos")
+        .groupBy("__id", "bit")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("s"))
+    )
+    sig = proj.groupBy("__id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit", (F.col("s") > 0).alias("one")))),
+                lambda p: F.when(p.getField("one"), "1").otherwise("0"),
+            ),
+        ).alias("__sig")
+    )
+
+    bands = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("__sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bands.select(F.col("__id").alias("id_a"), "band", "key")
+        .join(bands.select(F.col("__id").alias("id_b"), "band", "key"), on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("__v"), l2_norm(vec_col).alias("__n"))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    from ..functions.arrays import dot
+
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -35,7 +35,7 @@ from ..functions.arrays import as_double
 from ..functions.text import token_count, tokens
 from ..operators.dedup import lsh_verified_pairs
 from ..operators.sampling import hash_split
-from ..operators.similarity import knn_join_pairs
+from ..operators.similarity import cosine_lsh_pairs_relational
 from ..sources import read_table
 from .registry import register
 
@@ -44,13 +44,17 @@ from .registry import register
 def _semantic_dedup(spark, sf_dir):
     """Per-label keep/drop counts after greedy min-id semantic dedup.
 
-    Pair generation here is the exact all-pairs verifier (oracle-checkable);
-    the 100 TB path swaps in ``operators/similarity.cosine_lsh_pairs`` —
-    hyperplane-LSH banding — for candidate generation with identical
-    downstream keep logic. The keep rule is one distinct + one left-anti
-    join on narrow (id) rows: a vector is dropped iff some smaller-id vector
-    sits within the cosine threshold, so no iterative clustering runs and
-    the result is deterministic.
+    Pair generation is md5-hyperplane LSH banding + exact-cosine verify
+    (``operators/similarity.cosine_lsh_pairs_relational``) — the corpus-scale
+    shape: signatures from a broadcast hyperplane join with map-side-combined
+    partial sums, candidates from a banded equi-join (never O(n²)), exact
+    cosine only on candidates. The deterministic md5 hyperplanes make the
+    *candidate generation itself* oracle-SQL-expressible, so this query is
+    hash-checked end to end (the earlier all-pairs formulation was 11.7 s at
+    sf0.1 — interpreted HOF dot products over 14.6M pairs; this one does
+    ~1k exact dots). The keep rule is one distinct + one left join on narrow
+    (id) rows: a vector is dropped iff some smaller-id vector sits within
+    the cosine threshold — no iterative clustering, deterministic output.
     """
     e = read_table(spark, sf_dir, "embeddings")
     planted = (
@@ -64,7 +68,7 @@ def _semantic_dedup(spark, sf_dir):
     both = e.select("vec_id", "label", as_double("embedding").alias("embedding")).unionByName(
         planted.select("vec_id", "label", "embedding")
     )
-    pairs = knn_join_pairs(both, threshold=0.9)
+    pairs = cosine_lsh_pairs_relational(both, n_bits=64, n_bands=4, threshold=0.9)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn("__drop", F.lit(1))
     return (
         both.join(dropped, on="vec_id", how="left")
@@ -90,12 +94,36 @@ register(
                                      range(0, len(embedding))),
                             p -> CASE WHEN p[2] = 0 THEN p[1] + 0.05 ELSE p[1] END)
       FROM embeddings WHERE vec_id % 40 = 0
+    ), hyper AS (
+      SELECT b.range AS bit, p.range AS pos,
+             CAST(concat('0x', substring(md5(b.range || ':' || p.range), 1, 8)) AS BIGINT)
+               / 4294967296.0 - 0.5 AS c
+      FROM range(64) b, range(64) p
+    ), ex AS (
+      SELECT vec_id, u.pos - 1 AS pos, u.val
+      FROM base,
+           LATERAL (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS pos) u
+    ), proj AS (
+      SELECT vec_id, bit, sum(val * c) AS s
+      FROM ex JOIN hyper USING (pos)
+      GROUP BY vec_id, bit
+    ), sig AS (
+      SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS sig
+      FROM proj GROUP BY vec_id
+    ), bands AS (
+      SELECT vec_id, tt.b, substring(sig, CAST(tt.b AS INT) * 16 + 1, 16) AS key
+      FROM sig, range(4) tt(b)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id
     ), pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM base a JOIN base b ON a.vec_id < b.vec_id
-      WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.9
+      SELECT id_a, id_b
+      FROM cand
+      JOIN base ba ON cand.id_a = ba.vec_id
+      JOIN base bb ON cand.id_b = bb.vec_id
+      WHERE round(list_sum(list_transform(list_zip(ba.v, bb.v), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(ba.v, x -> x * x)))
+                     * sqrt(list_sum(list_transform(bb.v, x -> x * x)))), 6) >= 0.9
     ), dropped AS (
       SELECT DISTINCT id_b AS vec_id FROM pairs
     )
