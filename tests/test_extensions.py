@@ -777,3 +777,107 @@ def test_zorder_buckets_bound_both_columns(spark, sf_small):
     # layout op: range exchange, no global single-partition sort
     plan = zorder_by(li, "l_orderkey", "l_partkey")._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+# --- round-2 additions: governance / search / timeseries ---------------------
+def test_hll_weekly_estimates_within_tolerance(spark, sf_small):
+    """Mergeable-sketch rollup must land within 5% of the exact distinct."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    est = {
+        r.week: r.est_users
+        for r in all_queries()["events_hll_weekly_users"](spark, sf_small).collect()
+    }
+    e = read_table(spark, sf_small, "events")
+    exact = {
+        r.week: r.n
+        for r in e.groupBy(F.weekofyear("ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) <= max(1, 0.05 * n), (wk, est[wk], n)
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark, sf_small):
+    """The LSH rewrite must never fall back to an all-pairs cross join."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["semantic_dedup_keep"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_drops_exactly_planted(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    rows = all_queries_cached(spark, sf_small, "semantic_dedup_keep")
+    n_dropped = sum(r.n_dropped for r in rows)
+    n_total = sum(r.n_total for r in rows)
+    e = read_table(spark, sf_small, "embeddings")
+    n_base = e.count()
+    n_planted = e.filter(F.col("vec_id") % 40 == 0).count()
+    assert n_total == n_base + n_planted
+    # every planted near-identical copy must be caught by the 64-bit LSH,
+    # and nothing else (random pairs max out at cos ~0.5)
+    assert n_dropped == n_planted
+
+
+def all_queries_cached(spark, sf_dir, name):
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    return all_queries()[name](spark, sf_dir).collect()
+
+
+def test_bm25_plan_broadcasts_side_tables(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["text_bm25_topk"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_editdist_pairs_finds_planted_copies(spark, sf_small):
+    rows = all_queries_cached(spark, sf_small, "text_editdist_pairs")
+    planted = {(r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + 1_000_000}
+    assert planted, "planted one-char copies must surface as editdist pairs"
+    assert all(r.dist <= 2 for r in rows)
+
+
+def test_scd2_intervals_tile_without_overlap(spark, sf_small):
+    """Each customer's intervals must be contiguous: valid_to == next valid_from."""
+    rows = all_queries_cached(spark, sf_small, "scd2_priority_history")
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r.version)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (cust, a, b)
+        assert ivs[-1].valid_to is None  # open-ended current state
+
+
+def test_gapfill_dense_axis_and_ffill(spark, sf_small):
+    rows = all_queries_cached(spark, sf_small, "events_gapfill_ffill")
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    for user, rs in per_user.items():
+        hours = [r.hour for r in rs]
+        assert hours == sorted(hours)
+        # dense hourly axis: consecutive diffs are exactly 1 hour
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600, (user, a, b)
+        # ffill never null after the first observed value
+        seen = False
+        for r in rs:
+            if r.hour_value is not None:
+                seen = True
+            if seen:
+                assert r.ffill_value is not None

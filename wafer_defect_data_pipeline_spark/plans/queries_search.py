@@ -149,3 +149,55 @@ register(
     ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
 )
+
+
+# --- edit-distance near-dup verify ------------------------------------------
+def _editdist_pairs(spark, sf_dir):
+    """Blocked Levenshtein near-dup pairs (planted one-char-append copies).
+
+    The character-level complement to token-shingle Jaccard: catches
+    near-dups that tokenization hides (punctuation edits, casing noise).
+    Blocking on (source, lang) bounds the quadratic verify per block —
+    the join is an equi-join on the block key, never a cross join; distance
+    runs on a 60-char prefix so per-pair cost is O(60²) regardless of
+    document length. Both engines compute the identical native levenshtein.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    copies = (
+        d.filter(F.col("doc_id") % 30 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    )
+    corpus = d.unionByName(copies).select(
+        "source", "lang", "doc_id", F.substring("text", 1, 60).alias("prefix")
+    )
+    a = corpus.select("source", "lang", F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = corpus.select("source", "lang", F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, on=["source", "lang"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+register(
+    "text_editdist_pairs",
+    _editdist_pairs,
+    """
+    WITH corpus AS (
+      SELECT source, lang, doc_id, substring(text, 1, 60) AS prefix FROM documents
+      UNION ALL
+      SELECT source, lang, doc_id + 1000000, substring(text || '!', 1, 60)
+      FROM documents WHERE doc_id % 30 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+    FROM corpus a
+    JOIN corpus b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 2
+    ORDER BY id_a, id_b
+    """,
+)

@@ -213,3 +213,33 @@ register(
     ORDER BY custkey, version
     """,
 )
+
+
+# --- mergeable HLL distinct-user rollup (rows-only) --------------------------
+def _hll_rollup(spark, sf_dir):
+    """Daily HLL user sketches unioned into weekly distinct estimates.
+
+    THE scale pattern for distinct counting: exact distinct needs a shuffle
+    of every key; Datasketches HLL state is a few KB per group and merges
+    associatively, so daily sketches roll up to weekly (or monthly) without
+    touching the events again. ``hll_sketch_agg`` / ``hll_union_agg`` are
+    JVM-side; estimates are deterministic for fixed input (no RNG). Rows-only
+    for the driver (DuckDB's HLL implementation differs); the pytest suite
+    asserts each estimate lands within 5% of the exact distinct count.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.weekofyear("ts").alias("week"), F.dayofyear("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"), F.count(F.lit(1)).alias("n_events"))
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week")
+    )
+
+
+register("events_hll_weekly_users", _hll_rollup, None)

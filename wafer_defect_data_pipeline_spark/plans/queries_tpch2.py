@@ -604,3 +604,45 @@ register(
     LIMIT 100
     """,
 )
+
+
+# --- unpivot / melt (wide measures -> long) ---------------------------------
+def _unpivot_measures(spark, sf_dir):
+    """Melt the four lineitem measures into (measure, value) rows, then
+    aggregate per (returnflag, measure).
+
+    ``DataFrame.unpivot`` is a Generate-style projection (no shuffle of its
+    own) — the only exchange is the groupBy, whose key space is
+    |returnflag|×4. Sums are exact: the 2-decimal measures accumulate as
+    DECIMAL(18,2), so partition order cannot move the total (repo-wide
+    decimal-sum convention).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax").unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+register(
+    "unpivot_measures",
+    _unpivot_measures,
+    """
+    SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+         UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)

@@ -139,6 +139,9 @@ _PRIORITY: list[str] = [
     "events_gapfill_ffill",
     "events_anomaly_mad",
     "scd2_priority_history",
+    "unpivot_measures",
+    "text_editdist_pairs",
+    "events_hll_weekly_users",
 ]
 
 
