@@ -38,3 +38,17 @@ class SplitSentences:
         parts = [p.strip() for p in re.split(r"[.!?]+", text)]
         for i, p in enumerate(p for p in parts if p):
             yield (i, p)
+
+
+@pandas_udf("double")
+def geo_mean_arrow(x: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (Arrow UDAF): geometric mean.
+
+    The third escape-hatch shape alongside scalar pandas_udf and UDTF: the
+    whole group's column arrives as one Arrow batch, one float returns.
+    Spark runs it as a full aggregate (no partial/combine step — unlike JVM
+    aggregates it ships every group value to one task), which is exactly why
+    the engine keeps UDAFs for statistics JVM expressions can't compose, and
+    never in the wide-shuffle hot path.
+    """
+    return float(np.exp(np.log(x.to_numpy(dtype=np.float64)).mean()))

@@ -403,3 +403,22 @@ register(
     ORDER BY cohort_week, week_offset
     """,
 )
+
+
+# --- streaming foreachBatch keyed upsert (oracle-checked: the merged state
+# must equal the batch aggregate exactly) ------------------------------------
+def _streaming_foreachbatch(spark, sf_dir):
+    from ..streaming.events import run_foreachbatch_upsert_batch
+
+    return run_foreachbatch_upsert_batch(spark, sf_dir)
+
+
+register(
+    "events_streaming_foreachbatch_upsert",
+    _streaming_foreachbatch,
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)

@@ -367,3 +367,33 @@ register(
     GROUP BY g.source ORDER BY g.source
     """,
 )
+
+
+# --- grouped-agg Arrow UDAF (geometric mean) --------------------------------
+def _geomean_chars(spark, sf_dir):
+    """Per-language geometric mean of document length via a pandas UDAF.
+
+    Demonstrates the grouped-aggregate Arrow UDF shape; the oracle is the
+    closed form exp(avg(ln x)). Groups here are small (languages); a JVM
+    formulation (exp(avg(log))) is preferred at scale because the UDAF has
+    no partial aggregation — documented trade-off in functions/udfs.py.
+    """
+    from ..functions.udfs import geo_mean_arrow
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.groupBy("lang")
+        .agg(F.round(geo_mean_arrow(F.col("n_chars").cast("double")), 6).alias("geomean_chars"))
+        .orderBy("lang")
+    )
+
+
+register(
+    "text_geomean_chars_udaf",
+    _geomean_chars,
+    """
+    SELECT lang, round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY lang ORDER BY lang
+    """,
+)

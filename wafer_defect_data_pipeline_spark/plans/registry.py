@@ -142,6 +142,8 @@ _PRIORITY: list[str] = [
     "unpivot_measures",
     "text_editdist_pairs",
     "events_hll_weekly_users",
+    "events_streaming_foreachbatch_upsert",
+    "text_geomean_chars_udaf",
 ]
 
 

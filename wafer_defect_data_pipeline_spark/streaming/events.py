@@ -187,3 +187,36 @@ def run_interval_join_stream_batch(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+def run_foreachbatch_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events into a keyed upsert sink via ``foreachBatch``.
+
+    The production exactly-once sink pattern: each micro-batch is aggregated
+    (count / sum per user) and MERGED into the running per-key state —
+    idempotent per key, additive across batches, exactly what a
+    ``MERGE INTO`` against a transactional table does. Here the state store
+    is a driver-side dict (bounded: one entry per user, not per event; at
+    100 TB the same ``merge`` body targets Delta/Iceberg/JDBC and nothing
+    touches the driver). Raw sums accumulate un-rounded across batches and
+    are rounded once at the end, so the result is batch-count-invariant and
+    matches the batch/DuckDB aggregate exactly.
+    """
+    events = read_events_stream(spark, sf_dir)
+    acc: dict[int, list] = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        per_user = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+        for r in per_user.collect():  # one row per user in the batch — bounded
+            cur = acc.setdefault(r.user_id, [0, 0.0])
+            cur[0] += r.n
+            cur[1] += r.s
+
+    q = events.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    rows = [(int(u), int(n), float(s)) for u, (n, s) in acc.items()]
+    out = spark.createDataFrame(rows, "user_id long, n_events long, raw_sum double")
+    return out.select(
+        "user_id", "n_events", F.round("raw_sum", 4).alias("total_value")
+    ).orderBy("user_id")
