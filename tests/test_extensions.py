@@ -881,3 +881,20 @@ def test_gapfill_dense_axis_and_ffill(spark, sf_small):
                 seen = True
             if seen:
                 assert r.ffill_value is not None
+
+
+def test_pagerank_mass_conserved_on_bidirectional_graph(spark):
+    """With no dangling nodes, total rank mass must stay 1 (± float dust)."""
+    from wafer_defect_data_pipeline_spark.operators.graph import pagerank
+
+    base = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")], "src string, dst string"
+    )
+    edges = base.union(base.selectExpr("dst AS src", "src AS dst"))
+    ranks = pagerank(edges, n_iter=10)
+    rows = ranks.collect()
+    assert len(rows) == 4
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+    # hub 'a' (degree 3) must outrank leaf 'd' (degree 1)
+    by = {r.node: r.rank for r in rows}
+    assert by["a"] > by["d"]

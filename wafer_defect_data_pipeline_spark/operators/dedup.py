@@ -275,11 +275,23 @@ def lsh_verified_pairs(
     jaccard >= threshold. Deterministic (md5 permutations), so the whole
     pipeline — candidates included — is oracle-SQL-expressible.
     """
+    # pin the candidate list: it feeds both the id-restriction and the final
+    # pair join, and recomputing it would re-run the whole band self-join
     cand = minhash_lsh_pairs(
         df, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, shingle_k=shingle_k,
         threshold=0.0,  # keep every band collision; the exact verify decides
-    ).select("id_a", "id_b")
-    sh = df.select(F.col(id_col).alias("__id"), token_shingles(text_col, shingle_k).alias("__sh"))
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    # shingle ONLY candidate docs: the verify stage needs |cand| ids, a tiny
+    # fraction of the corpus, so the semi-join drops ~95% of the tokenize+
+    # shingle work (and the shrunken shingle frame broadcast-joins to cand)
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("__id")).distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+        .join(cand_ids, on="__id", how="left_semi")
+        .select("__id", token_shingles("__txt", shingle_k).alias("__sh"))
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

@@ -89,3 +89,50 @@ def cluster_assignment(
     return df.join(
         F.broadcast(comp.withColumnRenamed("id", id_col)), on=id_col, how="left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → ``(node, rank)``.
+
+    Same driver-side fixpoint shape as :func:`connected_components`: each
+    round is one equi-join of the (node, rank) frame onto the degree-annotated
+    edges plus one map-side-combinable sum per destination — the shuffled
+    rows are (node, double) regardless of graph size, and ``localCheckpoint``
+    caps plan growth. Fixed ``n_iter`` (not convergence-tested) keeps the
+    result exactly reproducible by a recursive-SQL oracle. Callers must
+    ensure every node has at least one out-edge (e.g. feed bidirectional
+    edges); dangling-node mass is otherwise dropped, as in the classic
+    formulation without a teleport-redistribution term.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, on="src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), on="node", how="left")
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce("__in", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -281,3 +281,72 @@ register(
     ORDER BY event_id
     """,
 )
+
+
+# --- PageRank over the customer-supplier graph -------------------------------
+def _pagerank_suppliers(spark, sf_dir):
+    """Top-20 supplier nodes by PageRank in the bipartite trade graph.
+
+    Iterative-algorithm family member #3 (alongside connected components and
+    KMeans), and the only one with an exact oracle: fixed 8-iteration
+    PageRank is reproducible by a recursive-CTE mirror. Edges are made
+    bidirectional so no node is dangling (see ``operators/graph.pagerank``).
+    Ordering uses the ROUNDED rank so an ulp-level summation-order
+    difference between engines can never flip the top-20 cut between
+    structurally-identical nodes.
+    """
+    from ..operators.graph import pagerank
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, damping=0.85, n_iter=8)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+register(
+    "graph_pagerank_suppliers",
+    _pagerank_suppliers,
+    """
+    WITH RECURSIVE base_edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM base_edges
+      UNION
+      SELECT dst, src FROM base_edges
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), r(i, node, rank) AS (
+      SELECT 0, node, 1.0 / (SELECT count(*) FROM nodes) FROM nodes
+      UNION ALL
+      SELECT i + 1, e.dst,
+             (1.0 - 0.85) / (SELECT count(*) FROM nodes)
+               + 0.85 * sum(r.rank / d.deg)
+      FROM r
+      JOIN edges e ON r.node = e.src
+      JOIN deg d ON r.node = d.src
+      WHERE i < 8
+      GROUP BY i, e.dst
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM r WHERE i = 8 AND node LIKE 's%'
+    ORDER BY round(rank, 6) DESC, node
+    LIMIT 20
+    """,
+)

@@ -145,6 +145,7 @@ _PRIORITY: list[str] = [
     "events_streaming_foreachbatch_upsert",
     "text_geomean_chars_udaf",
     "events_moving_median",
+    "graph_pagerank_suppliers",
 ]
 
 
