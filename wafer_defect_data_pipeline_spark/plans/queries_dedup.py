@@ -100,7 +100,49 @@ def _minhash_lsh(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
-register("dedup_minhash_lsh_pairs", _minhash_lsh, None)  # join-heavy; rows-only
+_SH3_Q = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(0, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) "
+    "ELSE [concat_ws(' ', toks)] END"
+)
+_MINS16_Q = ",\n             ".join(
+    f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), {1 + 8 * i}, 8)))"
+    for j in range(4)
+    for i in range(4)
+)
+
+# every stage is md5-deterministic, so the banded candidates AND the
+# signature-overlap estimate are exactly mirrorable in SQL (upgraded from
+# rows-only in round 2)
+register(
+    "dedup_minhash_lsh_pairs",
+    _minhash_lsh,
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_SH3_Q} AS shingles FROM t
+    ), sig AS (
+      SELECT doc_id, [{_MINS16_Q}] AS sig FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             concat_ws('|', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+      FROM sig, range(4) tt(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
 
 
 # --- SimHash values --------------------------------------------------------
@@ -139,7 +181,38 @@ def _simhash_pairs(spark, sf_dir):
     return simhash_pairs(both, "doc_id", "text", "source", max_hamming=4).orderBy("id_a", "id_b")
 
 
-register("dedup_simhash_pairs", _simhash_pairs, None)  # rows-only (join fan-out)
+# md5-deterministic end to end — simhash bits and the blocked hamming join
+# mirror exactly in SQL (upgraded from rows-only in round 2)
+register(
+    "dedup_simhash_pairs",
+    _simhash_pairs,
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text || ' tail' FROM documents WHERE doc_id % 25 = 0
+    ), t AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(lower(text)), '\s+'), x -> md5(x)) AS hs
+      FROM corpus
+    ), sig AS (
+      SELECT doc_id, source,
+             list_aggregate(list_transform(range(1, 33), i ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                      CASE WHEN substring(h, i, 1) IN ('8','9','a','b','c','d','e','f')
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(range(1, 33),
+                i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, 33),
+          i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 4
+    ORDER BY id_a, id_b
+    """,
+)
 
 
 # --- n-gram Jaccard near-dup pairs -----------------------------------------

@@ -143,14 +143,59 @@ register(
 )
 
 
-# --- IVF ANN (rows-only: approx by construction) ---------------------------
+# --- IVF ANN -----------------------------------------------------------------
 def _ivf(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(e, queries, k=5, n_probe=3).orderBy("query_id", "rank")
 
 
-register("similarity_ivf_topk", _ivf, None)
+# approximate-by-construction but fully DETERMINISTIC (label-mean centroids,
+# fixed n_probe, exact scoring within probed cells) — so the whole probe +
+# search pipeline mirrors in SQL (upgraded from rows-only in round 2)
+register(
+    "similarity_ivf_topk",
+    _ivf,
+    """
+    WITH ex AS (
+      SELECT label, u.pos - 1 AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ), per_dim AS (
+      SELECT label, pos, avg(val) AS avg_val FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), probes AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(list_zip(q.qv, cent.centroid), p -> p[1] * p[2]))
+                          / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) DESC,
+                          cent.label ASC) AS probe_rank
+        FROM q CROSS JOIN cent
+      ) t WHERE probe_rank <= 3
+    ), scored AS (
+      SELECT probes.query_id, c.vec_id AS corpus_id,
+             round(list_sum(list_transform(list_zip(probes.qv, CAST(c.embedding AS DOUBLE[])), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(probes.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)))), 6) AS cos_sim
+      FROM embeddings c JOIN probes ON c.label = probes.label
+      WHERE c.vec_id <> probes.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 
 
 # --- Arrow/numpy brute-force (rows-only; equivalence test vs the HOF
