@@ -16,6 +16,19 @@ from ..sources import read_table
 from .registry import register
 
 
+def _epoch_us(col):
+    """Whole-microseconds-since-epoch for a timestamp column, NTZ-safe.
+
+    Since the testdata regeneration, ``events.ts`` is parquet timestamp[us],
+    which Spark reads as TIMESTAMP_NTZ — and ``unix_micros`` only accepts
+    TIMESTAMP. Cast inside the expression only: the session tz is pinned UTC
+    (session.engine_conf), so the instant equals the wall-clock value, and the
+    ``ts`` column itself (what the oracle hashes) stays NTZ. A no-op when the
+    column is already TIMESTAMP.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 # --- tumbling window -------------------------------------------------------
 def _tumbling(spark, sf_dir):
     e = read_table(spark, sf_dir, "events")
@@ -77,7 +90,7 @@ def _lag_lead(spark, sf_dir):
             "event_id",
             # whole microseconds (bigint): exact in every engine, unlike a
             # rounded double of seconds which can land on a half boundary
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+            (_epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))).alias("gap_us"),
             F.lead("event_type").over(w).alias("next_type"),
         )
         .orderBy("user_id", "event_id")
@@ -102,7 +115,7 @@ register(
 def _sessionize(spark, sf_dir):
     e = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
     new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
     with_sess = (
         e.withColumn("is_new", new_sess)

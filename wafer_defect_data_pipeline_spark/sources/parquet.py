@@ -24,20 +24,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one driver table; schema comes from parquet footers.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    as a nanos-since-epoch long (``spark.sql.legacy.parquet.nanosAsLong``);
-    convert to a microsecond timestamp with integer division — a double
-    division would lose precision on ~1.7e18 nanosecond values.
+    ``events.ts`` is stored as parquet timestamp[us] (no tz annotation), which
+    Spark reads as TIMESTAMP_NTZ — left as-is; event-time arithmetic casts it
+    to TIMESTAMP inside expressions only (session tz is pinned UTC, so the
+    instant equals the wall-clock value). Earlier testdata generations stored
+    TIMESTAMP(NANOS), which Spark reads as a nanos-since-epoch long under
+    ``spark.sql.legacy.parquet.nanosAsLong``; that branch is kept so a future
+    regeneration back to nanos converts (integer division — a double division
+    would lose precision on ~1.7e18 nanosecond values) instead of breaking.
     """
-    # Self-contained regardless of which session invokes us: the driver runs
-    # queries under a vanilla SparkSession, and without this conf any scan of
-    # events.parquet dies with PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS)).
-    # The conf is runtime-settable, so set it idempotently before every read.
+    # Self-contained regardless of which session invokes us (the driver runs
+    # queries under a vanilla SparkSession); runtime-settable, idempotent,
+    # and a no-op for micros footers.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
     return df
 
 

@@ -8,8 +8,11 @@ transactional sink via ``foreachBatch`` — only the source/sink lines
 change, the transformation is identical (that symmetry is the point of
 Structured Streaming).
 
-The events parquet stores TIMESTAMP(NANOS); streaming reads declare the
-column as long and convert, same as sources/parquet.read_table.
+The events parquet stores timestamp[us] (TIMESTAMP_NTZ to Spark) since the
+testdata regeneration; streaming reads declare the column as TIMESTAMP_NTZ
+and immediately cast to TIMESTAMP, because watermarks require TIMESTAMP
+event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The session tz
+is pinned UTC, so the cast is value-preserving and batch/stream agree.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from pyspark.sql import types as T
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos-as-long (see module doc)
+        T.StructField("ts", T.TimestampNTZType(), True),  # timestamp[us] footer (see module doc)
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -41,7 +44,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermark event time must be TIMESTAMP; UTC session tz makes this exact
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
