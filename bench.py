@@ -73,30 +73,41 @@ def main() -> None:
     # two runs per query: first pays one-time costs (codegen, classloading,
     # MLlib init), second is the steady-state number a long-running cluster
     # sees. "queries"/"value" report warm; "cold" keeps the first-run times.
-    cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    # Per-query isolation: one failing query must never erase the round's
+    # entire performance record (r2 lesson — a single exception at query 8
+    # left BENCH_r02.json with rc=1 and no timings). Failures are reported
+    # as named entries in "errors", their timings as null, and the process
+    # always exits 0 with one parseable JSON line.
+    cold: dict[str, float | None] = {}
+    warm: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
         for target in (cold, warm):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            target[name] = round(time.perf_counter() - t0, 3)
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                target[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                cold.setdefault(name, None)
+                warm[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break  # cold failed -> don't bother with warm
 
-    total = round(sum(warm.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": warm,
-                "cold": cold,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
-    )
+    total = round(sum(v for v in warm.values() if v is not None), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": warm,
+        "cold": cold,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -227,6 +227,7 @@ def cosine_lsh_pairs_relational(
     n_bits: int = 64,
     n_bands: int = 4,
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via md5-hyperplane LSH — fully relational.
 
@@ -242,7 +243,12 @@ def cosine_lsh_pairs_relational(
     included — so the result is oracle-hash-checkable end to end.
     """
     rows_per_band = n_bits // n_bands
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # Embedding dimensionality is a dataset constant; prefer the caller
+        # passing it (zero driver work). Fall back to one driver-side probe
+        # of a single row — acceptable interactively, avoided in registered
+        # queries which pass dim explicitly.
+        dim = len(df.select(vec_col).first()[0])
     spark = df.sparkSession
     hyper = spark.createDataFrame(md5_hyperplanes(n_bits, dim), "bit int, pos int, c double")
 

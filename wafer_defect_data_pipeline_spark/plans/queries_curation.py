@@ -747,23 +747,42 @@ register(
 
 
 # --- unigram-LM log-probability (perplexity proxy) --------------------------
-def _unigram_logprob(spark, sf_dir):
+def _unigram_logprob(spark, sf_dir, top_k: int = 16):
     """Corpus-unigram log-likelihood per doc — the cheap LM-quality proxy.
-    Two map-side-combinable aggs (term freq, per-doc mean) and one broadcast
-    join; at 100 TB cap the vocabulary at top-K terms + an OOV smoothing
-    constant so the probe side stays broadcastable."""
+
+    The vocabulary is CAPPED at the ``top_k`` most frequent terms (ties
+    broken by term asc — deterministic in every engine); all remaining mass
+    is pooled into one OOV pseudo-token whose probability is the summed OOV
+    count over the corpus total. That keeps the broadcast side bounded at
+    exactly ``top_k`` rows no matter the corpus size — at 100 TB a raw
+    term-frequency table has billions of rows and can't broadcast, while
+    top-K selection is ``orderBy().limit()`` = distributed TakeOrdered (a
+    per-partition heap + driver merge of K rows, no global sort shuffle).
+    Two map-side-combinable aggs (term freq, per-doc mean), one K-row
+    broadcast join, two 1-row broadcast literals. ``top_k=16`` < the 31-term
+    testdata vocabulary, so the OOV path is exercised by the oracle check.
+    """
     from ..functions.text import tokens
 
     d = read_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.orderBy(F.desc("c"), F.asc("tok")).limit(top_k)
+    # corpus total and pooled OOV count: 1-row aggregates, broadcast as the
+    # literal side of a crossJoin (vocab_sum re-aggregates the K-row vocab)
     tot = tf.agg(F.sum("c").alias("total"))
-    scored = tok.join(F.broadcast(tf), on="tok").crossJoin(F.broadcast(tot))
+    vocab_sum = vocab.agg(F.sum("c").alias("in_vocab"))
+    scored = (
+        tok.join(F.broadcast(vocab), on="tok", how="left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab_sum))
+        .withColumn("eff_c", F.coalesce(F.col("c"), F.col("total") - F.col("in_vocab")))
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 4).alias("avg_logprob"),
+            F.round(F.avg(F.log(F.col("eff_c") / F.col("total"))), 4).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -778,12 +797,15 @@ register(
       FROM documents
     ), tf AS (
       SELECT tok, count(*) AS c FROM tok GROUP BY tok
-    ), tot AS (
-      SELECT CAST(sum(c) AS BIGINT) AS total FROM tf
+    ), vocab AS (
+      SELECT tok, c FROM tf ORDER BY c DESC, tok ASC LIMIT 16
+    ), stats AS (
+      SELECT CAST((SELECT sum(c) FROM tf) AS BIGINT) AS total,
+             CAST((SELECT sum(c) FROM vocab) AS BIGINT) AS in_vocab
     )
     SELECT doc_id, count(*) AS n_tokens,
-           round(avg(ln(CAST(c AS DOUBLE) / total)), 4) AS avg_logprob
-    FROM tok JOIN tf USING (tok) CROSS JOIN tot
+           round(avg(ln(CAST(coalesce(v.c, s.total - s.in_vocab) AS DOUBLE) / s.total)), 4) AS avg_logprob
+    FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN stats s
     GROUP BY doc_id ORDER BY doc_id
     """,
 )

@@ -68,7 +68,9 @@ def _semantic_dedup(spark, sf_dir):
     both = e.select("vec_id", "label", as_double("embedding").alias("embedding")).unionByName(
         planted.select("vec_id", "label", "embedding")
     )
-    pairs = cosine_lsh_pairs_relational(both, n_bits=64, n_bands=4, threshold=0.9)
+    # dim passed explicitly (testdata embeddings are 64-d at every SF): the
+    # hyperplane table is built at plan time, no driver-side row probe
+    pairs = cosine_lsh_pairs_relational(both, n_bits=64, n_bands=4, threshold=0.9, dim=64)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn("__drop", F.lit(1))
     return (
         both.join(dropped, on="vec_id", how="left")

@@ -60,17 +60,91 @@ def _load_all() -> None:
     from . import queries_wafer  # noqa: F401
 
 
-# The driver's correctness sweep covers the registry in iteration order (50
-# entries in round 1), so the emitted order must span EVERY query family
-# early: reference §2 parity first, then ≥1 representative of each extension
-# family (sources, dedup, similarity, text, multimodal, sampling, events,
-# streaming, wafer pipeline) before any redundant TPC-H variant. Names not
-# listed here follow in registration order; a listed name that is missing
-# from the registry is a hard error (catches renames).
+# The driver's correctness sweep covers the registry in iteration order and
+# samples only ~50 entries per round, so with 138 registered queries the
+# order must ROTATE: round 3 front-loads (a) the queries whose fixes need
+# driver re-verification (events ts-type root cause, r1's json/sliding-window
+# fixes), (b) a handful of known-green sentinels spanning families (so a
+# systemic regression is still visible), then (c) every query that has never
+# received a driver row in rounds 1-2 — oracle-bearing first, rows-only
+# after. Queries already green in r1/r2 follow at the back; pytest keeps
+# covering them every session. Names not listed here follow in registration
+# order; a listed name missing from the registry is a hard error (catches
+# renames).
 _PRIORITY: list[str] = [
-    # reference §2 parity block (P/A/U/M ops)
+    # (a) fixed this round / fixed-but-never-reverified — need driver rows
+    "events_sessionization",
+    "events_lag_lead",
+    "json_extract",
+    "events_sliding_window",
+    # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
+    "csv_roundtrip",
+    "dedup_exact",
+    "similarity_bruteforce_topk",
+    "text_quality_scores",
+    "events_tumbling_window",
+    "curation_pipeline",
+    # (c) never-driver-tested, oracle-bearing (first-ever evidence)
+    "split_leakage_audit",
+    "semantic_dedup_keep",
+    "merge_upsert",
+    "events_streaming_foreachbatch_upsert",
+    "graph_pagerank_suppliers",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunking",
+    "corpus_datacard",
+    "text_inverted_index",
+    "text_bm25_topk",
+    "events_gapfill_ffill",
+    "events_anomaly_mad",
+    "scd2_priority_history",
+    "unpivot_measures",
+    "text_editdist_pairs",
+    "text_geomean_chars_udaf",
+    "events_moving_median",
+    "json_roundtrip",
+    "partitioned_pruned_read",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_region_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "events_user_profile",
+    "events_range_join",
+    "events_cohort_retention",
+    "text_fingerprints",
+    "text_language_profile",
+    "text_sentence_stats",
+    "text_top_terms",
+    "sample_shuffled_head",
+    "text_pii_scan",
+    "embedding_quantization_recall",
+    "window_ntile_quartiles",
+    "text_boilerplate_ngrams",
+    "text_quality_rank_filter",
+    "text_unigram_logprob",
+    "multimodal_size_by_lang",
+    "multimodal_frame_sample",
+    # (c') never-driver-tested, rows-only by nature
+    "events_hll_weekly_users",
+    "events_streaming_tumbling",
+    "events_streaming_sessions",
+    "events_streaming_dedup",
+    "events_streaming_join",
+    "dedup_mllib_minhash_lsh",
+    "similarity_bruteforce_topk_arrow",
+    "similarity_lsh_pairs",
+    # previously-green queries rotate to the back (r1/r2 driver rows exist)
     "range_filter",
     "drop_nulls",
     "derived_ratio",
@@ -87,65 +161,31 @@ _PRIORITY: list[str] = [
     "iqr_cascade_rows",
     "conditional_label_join",
     "iqr_cascade_approx",
-    # wafer pipeline capstone (M1-M3 / O1)
     "wafer_pipeline_on_lineitem",
-    # sources (S1/S2/S5)
-    "csv_roundtrip",
-    # dedup family
-    "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_pairs",
     "dedup_cluster_assignment",
-    # similarity family
     "embedding_vector_stats",
-    "similarity_bruteforce_topk",
     "similarity_neardup_pairs",
     "embedding_label_centroids",
     "similarity_ivf_topk",
-    # text family
     "text_token_stats",
-    "text_quality_scores",
     "text_language_id",
     "text_tfidf_topk",
     "text_repetition_scores",
     "text_benchmark_contamination",
-    "curation_pipeline",
     "layout_zorder_stats",
-    # multimodal family
     "multimodal_binary_metadata",
-    # sampling / token-budget family
     "sample_hash_split",
     "sample_stratified",
     "sample_mixture_weights",
     "sample_topk_per_group",
     "pack_sequences",
-    # event-time family
-    "events_tumbling_window",
-    "events_sessionization",
     "events_asof_join",
     "events_funnel",
     "events_hypertable_rollup",
-    # structured streaming (rows-only by nature)
     "events_stateful_profile",
-    # training-data governance family — first past the 50-entry line so a
-    # wider driver sweep reaches them immediately
-    "split_leakage_audit",
-    "semantic_dedup_keep",
-    "doc_chunking",
-    "corpus_datacard",
-    "text_inverted_index",
-    "text_bm25_topk",
-    "events_gapfill_ffill",
-    "events_anomaly_mad",
-    "scd2_priority_history",
-    "unpivot_measures",
-    "text_editdist_pairs",
-    "events_hll_weekly_users",
-    "events_streaming_foreachbatch_upsert",
-    "text_geomean_chars_udaf",
-    "events_moving_median",
-    "graph_pagerank_suppliers",
 ]
 
 
