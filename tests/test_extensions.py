@@ -664,6 +664,20 @@ def test_contamination_plan_broadcasts_benchmark_side(spark, sf_small):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_exchange_before_join(spark, sf_small):
+    """The co-located join property: with both sides bucketed by the join
+    key, the SortMergeJoin consumes the scans directly — no Exchange on
+    either join input (the shuffle was paid once at bucketed-write time).
+    Post-agg exchanges on the 5-row priority stream are fine."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    df = all_queries()["bucketed_join_zeroshuffle"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+
+
 def test_unigram_logprob_caps_vocab_and_broadcasts(spark, sf_small):
     """VERDICT r2 #6: the unigram-LM vocabulary must be bounded (top-K via
     TakeOrdered, never a full-vocab broadcast) and joined to the token stream
@@ -913,3 +927,91 @@ def test_pagerank_mass_conserved_on_bidirectional_graph(spark):
     # hub 'a' (degree 3) must outrank leaf 'd' (degree 1)
     by = {r.node: r.rank for r in rows}
     assert by["a"] > by["d"]
+
+
+def test_exact_profile_multibatch_equals_batch(spark, sf_small, tmp_path):
+    """Exact-cents stateful profile over 4 micro-batches == single-pass
+    batch aggregate, bit-for-bit (integer-cents accumulation has no float
+    drift, which is what justifies this query's full value-hash oracle)."""
+    import pyspark.sql.functions as F2
+    from wafer_defect_data_pipeline_spark.sources import read_table
+    from wafer_defect_data_pipeline_spark.streaming.events import EVENTS_STREAM_SCHEMA
+    from wafer_defect_data_pipeline_spark.streaming.stateful import (
+        _run_profile_to_final,
+        user_running_profile_exact,
+    )
+
+    events = read_table(spark, sf_small, "events")
+    events.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ev"))
+        .withColumn("ts", F2.col("ts").cast("timestamp"))
+    )
+    got = _run_profile_to_final(user_running_profile_exact(stream), "exact_mb").toPandas()
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("user_id").orderBy(
+        F2.desc("ts"), F2.desc("event_id")
+    )
+    want = (
+        events.withColumn("__rn", F2.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_events"),
+            F2.round(
+                F2.sum(F2.coalesce("value", F2.lit(0.0)).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+            F2.max_by("event_type", F2.struct(F2.col("ts"), F2.col("event_id"))).alias("last_type"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_transformwithstate_gated_on_protobuf(spark, sf_small):
+    """transformWithStateInPandas shares its fold with the exact profile;
+    it can only EXECUTE where protobuf exists. Here: run it if the env has
+    protobuf, otherwise assert the gate flag is honest and skip."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.streaming import stateful as st
+
+    if not st.HAS_PROTOBUF:
+        with _pytest.raises(ImportError):
+            from google.protobuf import descriptor  # noqa: F401
+        _pytest.skip("no protobuf in sandbox — transformWithState cannot execute")
+    got = st.run_tws_profile_batch(spark, sf_small).toPandas()
+    want = st.run_exact_profile_batch(spark, sf_small).toPandas()
+    assert got.equals(want)
+
+
+def test_python_datasource_stream_matches_batch(spark):
+    """The SimpleDataSourceStreamReader twin emits exactly the batch rows
+    (offset-tracked micro-batches over the same deterministic generator)."""
+    from wafer_defect_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    batch = (
+        spark.read.format("synth_events").option("n", "500").load().orderBy("event_id").toPandas()
+    )
+    stream = (
+        spark.readStream.format("synth_events_stream")
+        .option("n", "500")
+        .option("batch_size", "128")
+        .load()
+    )
+    import uuid as _uuid
+
+    name = f"pyds_{_uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        # SimpleDataSourceStreamReader has no natural end-of-stream; drain
+        # until the offset reaches n (4 batches of 128)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name).orderBy("event_id").toPandas()
+    assert len(got) == 500
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))

@@ -304,6 +304,41 @@ def _stateful_profile(spark, sf_dir):
 register("events_stateful_profile", _stateful_profile, None)
 
 
+# --- exact-cents stateful profile (full oracle) -----------------------------
+def _stateful_profile_exact(spark, sf_dir):
+    """Running per-user profile with integer-cents value accumulation: the
+    cross-batch total is exact integer arithmetic, so — unlike the float
+    twin above (rows-only) — this streaming operator carries a full
+    value-hash oracle. A transformWithStateInPandas twin exists
+    (streaming/stateful.py) but can't execute in this sandbox (no
+    protobuf); both APIs share the same fold so semantics are identical."""
+    from ..streaming.stateful import run_exact_profile_batch
+
+    return run_exact_profile_batch(spark, sf_dir)
+
+
+register(
+    "events_stateful_profile_exact",
+    _stateful_profile_exact,
+    """
+    WITH agg AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      FROM events GROUP BY user_id
+    ), last AS (
+      SELECT user_id, event_type AS last_type
+      FROM (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT user_id, n_events, total_value, last_type
+    FROM agg JOIN last USING (user_id) ORDER BY user_id
+    """,
+)
+
+
 # --- streaming exact dedup (dropDuplicatesWithinWatermark; rows-only) -------
 def _streaming_dedup(spark, sf_dir):
     from ..streaming.events import run_dedup_stream_batch

@@ -118,3 +118,142 @@ register(
     SELECT doc_id, lang, source FROM documents WHERE lang = 'de' ORDER BY doc_id
     """,
 )
+
+
+def _orc_roundtrip(spark, sf_dir):
+    """ORC sink -> schema'd ORC source -> same rows as parquet.
+
+    ORC is the other columnar format a lakehouse ingests from (Hive-era
+    warehouses); Spark's reader is JVM-native with predicate pushdown and
+    column pruning exactly like parquet, so supporting it is one writer call
+    — no new execution path.
+    """
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = Path(tempfile.gettempdir()) / f"wdps_orc_roundtrip_{Path(sf_dir).name}"
+    n.write.mode("overwrite").orc(str(out))
+    back = spark.read.schema(n.schema).orc(str(out))
+    return back.orderBy("n_nationkey")
+
+
+register(
+    "orc_roundtrip",
+    _orc_roundtrip,
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
+def _bucketed_join_zeroshuffle(spark, sf_dir):
+    """Co-located join over bucketed tables — the pay-shuffle-once layout.
+
+    Writes orders and lineitem bucketed (and sorted) by the join key into
+    warehouse tables, then joins and aggregates. Because both sides carry
+    the same bucket spec (8 buckets on the key), Catalyst plans the join
+    with ZERO Exchange on either side — the shuffle was paid once at write
+    time, and every subsequent join/agg on that key is exchange-free. At
+    100 TB this is the difference between re-shuffling the fact table per
+    query and never shuffling it again (SURVEY.md §7.7); the plan-shape
+    test asserts the no-Exchange property. The aggregate keys on the bucket
+    column, so the partial agg also reuses the bucket partitioning.
+
+    Results are bucketing-invariant, so the oracle is the plain SQL join —
+    correctness and layout are checked independently.
+    """
+    from ..sources.bucketed import read_bucketed, write_bucketed
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    base = Path(tempfile.gettempdir()) / f"wdps_bucketed_{tag}"
+    to, tl = f"wdps_orders_b_{tag}", f"wdps_lineitem_b_{tag}"
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for t in (to, tl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(o, to, ["o_orderkey"], 8, path=str(base / "orders"))
+    write_bucketed(li, tl, ["l_orderkey"], 8, path=str(base / "lineitem"))
+    ob, lb = read_bucketed(spark, to), read_bucketed(spark, tl)
+    # merge hint: at test SFs the orders side fits the broadcast threshold
+    # and AQE would elide the layout we're demonstrating; at 100 TB neither
+    # side broadcasts and sort-merge over matching buckets IS the plan. The
+    # hint makes the test-scale plan identical to the at-scale plan.
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # decimal sum: exact and partition-order-invariant, cast once
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")).cast(
+                        "decimal(28,4)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "bucketed_join_zeroshuffle",
+    _bucketed_join_zeroshuffle,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+def _python_datasource_scan(spark, sf_dir):
+    """Scan a custom Python DataSource (Spark 4 API) and aggregate.
+
+    The source is a deterministic pure-integer generator (sources/pyds.py),
+    so the oracle regenerates identical rows with ``generate_series`` —
+    value-hash-checking the whole custom-source plumbing: options, schema,
+    partition planning, per-partition iterators, Arrow transfer. The agg
+    keys on user_id (97 groups) so every partition contributes to every
+    group — a wrong partition range or a dropped slice cannot hash-match.
+    """
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("n", "20000")
+        .option("parts", "16")
+        .load()
+    )
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_id"),
+            # value = (i*i % 1000)/10 is exact in doubles (<= 99.9, 1 decimal)
+            F.round(F.sum(F.col("value").cast("decimal(18,1)")).cast("double"), 1).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "python_datasource_scan",
+    _python_datasource_scan,
+    """
+    WITH g AS (
+      SELECT i AS event_id,
+             (i * 2654435761) % 97 AS user_id,
+             ((i * i) % 1000) / 10.0 AS value
+      FROM generate_series(0, 19999) t(i)
+    )
+    SELECT user_id, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,1))) AS DOUBLE), 1) AS sum_value
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)

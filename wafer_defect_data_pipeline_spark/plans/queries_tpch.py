@@ -512,6 +512,45 @@ register(
 )
 
 
+# --- VARIANT semi-structured path (Spark 4) --------------------------------
+def _json_variant_agg(spark, sf_dir):
+    """Aggregate over VARIANT-extracted fields — the modern semi-structured
+    path. ``parse_json`` decodes each JSON string ONCE into Spark 4's binary
+    Variant encoding; ``variant_get`` then reads fields without re-parsing,
+    and at 100 TB Variant columns stored in parquet get shredded into typed
+    sub-columns that support pruning/pushdown — none of which a raw JSON
+    string column can do. Semantics are identical to get_json_object (the
+    oracle is plain json_extract SQL); the win is plan shape and storage.
+    """
+    e = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select((k % 10).alias("k_bucket"), k.alias("k"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+register(
+    "json_variant_agg",
+    _json_variant_agg,
+    """
+    WITH x AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+      FROM events
+    )
+    SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM x GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+
+
 # --- grouped string agg (collect + sort for determinism) -------------------
 def _grouped_collect(spark, sf_dir):
     n = read_table(spark, sf_dir, "nation")

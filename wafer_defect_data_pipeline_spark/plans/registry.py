@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import queries_similarity  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
+    from . import queries_sqlfeatures  # noqa: F401
 
 
 # The driver's correctness sweep covers the registry in iteration order and
@@ -77,6 +78,14 @@ _PRIORITY: list[str] = [
     "events_lag_lead",
     "json_extract",
     "events_sliding_window",
+    # (a') new in round 3 — need first driver rows
+    "bucketed_join_zeroshuffle",
+    "orc_roundtrip",
+    "json_variant_agg",
+    "events_stateful_profile_exact",
+    "python_datasource_scan",
+    "recursive_cte_hierarchy",
+    "sql_scripting_doubling",
     # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
