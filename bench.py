@@ -54,6 +54,11 @@ HEADLINE = [
     "semantic_dedup_keep",
     "text_bm25_topk",
     "events_gapfill_ffill",
+    # round-3 additions: Variant path, exact-oracle stateful streaming,
+    # custom Python DataSource
+    "json_variant_agg",
+    "events_stateful_profile_exact",
+    "python_datasource_scan",
 ]
 
 
