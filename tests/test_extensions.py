@@ -1015,3 +1015,25 @@ def test_python_datasource_stream_matches_batch(spark):
     got = spark.table(name).orderBy("event_id").toPandas()
     assert len(got) == 500
     assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_streaming_on_rocksdb_state_store(spark, sf_small):
+    """The 100 TB state backend: RocksDB state-store provider (off-heap,
+    incremental-checkpoint) must produce byte-identical results to the
+    default HDFS-backed provider for the watermarked tumbling agg."""
+    from wafer_defect_data_pipeline_spark.streaming.events import run_tumbling_stream_batch
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    baseline = run_tumbling_stream_batch(spark, sf_small).toPandas()
+    try:
+        spark.conf.set(
+            key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+        rocks = run_tumbling_stream_batch(spark, sf_small).toPandas()
+    finally:
+        if default:
+            spark.conf.set(key, default)
+        else:
+            spark.conf.unset(key)
+    assert rocks.reset_index(drop=True).equals(baseline.reset_index(drop=True))
