@@ -1037,3 +1037,48 @@ def test_streaming_on_rocksdb_state_store(spark, sf_small):
         else:
             spark.conf.unset(key)
     assert rocks.reset_index(drop=True).equals(baseline.reset_index(drop=True))
+
+
+def test_compaction_reduces_physical_files(spark, sf_small):
+    """compaction_small_files must actually rewrite the layout: the reported
+    counts are checked against the real file listing on disk."""
+    import tempfile
+    from pathlib import Path
+
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    row = all_queries()["compaction_small_files"](spark, sf_small).first()
+    tag = Path(sf_small).name
+    before = len(list((Path(tempfile.gettempdir()) / f"wdps_shatter_{tag}").glob("part-*")))
+    after = len(list((Path(tempfile.gettempdir()) / f"wdps_compact_{tag}").glob("part-*")))
+    assert (row.files_before, row.files_after) == (before, after)
+    assert row.files_after < row.files_before
+
+
+def test_pandas_api_features_match_native(spark, sf_small):
+    """pyspark.pandas derived ratios == functions/derived.ratio bit-for-bit
+    (both compile to the same Catalyst expressions)."""
+    from wafer_defect_data_pipeline_spark.functions.derived import ratio
+    from wafer_defect_data_pipeline_spark.plans.pipeline_ps import derived_features_ps
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    li = read_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
+    ps_out = (
+        derived_features_ps(li.pandas_api())
+        .to_spark()
+        .select("l_orderkey", "l_linenumber", "ratio_qty_price")
+        .orderBy("l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    native = (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            ratio("l_quantity", "l_extendedprice").alias("ratio_qty_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    assert ps_out.reset_index(drop=True).equals(native.reset_index(drop=True))

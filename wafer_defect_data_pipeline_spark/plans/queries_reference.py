@@ -407,3 +407,47 @@ def _iqr_cascade_approx(spark, sf_dir):
 
 
 register("iqr_cascade_approx", _iqr_cascade_approx, None)
+
+
+# --- Observation API: metrics from the pass itself --------------------------
+def _observed_scan_metrics(spark, sf_dir):
+    """Data-quality metrics collected DURING a transformation pass via
+    ``df.observe`` — zero extra scan. The reference computes its quality
+    report (row count, null count — README.md:115-118) as separate passes
+    over the frame; ``observe`` attaches the metrics to the one job that
+    does the real work, which at 100 TB is the difference between N scans
+    and 1. The observed values are returned as the query result and
+    oracle-checked against plain SQL aggregates of the same input.
+    """
+    from pyspark.sql import Observation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("sum_discount"),
+    )
+    # the "real work": a filter+projection written to the noop sink — the
+    # metrics piggyback on this single pass
+    observed.filter(F.col("l_quantity") > 0).select("l_orderkey", "l_quantity").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_qty"], float(m["sum_discount"]))],
+        "n_rows bigint, null_qty bigint, sum_discount double",
+    ).withColumn("sum_discount", F.round("sum_discount", 2))
+
+
+register(
+    "observed_scan_metrics",
+    _observed_scan_metrics,
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_discount
+    FROM lineitem
+    """,
+)

@@ -257,3 +257,49 @@ register(
     FROM g GROUP BY user_id ORDER BY user_id
     """,
 )
+
+
+def _compaction_small_files(spark, sf_dir):
+    """Small-file compaction — the lakehouse maintenance operator.
+
+    Streaming ingest and over-parallel writes leave thousands of tiny files;
+    scan cost then becomes file-open-bound (footer reads, task scheduling)
+    instead of byte-bound. The fix is a rewrite to ~target-row files:
+    ``repartition(ceil(rows/target))``. Here documents is deliberately
+    shattered into 64 files, compacted, and the query returns
+    (rows, files_before, files_after) — all three derivable in plain SQL,
+    so the compaction arithmetic is oracle-checked; pytest asserts the
+    physical file counts on disk match the reported numbers.
+    """
+    from ..sources.sinks import write_parquet
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    tag = Path(sf_dir).name
+    shattered = Path(tempfile.gettempdir()) / f"wdps_shatter_{tag}"
+    compacted = Path(tempfile.gettempdir()) / f"wdps_compact_{tag}"
+    d.repartition(64).write.mode("overwrite").parquet(str(shattered))
+
+    back = spark.read.parquet(str(shattered))
+    total = back.count()  # one cheap metadata-only job (parquet count-star)
+    target = 10_000
+    n_out = max(1, -(-total // target))
+    back.repartition(n_out).write.mode("overwrite").parquet(str(compacted))
+
+    files_before = len(list(shattered.glob("part-*")))
+    files_after = len(list(compacted.glob("part-*")))
+    return spark.createDataFrame(
+        [(total, files_before, files_after)],
+        "n_rows bigint, files_before int, files_after int",
+    )
+
+
+register(
+    "compaction_small_files",
+    _compaction_small_files,
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           64 AS files_before,
+           CAST(ceil(count(*) / 10000.0) AS INTEGER) AS files_after
+    FROM documents
+    """,
+)

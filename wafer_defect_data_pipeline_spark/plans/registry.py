@@ -59,6 +59,7 @@ def _load_all() -> None:
     from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
     from . import queries_sqlfeatures  # noqa: F401
+    from . import pipeline_ps  # noqa: F401
 
 
 # The driver's correctness sweep covers the registry in iteration order and
@@ -86,6 +87,9 @@ _PRIORITY: list[str] = [
     "python_datasource_scan",
     "recursive_cte_hierarchy",
     "sql_scripting_doubling",
+    "wafer_features_pandas_api",
+    "observed_scan_metrics",
+    "compaction_small_files",
     # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
