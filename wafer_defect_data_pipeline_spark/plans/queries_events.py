@@ -470,3 +470,62 @@ register(
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
+
+
+# --- native batch session_window (gap-merge built-in) -----------------------
+def _session_window_native(spark, sf_dir):
+    """The built-in ``session_window`` in BATCH mode — the declarative twin
+    of the lag+cumsum sessionization above. Catalyst plans the gap-merge as
+    a single aggregate over dynamic windows (no self-window pass), and the
+    same expression is what the streaming session query uses, so batch and
+    stream share semantics by construction. Boundary note: session_window
+    starts a new session when the gap is >= the timeout (window intervals
+    are half-open), while the lag formulation above breaks on strictly
+    greater — the oracle mirrors the >= rule. session_end is
+    last_event + gap (the window's close), not the last event time.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+register(
+    "events_session_window_native",
+    _session_window_native,
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
+    """,
+)

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "wafer_features_pandas_api",
     "observed_scan_metrics",
     "compaction_small_files",
+    "events_session_window_native",
     # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
