@@ -67,10 +67,26 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def _testdata_canary(sf_dir: str) -> str | None:
+    """Cheap pre-flight: pin the physical type of events.ts (the column whose
+    silent regeneration broke round 2). Returns an error string instead of
+    raising — the bench must emit its JSON line no matter what."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+        if t not in ("timestamp[us]", "timestamp[ns]"):
+            return f"TESTDATA DRIFT: events.ts footer type is {t!r}"
+    except Exception as exc:  # noqa: BLE001
+        return f"canary unreadable: {type(exc).__name__}: {exc}"
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="wafer-pipeline-bench")
     registry = all_queries()
+    canary = _testdata_canary(sf_dir)
 
     # warm-up: JVM classloading + codegen + parquet footer reads
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -110,6 +126,8 @@ def main() -> None:
         "cold": cold,
         "sf": _sf_from_dir(sf_dir),
     }
+    if canary:
+        errors["__testdata_canary"] = canary
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -1082,3 +1082,32 @@ def test_pandas_api_features_match_native(spark, sf_small):
         .toPandas()
     )
     assert ps_out.reset_index(drop=True).equals(native.reset_index(drop=True))
+
+
+def test_incremental_mv_equals_from_scratch(spark, sf_small):
+    """foreachBatch-maintained Q1 MV == from-scratch aggregate, bit-for-bit
+    (decimal partial aggregates merged across >= 4 micro-batches)."""
+    from wafer_defect_data_pipeline_spark.streaming.mv import maintain_q1_mv
+
+    got = maintain_q1_mv(spark, sf_small, n_files=4).toPandas()
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    want = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                    ).cast("decimal(28,4)")
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))

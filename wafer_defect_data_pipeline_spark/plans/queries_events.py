@@ -529,3 +529,30 @@ register(
     FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
     """,
 )
+
+
+# --- incremental materialized-view maintenance (full oracle) ----------------
+def _streaming_mv_q1(spark, sf_dir):
+    """Pricing-summary MV maintained incrementally by a foreachBatch MERGE
+    over a multi-file lineitem stream (streaming/mv.py). Algebraic
+    aggregates merged as exact decimals are batch-count-invariant, so the
+    maintained view hash-equals the from-scratch SQL aggregate."""
+    from ..streaming.mv import maintain_q1_mv
+
+    return maintain_q1_mv(spark, sf_dir)
+
+
+register(
+    "events_streaming_mv_q1",
+    _streaming_mv_q1,
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_disc_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)

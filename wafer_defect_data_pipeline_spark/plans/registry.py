@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "observed_scan_metrics",
     "compaction_small_files",
     "events_session_window_native",
+    "events_streaming_mv_q1",
     # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
