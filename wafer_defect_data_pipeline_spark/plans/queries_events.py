@@ -556,3 +556,47 @@ register(
     ORDER BY l_returnflag, l_linestatus
     """,
 )
+
+
+# --- Arrow-native grouped map (applyInArrow) --------------------------------
+def _user_topk_arrow(spark, sf_dir):
+    """Per-user top-3 events by value via ``applyInArrow`` — the grouped-map
+    path with ZERO pandas materialization: batches stay pyarrow end to end
+    (sort+slice on Arrow tables), which skips the Arrow→pandas→Arrow copy
+    ``applyInPandas`` pays. Right for per-group kernels that pyarrow.compute
+    expresses directly. Deterministic tie-break (value desc, event_id asc);
+    oracle is the equivalent row_number window SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def topk(key, tbl):
+        # non-generator form: Spark hands the whole group as one pa.Table
+        # and expects a pa.Table back
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("value", "descending"), ("event_id", "ascending")]
+        )[:3]
+        return tbl.take(idx)
+
+    return (
+        e.groupBy("user_id")
+        .applyInArrow(topk, "user_id long, event_id long, value double")
+        .orderBy("user_id", F.desc("value"), "event_id")
+    )
+
+
+register(
+    "events_user_topk_arrow",
+    _user_topk_arrow,
+    """
+    SELECT user_id, event_id, value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    )
+    WHERE rn <= 3
+    ORDER BY user_id, value DESC, event_id
+    """,
+)

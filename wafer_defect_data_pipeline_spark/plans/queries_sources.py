@@ -303,3 +303,27 @@ register(
     FROM documents
     """,
 )
+
+
+def _xml_roundtrip(spark, sf_dir):
+    """Native XML sink -> source (Spark 4 built-in, no external package).
+
+    The legacy-enterprise interchange format; rowTag-scoped reads stream
+    records without loading whole documents. Explicit schema'd read-back
+    (attribute order in XML is not positional, so the select re-fixes
+    column order) oracled against the parquet original.
+    """
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = Path(tempfile.gettempdir()) / f"wdps_xml_roundtrip_{Path(sf_dir).name}"
+    r.write.mode("overwrite").option("rootTag", "regions").option("rowTag", "region").xml(str(out))
+    back = spark.read.schema(r.schema).option("rowTag", "region").xml(str(out))
+    return back.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+register(
+    "xml_roundtrip",
+    _xml_roundtrip,
+    """
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+)

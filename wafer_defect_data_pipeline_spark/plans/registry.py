@@ -92,6 +92,8 @@ _PRIORITY: list[str] = [
     "compaction_small_files",
     "events_session_window_native",
     "events_streaming_mv_q1",
+    "events_user_topk_arrow",
+    "xml_roundtrip",
     # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
