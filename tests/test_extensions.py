@@ -1111,3 +1111,15 @@ def test_incremental_mv_equals_from_scratch(spark, sf_small):
         .toPandas()
     )
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+@pytest.mark.medium
+def test_incremental_mv_batch_count_invariant(spark, sf_small):
+    """The maintained MV must not depend on how the stream was chunked:
+    2 files vs 8 files produce identical state (the property that makes
+    exactly-once MERGE maintenance trustworthy)."""
+    from wafer_defect_data_pipeline_spark.streaming.mv import maintain_q1_mv
+
+    a = maintain_q1_mv(spark, sf_small, n_files=2).toPandas()
+    b = maintain_q1_mv(spark, sf_small, n_files=8).toPandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
