@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..functions.text import token_shingles, tokens
 
 
@@ -82,8 +83,12 @@ def minhash_signatures(
     lexicographic min of fixed-width lowercase hex == numeric min.
     """
     n_seeds = -(-n_hashes // 4)
-    sh = df.select(
-        F.col(id_col).alias(id_col), F.explode(token_shingles(text_col, shingle_k)).alias("__s")
+    # fan_out: the shingle-explode + md5 stage is CPU-bound and must not run
+    # at the scan's (possibly single-file) parallelism — measured 7.4s → 0.9s
+    # at sf0.1/local[32]. No-op when the scan already yields enough partitions.
+    src = fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias("__t")))
+    sh = src.select(
+        id_col, F.explode(token_shingles("__t", shingle_k)).alias("__s")
     )
     chunks = []
     for j in range(n_seeds):
@@ -179,7 +184,9 @@ def simhash_values(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per document.
     """
     hexes = "89abcdef"
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    # fan_out: per-token md5 + 32 votes is CPU-bound (see minhash_signatures)
+    src = fan_out(df.select(F.col(id_col), F.col(text_col).alias("__txt")))
+    tok = src.select(F.col(id_col), F.explode(tokens("__txt")).alias("__t"))
     h = F.md5(F.col("__t"))
     votes = tok.select(
         id_col,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..functions.arrays import as_double, cosine, l2_norm
 
 
@@ -55,7 +56,8 @@ def array_mean(df: DataFrame, group_col: str, vec_col: str = "embedding") -> Dat
     vectors never shuffle. This is how IVF centroids are (re)computed at
     100 TB without collecting anything.
     """
-    exploded = df.select(F.col(group_col).alias("__g"), F.posexplode(as_double(vec_col)).alias("pos", "val"))
+    # fan_out: dim× posexplode is CPU-bound; see functions/partitioning.py
+    exploded = fan_out(df).select(F.col(group_col).alias("__g"), F.posexplode(as_double(vec_col)).alias("pos", "val"))
     per_dim = exploded.groupBy("__g", "pos").agg(F.avg("val").alias("avg_val"))
     return (
         per_dim.groupBy("__g")
@@ -252,7 +254,7 @@ def cosine_lsh_pairs_relational(
     spark = df.sparkSession
     hyper = spark.createDataFrame(md5_hyperplanes(n_bits, dim), "bit int, pos int, c double")
 
-    ex = df.select(F.col(id_col).alias("__id"), F.posexplode(as_double(vec_col)).alias("pos", "val"))
+    ex = fan_out(df).select(F.col(id_col).alias("__id"), F.posexplode(as_double(vec_col)).alias("pos", "val"))
     proj = (
         ex.join(F.broadcast(hyper), on="pos")
         .groupBy("__id", "bit")
