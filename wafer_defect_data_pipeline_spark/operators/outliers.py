@@ -109,7 +109,14 @@ def remove_outliers_by_group(
     and is KEPT. Callers needing bug-parity can pre-filter
     ``df.filter(F.col(group_col).isNotNull())``.
     """
-    out = df
+    from ..functions.partitioning import fan_out
+
+    # fan_out: each round's exact-percentile aggregation is CPU-bound
+    # (per-group sort of every value) and runs at the scan's parallelism —
+    # a few row groups for local files. One narrow-row repartition up front
+    # feeds all rounds; no-op at scale. Percentiles, the broadcast bounds
+    # join, and the row-level filters are all partitioning-invariant.
+    out = fan_out(df)
     for col in columns:
         out = iqr_filter_round(out, group_col, col, k, mode, accuracy)
     return out
