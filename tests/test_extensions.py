@@ -1123,3 +1123,16 @@ def test_incremental_mv_batch_count_invariant(spark, sf_small):
     a = maintain_q1_mv(spark, sf_small, n_files=2).toPandas()
     b = maintain_q1_mv(spark, sf_small, n_files=8).toPandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_fan_out_noop_when_parallel_enough(spark, sf_small):
+    """fan_out must add a repartition only when the scan under-parallelizes,
+    and must be a strict no-op (same plan object) otherwise."""
+    from wafer_defect_data_pipeline_spark.functions.partitioning import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    few = spark.read.parquet(f"{sf_small}/documents.parquet")
+    if few.rdd.getNumPartitions() < target:
+        assert fan_out(few).rdd.getNumPartitions() == target
+    many = spark.range(0, 1000, 1, target * 2)
+    assert fan_out(many) is many
