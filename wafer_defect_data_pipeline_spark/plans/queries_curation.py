@@ -113,10 +113,13 @@ register(
 
 # --- repetition quality (Gopher-style dup-token / top-bigram fractions) -----
 def _repetition(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+
     d = read_table(spark, sf_dir, "documents")
     # explode + scalar + groupBy (NOT a per-element HOF over the token array:
-    # interpreted lambdas re-evaluate the split subtree per element)
-    bg = d.select("doc_id", F.explode(token_ngrams("text", 2)).alias("bg"))
+    # interpreted lambdas re-evaluate the split subtree per element);
+    # fan_out so the bigram expansion is not bound to the scan's file count
+    bg = fan_out(d.select("doc_id", "text")).select("doc_id", F.explode(token_ngrams("text", 2)).alias("bg"))
     cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     frac = cnt.groupBy("doc_id").agg(
         F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")

@@ -214,8 +214,10 @@ def _tfidf_topk(spark, sf_dir):
     threshold, and AQE falls back to shuffle join above it (100 TB path)."""
     from pyspark.sql import Window as W
 
+    from ..functions.partitioning import fan_out
+
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tok = fan_out(d.select("doc_id", "text")).select("doc_id", F.explode(X.tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = float(d.count())  # scalar action: one number to the driver
