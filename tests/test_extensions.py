@@ -1136,3 +1136,45 @@ def test_fan_out_noop_when_parallel_enough(spark, sf_small):
         assert fan_out(few).rdd.getNumPartitions() == target
     many = spark.range(0, 1000, 1, target * 2)
     assert fan_out(many) is many
+
+
+def test_streaming_left_outer_join_withholds_watermark_tail(spark, sf_small):
+    """Left-outer stream-stream join contract: (a) every emitted row exists
+    in the batch left join; (b) matched rows all emit; (c) unmatched rows
+    older than the final watermark emit with nulls, younger ones are
+    withheld."""
+    from wafer_defect_data_pipeline_spark.sources import read_table
+    from wafer_defect_data_pipeline_spark.streaming.events import (
+        run_interval_left_join_stream_batch,
+    )
+
+    got = run_interval_left_join_stream_batch(spark, sf_small).toPandas()
+
+    e = read_table(spark, sf_small, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    batch = (
+        c.join(
+            v,
+            F.expr(
+                "c_user = v_user AND view_ts <= click_ts AND click_ts <= view_ts + interval 10 minutes"
+            ),
+            how="leftOuter",
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("view_id").isNull().cast("long")).alias("n_unmatched"),
+        )
+        .toPandas()
+    )
+    m = got.merge(batch, on="user_id", how="right").fillna(0)
+    # matched rows (n_rows - n_unmatched) must ALL emit; emitted never exceeds batch
+    assert ((m.n_rows_x - m.n_unmatched_emitted) == (m.n_rows_y - m.n_unmatched)).all()
+    assert (m.n_unmatched_emitted <= m.n_unmatched).all()
+    # somewhere in the corpus both behaviors are exercised
+    assert m.n_unmatched_emitted.sum() > 0 or m.n_unmatched.sum() == 0

@@ -600,3 +600,17 @@ register(
     ORDER BY user_id, value DESC, event_id
     """,
 )
+
+
+# --- streaming LEFT OUTER interval join (rows-only: watermark-withheld tail)
+def _streaming_left_join(spark, sf_dir):
+    """Stream-stream left-outer interval join. Rows-only by NATURE: the
+    final watermark withholds unmatched clicks younger than the watermark
+    horizon, so the streaming output is a prefix of the batch left join —
+    not SQL-equal. The pytest asserts both halves of that contract."""
+    from ..streaming.events import run_interval_left_join_stream_batch
+
+    return run_interval_left_join_stream_batch(spark, sf_dir)
+
+
+register("events_streaming_left_join", _streaming_left_join, None)

@@ -158,6 +158,7 @@ _PRIORITY: list[str] = [
     "events_streaming_sessions",
     "events_streaming_dedup",
     "events_streaming_join",
+    "events_streaming_left_join",
     "dedup_mllib_minhash_lsh",
     "similarity_bruteforce_topk_arrow",
     "similarity_lsh_pairs",

@@ -224,3 +224,60 @@ def run_foreachbatch_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "user_id", "n_events", F.round("raw_sum", 4).alias("total_value")
     ).orderBy("user_id")
+
+
+def interval_left_join_stream(
+    views: DataFrame, clicks: DataFrame, horizon: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched or not.
+
+    The subtle outer-join semantic: an unmatched click can only emit its
+    null-padded row once the watermark guarantees no matching view can
+    still arrive — so rows within ``watermark`` of the stream's end are
+    WITHHELD at stop, and the streaming result is a prefix of the batch
+    left join, not equal to it (asserted by the pytest). State eviction
+    follows the same bound as the inner variant.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    joined = c.join(
+        v,
+        F.expr(
+            "c_user = v_user AND view_ts <= click_ts "
+            "AND click_ts <= view_ts + interval 10 minutes"
+        ),
+        how="leftOuter",
+    )
+    return joined.select("c_user", "click_id", "view_id", "click_ts", "view_ts")
+
+
+def run_interval_left_join_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot: per-user counts of matched and (emitted) unmatched clicks."""
+    pairs = interval_left_join_stream(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    out = _run_to_memory(pairs, "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("view_id").isNull().cast("long")).alias("n_unmatched_emitted"),
+        )
+        .orderBy("user_id")
+    )
