@@ -1040,3 +1040,49 @@ register(
     FROM m ORDER BY month
     """,
 )
+
+
+# --- DataFrame.transpose (Spark 4): metrics wide-form ------------------------
+def _transpose_metrics(spark, sf_dir):
+    """Per-returnflag metrics transposed to wide form (metrics as rows,
+    flags as columns) — ``DataFrame.transpose`` (Spark 4), the idiomatic
+    "summary table" shape. Runs on an already-aggregated 3-row frame, so
+    the transpose itself is trivially driver-sized; the distributed work is
+    the upstream agg. Oracle builds the same wide rows with conditional
+    aggregation (returnflag domain A/N/R is fixed in TPC-H)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return (
+        agg.transpose()
+        .select("key", F.col("A").cast("double"), F.col("N").cast("double"), F.col("R").cast("double"))
+        .orderBy("key")
+    )
+
+
+register(
+    "transpose_metrics",
+    _transpose_metrics,
+    """
+    WITH m AS (
+      SELECT 'n_rows' AS key,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS A,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS N,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS R
+      FROM lineitem
+      UNION ALL
+      SELECT 'sum_qty',
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE),
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE),
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+      FROM lineitem
+    )
+    SELECT key, A, N, R FROM m ORDER BY key
+    """,
+)

@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "events_streaming_mv_q1",
     "events_user_topk_arrow",
     "xml_roundtrip",
+    "transpose_metrics",
     # (b) known-green sentinels, one per major family
     "flagship_iqr_summary",
     "filter_project",
