@@ -63,7 +63,7 @@ def _load_all() -> None:
 
 
 # The driver's correctness sweep covers the registry in iteration order and
-# samples only ~50 entries per round, so with 138 registered queries the
+# samples only ~50 entries per round, so with 154 registered queries the
 # order must ROTATE: round 3 front-loads (a) the queries whose fixes need
 # driver re-verification (events ts-type root cause, r1's json/sliding-window
 # fixes), (b) a handful of known-green sentinels spanning families (so a
