@@ -510,14 +510,14 @@ register(
     _session_window_native,
     """
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, user_id
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM o
     )

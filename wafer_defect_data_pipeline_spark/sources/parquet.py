@@ -35,8 +35,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Self-contained regardless of which session invokes us (the driver runs
     # queries under a vanilla SparkSession); runtime-settable, idempotent,
-    # and a no-op for micros footers.
+    # and a no-op for micros footers. The UTC pin makes NTZ→TIMESTAMP casts
+    # value-preserving even when the invoking session didn't come from
+    # get_spark (a non-UTC host zone would make watermark/window arithmetic
+    # DST-sensitive).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):

@@ -196,31 +196,47 @@ def run_foreachbatch_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     """Stream events into a keyed upsert sink via ``foreachBatch``.
 
     The production exactly-once sink pattern: each micro-batch is aggregated
-    (count / sum per user) and MERGED into the running per-key state —
+    (count / sum per user) and MERGED into the running per-key state table —
     idempotent per key, additive across batches, exactly what a
-    ``MERGE INTO`` against a transactional table does. Here the state store
-    is a driver-side dict (bounded: one entry per user, not per event; at
-    100 TB the same ``merge`` body targets Delta/Iceberg/JDBC and nothing
-    touches the driver). Raw sums accumulate un-rounded across batches and
-    are rounded once at the end, so the result is batch-count-invariant and
-    matches the batch/DuckDB aggregate exactly.
+    ``MERGE INTO`` against a transactional table does. The state lives in a
+    keyed parquet table maintained by snapshot read-modify-write (union the
+    previous snapshot with the batch partials, re-aggregate, write version
+    N+1 — the same copy-on-write shape Delta/Iceberg MERGE compiles to); the
+    driver holds only the current snapshot PATH, never per-user rows, so
+    state scales with cluster storage, not driver memory. Raw sums
+    accumulate un-rounded across snapshots and are rounded once at the end,
+    so the result is batch-count-invariant and matches the batch/DuckDB
+    aggregate exactly.
     """
+    import shutil
+
     events = read_events_stream(spark, sf_dir)
-    acc: dict[int, list] = {}
+    state_dir = f"/tmp/wdps_upsert_state_{uuid.uuid4().hex[:8]}"
+    cur: dict[str, str | None] = {"path": None}  # snapshot pointer, not state
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        per_user = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("raw_sum")
         )
-        for r in per_user.collect():  # one row per user in the batch — bounded
-            cur = acc.setdefault(r.user_id, [0, 0.0])
-            cur[0] += r.n
-            cur[1] += r.s
+        if cur["path"] is not None:
+            prev = sp.read.parquet(cur["path"])
+            part = prev.unionByName(part).groupBy("user_id").agg(
+                F.sum("n_events").alias("n_events"), F.sum("raw_sum").alias("raw_sum")
+            )
+        nxt = f"{state_dir}/v{batch_id}"
+        part.write.parquet(nxt)
+        old, cur["path"] = cur["path"], nxt
+        if old is not None:  # vacuum the superseded snapshot
+            shutil.rmtree(old, ignore_errors=True)
 
     q = events.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()
-    rows = [(int(u), int(n), float(s)) for u, (n, s) in acc.items()]
-    out = spark.createDataFrame(rows, "user_id long, n_events long, raw_sum double")
+    if cur["path"] is None:  # empty stream
+        return spark.createDataFrame([], "user_id long, n_events long, total_value double")
+    # return the lazy scan of the final snapshot — no driver readout at all;
+    # the session-lifetime temp snapshot is the "table" a caller would query
+    out = spark.read.parquet(cur["path"])
     return out.select(
         "user_id", "n_events", F.round("raw_sum", 4).alias("total_value")
     ).orderBy("user_id")
@@ -259,8 +275,8 @@ def interval_left_join_stream(
     joined = c.join(
         v,
         F.expr(
-            "c_user = v_user AND view_ts <= click_ts "
-            "AND click_ts <= view_ts + interval 10 minutes"
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND click_ts <= view_ts + interval {horizon}"
         ),
         how="leftOuter",
     )

@@ -66,9 +66,11 @@ def maintain_q1_mv(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFr
         for r in part:
             cur = state.setdefault((r.l_returnflag, r.l_linestatus), [0, Decimal(0), Decimal(0), Decimal(0)])
             cur[0] += r.n
-            cur[1] += r.qty
-            cur[2] += r.price
-            cur[3] += r.disc_price
+            # SUM over an all-null batch group is NULL — coalesce so the
+            # general MV recipe survives sparse columns, not just TPC-H data
+            cur[1] += r.qty if r.qty is not None else Decimal(0)
+            cur[2] += r.price if r.price is not None else Decimal(0)
+            cur[3] += r.disc_price if r.disc_price is not None else Decimal(0)
 
     q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()
