@@ -45,19 +45,53 @@ ROW_ID = "__row_id"
 
 
 def with_row_id(df: DataFrame) -> DataFrame:
-    """Attach a stable surrogate row id.
+    """Attach a stable surrogate row id, pin-free whenever possible.
 
+    Default path: derive the id from the scan's hidden file metadata —
+    ``_metadata.file_path`` densely ranked per file, plus
+    ``_metadata.row_index`` within the file. That id is a pure function of
+    the stored bytes: deterministic across re-executions with NO
+    materialization, so branch-and-rejoin lineages (the label write-back
+    join) need no pin at any data scale. The file-rank side of the join is
+    one row per input FILE (metadata-scale) and broadcast. The metadata
+    column resolves through narrow transforms (project/filter/withColumn)
+    but not through joins — attach the id at the scan, as
+    ``WaferPipeline.preprocess`` and the registered wafer query do.
+
+    Fallback (non-file sources, or metadata hidden by an upstream join):
     ``monotonically_increasing_id`` is deterministic only within one
-    materialization; callers that branch-and-rejoin the same lineage (as the
-    write-back join does) must pin it. We localCheckpoint the id'd frame so
-    re-execution cannot renumber rows (SURVEY.md §7 risk register).
-
-    Unlike the dedup/similarity signature pins, this frame is FULL-WIDTH, so
-    at 100 TB the executor-memory cost is real: on a cluster, replace with
-    ``df.checkpoint()`` to reliable storage, or derive the id from stable
-    input columns (file + row position) so no pin is needed at all.
+    materialization, so the id'd frame is pinned with localCheckpoint to
+    stop re-execution renumbering rows (SURVEY.md §7 risk register). The
+    pin materializes the FULL-WIDTH frame in executor memory — the cost the
+    metadata path exists to avoid; on a cluster prefer reliable
+    ``df.checkpoint()`` if the fallback must run on a big frame.
     """
-    return df.withColumn(ROW_ID, F.monotonically_increasing_id()).localCheckpoint(eager=False)
+    from pyspark.sql.window import Window
+
+    try:
+        tagged = df.withColumns(
+            {
+                "__src_file": F.col("_metadata.file_path"),
+                "__src_pos": F.col("_metadata.row_index"),
+            }
+        )
+    except Exception:
+        return df.withColumn(ROW_ID, F.monotonically_increasing_id()).localCheckpoint(eager=False)
+    # dense file rank: |input files| rows, single-partition window is fine
+    file_rank = (
+        tagged.select("__src_file")
+        .distinct()
+        .select(
+            "__src_file",
+            (F.row_number().over(Window.orderBy("__src_file")) - 1).alias("__src_fidx"),
+        )
+    )
+    # row_index fits 40 bits for any real parquet file; 2^23 files headroom
+    return (
+        tagged.join(F.broadcast(file_rank), on="__src_file")
+        .withColumn(ROW_ID, F.shiftleft(F.col("__src_fidx").cast("long"), 40) + F.col("__src_pos"))
+        .drop("__src_file", "__src_pos", "__src_fidx")
+    )
 
 
 def _analysed_subset(df: DataFrame, steps: list[str], features: list[str]) -> DataFrame:

@@ -19,7 +19,9 @@ from typing import Iterable, Sequence
 from pyspark.sql import DataFrame
 
 from ..functions.derived import add_engineered_features
+from ..operators.clustering import ROW_ID as _ROW_ID
 from ..operators.clustering import run_kmeans_by_step as _run_kmeans
+from ..operators.clustering import with_row_id as _with_row_id
 from ..operators.labeling import label_killer_defects as _label_killer
 from ..operators.outliers import remove_outliers_by_group
 from ..schema import CLUSTER_FEATURES, DEFAULT_STEPS_TO_ANALYSE, SIZE_COLUMNS
@@ -76,6 +78,11 @@ class WaferPipeline:
         label_killer: bool = True,
     ) -> DataFrame:
         out = df
+        # attach the clustering write-back row id before any join hides the
+        # scan's _metadata column — pin-free on file sources (clustering.py)
+        attached_id = run_clustering and _ROW_ID not in out.columns
+        if attached_id:
+            out = _with_row_id(out)
         if remove_outliers:
             out = self.remove_outliers_by_class(out)
         if add_features:
@@ -84,7 +91,7 @@ class WaferPipeline:
             out = self.run_kmeans_by_step(out)
         if label_killer:
             out = self.label_killer_defects(out)
-        return out
+        return out.drop(_ROW_ID) if attached_id else out
 
 
 # --- functional wrappers (reference preprocessing.py:287-355) ---------------

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.clustering import run_kmeans_by_step
+from ..operators.clustering import run_kmeans_by_step, with_row_id
 from ..operators.labeling import label_killer_defects
 from ..operators.outliers import remove_outliers_by_group
 from ..sources import read_table
@@ -34,7 +34,10 @@ def _as_wafer(spark, sf_dir):
 
 
 def _wafer_pipeline_on_lineitem(spark, sf_dir):
-    df = _as_wafer(spark, sf_dir)
+    # attach the row id HERE, while the lineage is still a narrow select over
+    # the parquet scan — the _metadata-derived id is pin-free; waiting until
+    # after the outlier bounds join would force the localCheckpoint fallback
+    df = with_row_id(_as_wafer(spark, sf_dir))
     df = remove_outliers_by_group(df, "Class", ["l_extendedprice", "l_quantity"])
     df = df.withColumn("price_per_qty", F.col("l_extendedprice") / (F.col("l_quantity") + F.lit(1e-6)))
     df = run_kmeans_by_step(
