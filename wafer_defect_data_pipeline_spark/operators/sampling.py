@@ -53,10 +53,34 @@ def hash_split(
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int | str = 42,
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sample (seeded, scan-level filter, no shuffle)."""
-    return df.sampleBy(strata_col, fractions, seed=seed)
+    """Per-stratum sample (scan-level filter, no shuffle).
+
+    With ``key_col``: keep rows where the md5 hash-fraction of the key falls
+    under the stratum's fraction — a pure projection+filter that is
+    reproducible across runs, partitionings, and ENGINES (a SQL oracle
+    computing the identical md5 expression selects the identical rows), the
+    same primitive as :func:`hash_split`. Strata absent from ``fractions``
+    are dropped, matching ``sampleBy``.
+
+    Without ``key_col``: seeded ``sampleBy`` (per-stratum Bernoulli). The RNG
+    stream is engine- and partitioning-specific, so results are only
+    statistically checkable — prefer the keyed form whenever a stable row
+    key exists.
+    """
+    if key_col is None:
+        return df.sampleBy(strata_col, fractions, seed=int(seed))
+    frac_col = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == k
+        frac_col = F.when(cond, float(v)) if frac_col is None else frac_col.when(cond, float(v))
+    frac_col = frac_col.otherwise(0.0) if frac_col is not None else F.lit(0.0)
+    return df.filter(_hash_frac(F.col(key_col), f"strat{seed}:") < frac_col)
 
 
 def _hash_frac(key: Column, seed: str) -> Column:

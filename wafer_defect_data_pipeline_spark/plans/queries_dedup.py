@@ -317,17 +317,29 @@ register(
 )
 
 
-# --- stratified sampling (seeded Bernoulli; rows-only — RNG streams are
-# engine-specific, properties tested in tests/test_extensions.py) ------------
+# --- stratified sampling (deterministic hash-threshold keyed on doc_id, so
+# the DuckDB oracle selects the IDENTICAL rows — VERDICT r3 #6) --------------
 def _stratified(spark, sf_dir):
     from ..operators.sampling import stratified_sample
 
     d = read_table(spark, sf_dir, "documents")
-    samp = stratified_sample(d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25})
+    samp = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}, key_col="doc_id"
+    )
     return samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
 
 
-register("sample_stratified", _stratified, None)
+register(
+    "sample_stratified",
+    _stratified,
+    """
+    SELECT lang, count(*) AS n FROM documents
+    WHERE CAST(concat('0x', substring(md5(concat('strat42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                      WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25 ELSE 0.0 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
 
 
 # --- deterministic shuffle: first 10 docs in stable pseudo-random order -----
