@@ -3,13 +3,13 @@
 Media travel as opaque ``binary`` payload columns with typed metadata
 structs — the Spark-native layout for multimodal training data (one row per
 asset, bytes inline for small assets or a URI for large ones). Everything
-that can be computed without a codec (sizes, hashes, magic-byte sniffing,
-batch shapes) runs vectorized via ``mapInPandas`` over Arrow record
-batches; the actual decode step is stubbed behind an import-try because no
-image/audio codec library ships in this environment — the Spark-side
-schema, partitioning, UDF signatures and batch handling are real and
-tested, the pixel math is not (NotImplementedError, as mandated by the
-build brief).
+runs vectorized via ``mapInPandas`` over Arrow record batches. The pixel
+path EXECUTES for the uncompressed PPM (P6) format through the stdlib/numpy
+codec below (decode, per-channel stats, nearest-neighbor resize,
+re-encode); compressed formats (PNG/JPEG) fall through to PIL when
+importable and raise NotImplementedError otherwise — no codec library
+ships in this environment, and a compressed decoder is not reproducible
+from the stdlib.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 MAGIC_PREFIXES: list[tuple[bytes, str]] = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
+    (b"P6", "image/x-portable-pixmap"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),
@@ -84,37 +85,109 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = 
     return df.mapInPandas(batches, schema=METADATA_SCHEMA)
 
 
+# --- PPM (P6) codec: stdlib/numpy only, so the pixel path EXECUTES here -----
+# P6 is the uncompressed RGB interchange format: ASCII header
+# "P6\n{w} {h}\n255\n" followed by h*w*3 raw bytes, row-major RGB. Being
+# uncompressed, it needs no codec library — the no-dependency path that lets
+# decode/resize run (and be oracle-checked) in environments without PIL.
+
+def ppm_encode(arr) -> bytes:
+    """uint8 array [h, w, 3] -> P6 bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError(f"P6 is RGB; got {c} channels")
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def ppm_decode(b: bytes):
+    """P6 bytes -> uint8 array [h, w, 3]. Handles comment lines and any
+    whitespace between header tokens (the format's full grammar)."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit P6 supported, maxval={maxval}")
+    raw = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
-    """Decode image bytes -> (height, width, mode) via mapInPandas.
+    """Decode image bytes -> (width, height, mode, per-channel means) via
+    mapInPandas.
 
-    STUB: requires an image codec (PIL). The environment ships none, so
-    this raises unless PIL is importable; the mapInPandas plumbing is the
-    real, tested part (same batch shape as extract_metadata).
+    PPM (P6) payloads decode through the built-in numpy codec above — fully
+    executable in this environment, no external library. Other formats
+    (PNG/JPEG) fall through to PIL when importable; without PIL a non-PPM
+    payload raises NotImplementedError (the honest gate — compressed-codec
+    bytes can't be decoded from the stdlib).
     """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode needs a codec library (PIL/opencv); not available in this "
-            "environment — plumbing is exercised via extract_metadata instead"
-        ) from e
-
     import io
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def decode_one(b: bytes):
+        import numpy as np
+
+        if b and b.startswith(b"P6"):
+            arr = ppm_decode(b)
+            h, w, _ = arr.shape
+            m = arr.reshape(-1, 3).mean(axis=0) if h * w else np.zeros(3)
+            return w, h, "RGB", float(m[0]), float(m[1]), float(m[2])
+        if not have_pil:
+            raise NotImplementedError(
+                "non-PPM image decode needs a codec library (PIL/opencv); "
+                "only the stdlib P6 codec is available in this environment"
+            )
         from PIL import Image
 
+        img = Image.open(io.BytesIO(b)).convert("RGB")
+        arr = np.asarray(img)
+        m = arr.reshape(-1, 3).mean(axis=0)
+        return img.width, img.height, "RGB", float(m[0]), float(m[1]), float(m[2])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sizes = pdf[payload_col].map(lambda b: Image.open(io.BytesIO(b)).size if b else (0, 0))
+            decoded = pdf[payload_col].map(decode_one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "width": sizes.map(lambda s: s[0]).astype("int32"),
-                    "height": sizes.map(lambda s: s[1]).astype("int32"),
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                    "mode": decoded.map(lambda t: t[2]),
+                    "mean_r": decoded.map(lambda t: round(t[3], 4)),
+                    "mean_g": decoded.map(lambda t: round(t[4], 4)),
+                    "mean_b": decoded.map(lambda t: round(t[5], 4)),
                 }
             )
 
-    return df.mapInPandas(batches, schema="doc_id long, width int, height int")
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width int, height int, mode string, "
+        "mean_r double, mean_g double, mean_b double",
+    )
 
 
 def sample_frames(
@@ -144,36 +217,77 @@ def sample_frames(
 def resize_image(
     df: DataFrame, width: int, height: int, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Image resize plumbing. With a codec (PIL) present this decodes,
-    resizes, and re-encodes; without one it raises NotImplementedError —
-    per the build brief the Spark-side schema and batch handling are real,
-    the pixel math is stubbed."""
+    """Decode → nearest-neighbor resize → re-encode, batched via mapInPandas.
+
+    PPM (P6) payloads run end-to-end on the stdlib codec: numpy
+    integer-index resampling (``src = dst * src_dim // dst_dim``, the
+    standard nearest-neighbor grid) and P6 re-encode — fully executable
+    here. Other formats require PIL; without it they raise
+    NotImplementedError (compressed codecs aren't reproducible from the
+    stdlib)."""
     try:
         from PIL import Image  # noqa: F401
 
-        have_codec = True
+        have_pil = True
     except ImportError:
-        have_codec = False
+        have_pil = False
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not have_codec:
+    def resize_one(b: bytes) -> bytes:
+        import numpy as np
+
+        if b and b.startswith(b"P6"):
+            arr = ppm_decode(b)
+            h, w, _ = arr.shape
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return ppm_encode(arr[rows[:, None], cols[None, :], :])
+        if not have_pil:
             raise NotImplementedError(
-                "image resize requires a codec library (PIL); not available in this environment"
+                "non-PPM image resize requires a codec library (PIL); "
+                "only the stdlib P6 codec is available in this environment"
             )
         import io
 
         from PIL import Image
 
+        img = Image.open(io.BytesIO(b)).resize((width, height), Image.NEAREST)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for b in pdf[payload_col]:
-                img = Image.open(io.BytesIO(b)).resize((width, height))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
-            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "resized": pdf[payload_col].map(resize_one)}
+            )
 
     return df.mapInPandas(batches, schema=f"{id_col} long, resized binary")
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PPM fixture images derived from the row id.
+
+    Per row: ``w = 6 + id % 5``, ``h = 4 + id % 3``, and linear-gradient
+    channels over pixel index ``i``: ``r_i = (id % 100) + i`` (max
+    99 + 59 < 256, no wraparound), ``g_i = 255 - r_i``, ``b_i = id % 100``
+    (constant). Every decoded statistic is therefore a closed-form function
+    of the id — ``mean_r = id%100 + (w*h-1)/2`` — which is what lets a SQL
+    oracle check the EXECUTED pixel path without being able to parse bytes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                w, h, base = 6 + i % 5, 4 + i % 3, i % 100
+                r = (base + np.arange(w * h, dtype=np.uint8)).reshape(h, w)
+                arr = np.stack([r, 255 - r, np.full((h, w), base, dtype=np.uint8)], axis=-1)
+                payloads.append(ppm_encode(arr))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def extract_features(
@@ -196,3 +310,117 @@ def extract_features(
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.mapInPandas(batches, schema=f"{id_col} long, features array<double>")
+
+
+# --- WAV (RIFF/PCM) codec: stdlib only, the audio twin of the P6 path ------
+# Canonical 44-byte RIFF header + 16-bit little-endian PCM samples. Being
+# uncompressed, decode/stat/re-encode EXECUTE here with no audio library —
+# same design as PPM: real byte parsing, oracle-checkable because fixture
+# samples are a closed-form function of the row id.
+
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """int16 array [n] (mono) or [n, ch] -> RIFF/PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    byte_rate = sample_rate * ch * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(b: bytes):
+    """RIFF/PCM bytes -> (sample_rate, int16 array [n, ch]). Walks the chunk
+    list (fmt may be followed by LIST/fact chunks before data)."""
+    import struct
+
+    import numpy as np
+
+    if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Decode WAV bytes -> (rate, channels, samples, duration, mean, rms)
+    via mapInPandas — the executed audio-feature pass."""
+
+    def decode_one(b: bytes):
+        import numpy as np
+
+        rate, a = wav_decode(b)
+        x = a.astype(np.float64)
+        n = a.shape[0]
+        return (
+            rate,
+            a.shape[1],
+            n,
+            n / rate,  # IEEE division — bit-identical in any engine, no rounding
+            round(float(x.mean()) if n else 0.0, 4),
+            round(float(np.sqrt((x**2).mean())) if n else 0.0, 4),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            d = pdf[payload_col].map(decode_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": d.map(lambda t: t[0]).astype("int32"),
+                    "n_channels": d.map(lambda t: t[1]).astype("int32"),
+                    "n_samples": d.map(lambda t: t[2]).astype("int64"),
+                    "duration_s": d.map(lambda t: t[3]),
+                    "mean_amp": d.map(lambda t: t[4]),
+                    "rms_amp": d.map(lambda t: t[5]),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, sample_rate int, n_channels int, n_samples long, "
+        "duration_s double, mean_amp double, rms_amp double",
+    )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mono WAV fixture per row: ``rate = 8000 + 4000*(id%3)``,
+    ``n = 100 + id % 7`` samples forming the arithmetic ramp
+    ``s_i = (id % 50) + i``. Mean and RMS are closed-form in (id, n) — the
+    SQL oracle predicts them while Spark decodes real RIFF bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                n, rate, base = 100 + i % 7, int(8000 + 4000 * (i % 3)), i % 50
+                payloads.append(wav_encode(base + np.arange(n, dtype=np.int16), rate))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
