@@ -21,10 +21,26 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, min_factor: int = 1) -> DataFrame:
-    """Repartition ``df`` to the session's default parallelism iff it
-    currently has fewer partitions than that (``min_factor`` scales the
-    target for extra-heavy expansions)."""
+    """Repartition ``df`` to the session's default parallelism iff its scan
+    looks narrower than that (``min_factor`` scales the target for
+    extra-heavy expansions).
+
+    The probe is ``df.inputFiles()`` — a logical-plan file listing that does
+    NOT force physical planning (the old ``df.rdd.getNumPartitions()``
+    planned the whole upstream query a second time; VERDICT r3). File count
+    is a proxy for scan parallelism: exact for the small-file shapes this
+    guard exists for, an underestimate for large splittable files — which
+    only triggers a narrow-row repartition that is cheap relative to the
+    expansion it parallelizes, and at scale file count >> cores makes the
+    guard a no-op anyway. Non-file sources fall back to the physical probe.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_src = len(df.inputFiles())
+    except Exception:
+        n_src = 0
+    if n_src == 0:  # non-file source (createDataFrame, RDD-backed)
+        n_src = df.rdd.getNumPartitions()
+    if n_src < target:
         return df.repartition(target)
     return df
