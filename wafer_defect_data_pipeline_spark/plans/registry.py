@@ -63,71 +63,18 @@ def _load_all() -> None:
 
 
 # The driver's correctness sweep covers the registry in iteration order and
-# samples only ~50 entries per round, so with 154 registered queries the
-# order must ROTATE: round 3 front-loads (a) the queries whose fixes need
-# driver re-verification (events ts-type root cause, r1's json/sliding-window
-# fixes), (b) a handful of known-green sentinels spanning families (so a
-# systemic regression is still visible), then (c) every query that has never
-# received a driver row in rounds 1-2 — oracle-bearing first, rows-only
-# after. Queries already green in r1/r2 follow at the back; pytest keeps
-# covering them every session. Names not listed here follow in registration
-# order; a listed name missing from the registry is a hard error (catches
-# renames).
+# samples only ~50 entries per round, so with 156 registered queries the
+# order must ROTATE. Round 4 front-loads (a) the 34 queries that have never
+# received a driver row across rounds 1-3 (the union of CORRECTNESS_r01-03
+# — closing this evidence gap is VERDICT r3's top item), (b) queries whose
+# implementation or oracle changed this round and need re-verification,
+# then (c) known-green sentinels spanning families so a systemic regression
+# is still visible. Everything driver-green in r1-r3 rotates to the back;
+# pytest keeps covering all of them every session. Names not listed here
+# follow in registration order; a listed name missing from the registry is
+# a hard error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) fixed this round / fixed-but-never-reverified — need driver rows
-    "events_sessionization",
-    "events_lag_lead",
-    "json_extract",
-    "events_sliding_window",
-    # (a') new in round 3 — need first driver rows
-    "bucketed_join_zeroshuffle",
-    "orc_roundtrip",
-    "json_variant_agg",
-    "events_stateful_profile_exact",
-    "python_datasource_scan",
-    "recursive_cte_hierarchy",
-    "sql_scripting_doubling",
-    "wafer_features_pandas_api",
-    "observed_scan_metrics",
-    "compaction_small_files",
-    "events_session_window_native",
-    "events_streaming_mv_q1",
-    "events_user_topk_arrow",
-    "xml_roundtrip",
-    "transpose_metrics",
-    # (b) known-green sentinels, one per major family
-    "flagship_iqr_summary",
-    "filter_project",
-    "csv_roundtrip",
-    "dedup_exact",
-    "similarity_bruteforce_topk",
-    "text_quality_scores",
-    "events_tumbling_window",
-    "curation_pipeline",
-    # (c) never-driver-tested, oracle-bearing (first-ever evidence)
-    "split_leakage_audit",
-    "semantic_dedup_keep",
-    "merge_upsert",
-    "events_streaming_foreachbatch_upsert",
-    "graph_pagerank_suppliers",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_chunking",
-    "corpus_datacard",
-    "text_inverted_index",
-    "text_bm25_topk",
-    "events_gapfill_ffill",
-    "events_anomaly_mad",
-    "scd2_priority_history",
-    "unpivot_measures",
-    "text_editdist_pairs",
-    "text_geomean_chars_udaf",
-    "events_moving_median",
-    "json_roundtrip",
-    "partitioned_pruned_read",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_region_volume",
+    # (a) never-driver-tested in r1-r3 — oracle-bearing first
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
     "tpch_q11_important_parts",
@@ -153,7 +100,7 @@ _PRIORITY: list[str] = [
     "text_unigram_logprob",
     "multimodal_size_by_lang",
     "multimodal_frame_sample",
-    # (c') never-driver-tested, rows-only by nature
+    # (a') never-driver-tested, rows-only by nature
     "events_hll_weekly_users",
     "events_streaming_tumbling",
     "events_streaming_sessions",
@@ -163,7 +110,64 @@ _PRIORITY: list[str] = [
     "dedup_mllib_minhash_lsh",
     "similarity_bruteforce_topk_arrow",
     "similarity_lsh_pairs",
-    # previously-green queries rotate to the back (r1/r2 driver rows exist)
+    # (b) new or changed in round 4 — need (re-)verification rows
+    "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
+    "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
+    "sample_stratified",  # now deterministic hash-threshold with exact oracle
+    "wafer_pipeline_on_lineitem",  # pin-free metadata row id
+    "events_streaming_foreachbatch_upsert",  # state moved off-driver
+    "events_session_window_native",  # oracle tie-break by event_id
+    "events_streaming_mv_q1",  # null-safe merge
+    # (c) known-green sentinels, one per major family
+    "flagship_iqr_summary",
+    "filter_project",
+    "csv_roundtrip",
+    "dedup_exact",
+    "similarity_bruteforce_topk",
+    "text_quality_scores",
+    "events_tumbling_window",
+    "curation_pipeline",
+    "tpch_q1_pricing_summary",
+    "semantic_dedup_keep",
+    # previously-green queries rotate to the back (r1-r3 driver rows exist)
+    "events_sessionization",
+    "events_lag_lead",
+    "json_extract",
+    "events_sliding_window",
+    "bucketed_join_zeroshuffle",
+    "orc_roundtrip",
+    "json_variant_agg",
+    "events_stateful_profile_exact",
+    "python_datasource_scan",
+    "recursive_cte_hierarchy",
+    "sql_scripting_doubling",
+    "wafer_features_pandas_api",
+    "observed_scan_metrics",
+    "compaction_small_files",
+    "events_user_topk_arrow",
+    "xml_roundtrip",
+    "transpose_metrics",
+    "split_leakage_audit",
+    "merge_upsert",
+    "graph_pagerank_suppliers",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunking",
+    "corpus_datacard",
+    "text_inverted_index",
+    "text_bm25_topk",
+    "events_gapfill_ffill",
+    "events_anomaly_mad",
+    "scd2_priority_history",
+    "unpivot_measures",
+    "text_editdist_pairs",
+    "text_geomean_chars_udaf",
+    "events_moving_median",
+    "json_roundtrip",
+    "partitioned_pruned_read",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_region_volume",
     "range_filter",
     "drop_nulls",
     "derived_ratio",
@@ -180,7 +184,6 @@ _PRIORITY: list[str] = [
     "iqr_cascade_rows",
     "conditional_label_join",
     "iqr_cascade_approx",
-    "wafer_pipeline_on_lineitem",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_pairs",
@@ -197,7 +200,6 @@ _PRIORITY: list[str] = [
     "layout_zorder_stats",
     "multimodal_binary_metadata",
     "sample_hash_split",
-    "sample_stratified",
     "sample_mixture_weights",
     "sample_topk_per_group",
     "pack_sequences",
