@@ -59,6 +59,9 @@ HEADLINE = [
     "json_variant_agg",
     "events_stateful_profile_exact",
     "python_datasource_scan",
+    # round-4 additions: executed multimodal codec paths (stdlib P6 / RIFF)
+    "multimodal_image_decode_stats",
+    "multimodal_audio_decode_stats",
 ]
 
 

@@ -66,7 +66,7 @@ def with_row_id(df: DataFrame) -> DataFrame:
     metadata path exists to avoid; on a cluster prefer reliable
     ``df.checkpoint()`` if the fallback must run on a big frame.
     """
-    from pyspark.sql.window import Window
+    import re as _re
 
     try:
         tagged = df.withColumns(
@@ -75,22 +75,37 @@ def with_row_id(df: DataFrame) -> DataFrame:
                 "__src_pos": F.col("_metadata.row_index"),
             }
         )
+        files = df.inputFiles()
     except Exception:
         return df.withColumn(ROW_ID, F.monotonically_increasing_id()).localCheckpoint(eager=False)
-    # dense file rank: |input files| rows, single-partition window is fine
-    file_rank = (
-        tagged.select("__src_file")
-        .distinct()
-        .select(
-            "__src_file",
-            (F.row_number().over(Window.orderBy("__src_file")) - 1).alias("__src_fidx"),
-        )
-    )
+    if not files:
+        return df.withColumn(ROW_ID, F.monotonically_increasing_id()).localCheckpoint(eager=False)
+
+    # Dense file rank built DRIVER-SIDE from the scan's file listing (pure
+    # metadata — no Spark job; a first cut ranked via distinct()+window over
+    # the _metadata column, which re-scanned the table once per action).
+    # inputFiles() renders local URIs as file:///p while _metadata.file_path
+    # renders file:/p, so both sides compare on the scheme-stripped form.
+    _SCHEME = r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+    rank_rows = [(p, i) for i, p in enumerate(sorted({_re.sub(_SCHEME, "", f) for f in files}))]
+    norm = F.regexp_replace("__src_file", _SCHEME, "")
     # row_index fits 40 bits for any real parquet file; 2^23 files headroom
+    if len(rank_rows) <= 64:
+        # few files: a literal-map lookup is a PURE PROJECTION — no join, no
+        # broadcast exchange re-executed by every downstream job (the
+        # branch-heavy wafer pipeline runs ~10 jobs per action; a broadcast
+        # join here cost it ~2s at sf0.1)
+        mapping = F.create_map(*[x for p, i in rank_rows for x in (F.lit(p), F.lit(i))])
+        fidx = F.element_at(mapping, norm)
+    else:
+        # many files (the 100 TB shape): broadcast hash join on the rank
+        # table — one tiny exchange, hash-lookup per row
+        file_rank = df.sparkSession.createDataFrame(rank_rows, "__src_norm string, __src_fidx int")
+        tagged = tagged.withColumn("__src_norm", norm).join(F.broadcast(file_rank), on="__src_norm")
+        fidx = F.col("__src_fidx")
     return (
-        tagged.join(F.broadcast(file_rank), on="__src_file")
-        .withColumn(ROW_ID, F.shiftleft(F.col("__src_fidx").cast("long"), 40) + F.col("__src_pos"))
-        .drop("__src_file", "__src_pos", "__src_fidx")
+        tagged.withColumn(ROW_ID, F.shiftleft(fidx.cast("long"), 40) + F.col("__src_pos"))
+        .drop("__src_norm", "__src_file", "__src_pos", "__src_fidx")
     )
 
 
@@ -105,8 +120,8 @@ def _analysed_subset(df: DataFrame, steps: list[str], features: list[str]) -> Da
 def _step_stats(subset: DataFrame, features) -> list:
     """ONE job for every step's mean/stddev_pop/count (map-side combinable,
     |steps| result rows — safe to collect at any scale). Doubles as the
-    empty-step guard and the auto-mode size probe, and materializes the
-    row-id checkpoint before any concurrent fits race to be first."""
+    empty-step guard and the auto-mode size probe, and populates the
+    persisted narrow subset before any concurrent fits race to be first."""
     return (
         subset.groupBy("Step_desc")
         .agg(
@@ -191,7 +206,14 @@ def run_kmeans_by_step(
 
     had_row_id = ROW_ID in df.columns
     base = df if had_row_id else with_row_id(df)
-    subset = _analysed_subset(base, steps, feats)
+    # Persist the NARROW analysed subset (row id + step + features), not the
+    # full-width frame: the stats job and every per-step fit re-read exactly
+    # these columns, and without a reuse point each would recompute the whole
+    # upstream lineage (scan + outlier cascade) per job. This replaces the
+    # old full-width localCheckpoint — O(analysed rows × |features|) storage
+    # instead of O(table), spillable to disk, and no longer load-bearing for
+    # correctness (the metadata row id is deterministic without it).
+    subset = _analysed_subset(base, steps, feats).persist()
 
     stats = None
     if mode == "auto":

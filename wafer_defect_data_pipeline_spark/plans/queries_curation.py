@@ -812,3 +812,160 @@ register(
     GROUP BY doc_id ORDER BY doc_id
     """,
 )
+
+
+# --- PII REDACTION (not just detection): regexp_replace with typed tokens ---
+# The curation pass that actually ships: emails/IPs replaced with stable
+# placeholder tokens so downstream training never sees the raw identifier;
+# redaction counts per doc audit the pass. Pure JVM column algebra
+# (regexp_replace + regexp_extract_all), identical regex semantics in
+# DuckDB -> full value-hash oracle including the REDACTED TEXT itself.
+def _pii_redact(spark, sf_dir):
+    from ..functions.text import PII_EMAIL_RE, PII_IPV4_RE, pii_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" contact alice@example.com now")),
+        )
+        .when(F.col("doc_id") % 30 == 0, F.concat(F.col("text"), F.lit(" node at 10.0.0.1 up")))
+        .otherwise(F.col("text")),
+    )
+    n_emails, n_ips = pii_counts("text")
+    return (
+        planted.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_ips.alias("n_ips"),
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+            ).alias("redacted"),
+        )
+        .filter(F.col("n_emails") + F.col("n_ips") > 0)
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_pii_redact",
+    _pii_redact,
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' contact alice@example.com now'
+                  WHEN doc_id % 30 = 0 THEN text || ' node at 10.0.0.1 up'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+    FROM planted
+    WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0
+    ORDER BY doc_id
+    """,
+)
+
+
+# --- per-domain corpus stats (planted URLs -> domain extraction) ------------
+# Standard web-curation op: extract the registrable host from URLs and
+# aggregate corpus mass per domain (the input to domain allow/deny lists
+# and per-domain quality priors). regexp_extract + group-agg, broadcast-free.
+def _url_domain_stats(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" source https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    domain = F.regexp_extract("text", r"https?://([A-Za-z0-9.-]+)", 1)
+    return (
+        planted.select(domain.alias("domain"), F.length("text").alias("n_chars"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+register(
+    "text_url_domain_stats",
+    _url_domain_stats,
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' source https://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+           count(*) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars
+    FROM planted GROUP BY domain ORDER BY domain
+    """,
+)
+
+
+# --- intra-document paragraph dedup (within-doc repetition removal) ---------
+# The within-doc twin of corpus dedup: split on blank lines, drop repeated
+# paragraphs keeping first occurrence, report per-doc paragraph counts.
+# posexplode + min(pos) group-agg — all JVM; DuckDB mirrors it with
+# string_split_regex + unnest + row_number.
+def _paragraph_dedup(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    paras = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\.\s+")).alias("pos", "para"),
+        )
+        .select("doc_id", "pos", F.trim("para").alias("para"))
+        .filter(F.length("para") > 0)
+    )
+    kept = paras.groupBy("doc_id", "para").agg(F.min("pos").alias("first_pos"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique_paras"))
+        .join(
+            paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras")),
+            on="doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_unique_paras",
+            (F.col("n_paras") - F.col("n_unique_paras")).alias("n_dup_paras"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_paragraph_dedup",
+    _paragraph_dedup,
+    r"""
+    WITH paras AS (
+      SELECT doc_id, trim(p.para) AS para
+      FROM documents,
+           LATERAL (SELECT unnest(string_split_regex(text, '\.\s+')) AS para) p
+      WHERE len(trim(p.para)) > 0
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           count(DISTINCT para) AS n_unique_paras,
+           count(*) - count(DISTINCT para) AS n_dup_paras
+    FROM paras GROUP BY doc_id ORDER BY doc_id
+    """,
+)
