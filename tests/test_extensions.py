@@ -1225,3 +1225,32 @@ def test_audio_wav_codec_executes(spark, sf_small):
     base = (ids % 50).astype(float)
     rms = np.sqrt(base**2 + base * (n - 1) + (n - 1) * (2 * n - 1) / 6.0)
     assert got.rms_amp.to_numpy() == pytest.approx(rms, abs=1e-4)
+
+
+def test_video_y4m_codec_executes(spark, sf_small):
+    """The Y4M path executes end-to-end: stride-2 sampled frames carry the
+    closed-form fixture luma, dims, and count."""
+    import numpy as np
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_y4m_payload,
+        decode_video_frames,
+        y4m_decode,
+        y4m_encode,
+    )
+
+    lumas = [np.full((4, 6), 7 + f, dtype=np.uint8) for f in range(5)]
+    w, h, out = y4m_decode(y4m_encode(lumas, 6, 4))
+    assert (w, h, len(out)) == (6, 4, 5)
+    assert all((out[f] == 7 + f).all() for f in range(5))
+
+    d = read_table(spark, sf_small, "documents").limit(30)
+    got = decode_video_frames(attach_y4m_payload(d), stride=2).toPandas()
+    ids = got.doc_id.to_numpy()
+    assert (got.width.to_numpy() == 8 + 2 * (ids % 3)).all()
+    assert (got.height.to_numpy() == 6 + 2 * (ids % 2)).all()
+    assert (got.frame_idx.to_numpy() % 2 == 0).all()  # stride respected
+    assert got.luma_mean.to_numpy() == pytest.approx(ids % 150 + got.frame_idx.to_numpy())
+    n_frames = 3 + got.groupby("doc_id").doc_id.first().to_numpy() % 4
+    sampled = got.groupby("doc_id").size().to_numpy()
+    assert (sampled == (n_frames + 1) // 2).all()

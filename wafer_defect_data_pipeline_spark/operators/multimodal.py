@@ -3,10 +3,12 @@
 Media travel as opaque ``binary`` payload columns with typed metadata
 structs — the Spark-native layout for multimodal training data (one row per
 asset, bytes inline for small assets or a URI for large ones). Everything
-runs vectorized via ``mapInPandas`` over Arrow record batches. The pixel
-path EXECUTES for the uncompressed PPM (P6) format through the stdlib/numpy
-codec below (decode, per-channel stats, nearest-neighbor resize,
-re-encode); compressed formats (PNG/JPEG) fall through to PIL when
+runs vectorized via ``mapInPandas`` over Arrow record batches. All three
+media paths EXECUTE for their uncompressed interchange formats through the
+stdlib/numpy codecs below — PPM (P6) images (decode, channel stats,
+nearest-neighbor resize, re-encode), RIFF/PCM audio (chunk walk, sample
+stats), and YUV4MPEG2 video (frame-marker walk, luma stats, frame
+sampling). Compressed formats (PNG/JPEG) fall through to PIL when
 importable and raise NotImplementedError otherwise — no codec library
 ships in this environment, and a compressed decoder is not reproducible
 from the stdlib.
@@ -26,6 +28,7 @@ MAGIC_PREFIXES: list[tuple[bytes, str]] = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"P6", "image/x-portable-pixmap"),
+    (b"YUV4MPEG2", "video/x-yuv4mpeg"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),
@@ -421,6 +424,112 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i in pdf[id_col].astype("int64"):
                 n, rate, base = 100 + i % 7, int(8000 + 4000 * (i % 3)), i % 50
                 payloads.append(wav_encode(base + np.arange(n, dtype=np.int16), rate))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+# --- Y4M (YUV4MPEG2) codec: stdlib only, the video twin of P6/RIFF ----------
+# The uncompressed video interchange container: ASCII stream header
+# "YUV4MPEG2 W{w} H{h} F{fps} C420\n", then per frame an ASCII "FRAME\n"
+# marker followed by raw 4:2:0 planes (Y: w*h bytes, U and V: w/2*h/2
+# each). Frame extraction and luma statistics EXECUTE here with no video
+# library — completing the image/audio/video trio of executed codec paths.
+
+def y4m_encode(lumas, width: int, height: int, fps: str = "25:1") -> bytes:
+    """List of uint8 luma planes [h, w] -> Y4M bytes (U/V planes neutral 128)."""
+    import numpy as np
+
+    if width % 2 or height % 2:
+        raise ValueError("4:2:0 requires even dimensions")
+    uv = np.full((height // 2) * (width // 2), 128, dtype=np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{width} H{height} F{fps} C420\n".encode("ascii")]
+    for y in lumas:
+        a = np.asarray(y, dtype=np.uint8)
+        if a.shape != (height, width):
+            raise ValueError(f"luma plane {a.shape} != {(height, width)}")
+        out += [b"FRAME\n", a.tobytes(), uv, uv]
+    return b"".join(out)
+
+
+def y4m_decode(b: bytes):
+    """Y4M bytes -> (width, height, [uint8 luma planes]). Walks real FRAME
+    markers; skips optional per-frame parameters after FRAME."""
+    import numpy as np
+
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    hdr_end = b.index(b"\n")
+    w = h = None
+    for tok in b[:hdr_end].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2"):
+            raise ValueError(f"only 4:2:0 supported, got {tok!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+    pos, lumas = hdr_end + 1, []
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = b.index(b"\n", pos) + 1  # optional frame params run to newline
+        lumas.append(np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos).reshape(h, w))
+        pos += frame_bytes
+    return w, h, lumas
+
+
+def decode_video_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", stride: int = 1
+) -> DataFrame:
+    """Decode Y4M bytes -> one row per SAMPLED frame (every ``stride``-th),
+    with per-frame luma statistics — the real form of video frame sampling
+    (``sample_frames`` above is the codec-free byte-window variant)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                w, h, lumas = y4m_decode(b)
+                for j in range(0, len(lumas), stride):
+                    ids.append(int(i))
+                    idxs.append(j)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(round(float(lumas[j].mean()), 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "luma_mean": means,
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx int, width int, height int, luma_mean double",
+    )
+
+
+def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Y4M fixture per row: ``w = 8 + 2*(id%3)``,
+    ``h = 6 + 2*(id%2)``, ``n_frames = 3 + id%4``, frame ``f``'s luma is the
+    constant ``(id % 150) + f`` (max 155 < 256) — every frame statistic is
+    closed-form in (id, f) for the SQL oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                w, h, n, base = 8 + 2 * (i % 3), 6 + 2 * (i % 2), 3 + i % 4, i % 150
+                lumas = [np.full((h, w), base + f, dtype=np.uint8) for f in range(n)]
+                payloads.append(y4m_encode(lumas, int(w), int(h)))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")

@@ -158,3 +158,37 @@ register(
     FROM p ORDER BY doc_id
     """,
 )
+
+
+# --- EXECUTED video path: stdlib Y4M codec, frame sampling, oracle-checked --
+# Completes the trio: Spark walks real FRAME markers in YUV4MPEG2 streams
+# and averages real luma planes, sampling every 2nd frame; the oracle
+# regenerates the sampled-frame grid with a LATERAL range() because the
+# fixture lumas are the closed form (id % 150) + frame_idx.
+def _video_frame_stats(spark, sf_dir):
+    from ..operators.multimodal import attach_y4m_payload, decode_video_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_video_frames(attach_y4m_payload(d), stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+register(
+    "multimodal_video_frame_stats",
+    _video_frame_stats,
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(8 + 2 * (doc_id % 3) AS INTEGER) AS width,
+             CAST(6 + 2 * (doc_id % 2) AS INTEGER) AS height,
+             3 + doc_id % 4 AS n,
+             doc_id % 150 AS base
+      FROM documents
+    )
+    SELECT doc_id, CAST(u.f AS INTEGER) AS frame_idx, width, height,
+           CAST(base + u.f AS DOUBLE) AS luma_mean
+    FROM p, LATERAL (SELECT unnest(range(0, n, 2)) AS f) u
+    ORDER BY doc_id, frame_idx
+    """,
+)
