@@ -1254,3 +1254,20 @@ def test_video_y4m_codec_executes(spark, sf_small):
     n_frames = 3 + got.groupby("doc_id").doc_id.first().to_numpy() % 4
     sampled = got.groupby("doc_id").size().to_numpy()
     assert (sampled == (n_frames + 1) // 2).all()
+
+
+def test_audio_spectrum_fft_executes(spark, sf_small):
+    """Real numpy FFTs over real PCM bytes: the detected dominant bin must
+    equal the planted tone's cycle count, and peak_hz its exact frequency."""
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_tone_payload,
+        audio_spectrum_stats,
+    )
+
+    d = read_table(spark, sf_small, "documents").limit(30)
+    got = audio_spectrum_stats(attach_tone_payload(d)).toPandas().sort_values("doc_id")
+    ids = got.doc_id.to_numpy()
+    assert (got.peak_bin.to_numpy() == 5 + ids % 10).all()
+    assert (got.n_samples == 256).all()
+    rates = 8000 + 4000 * (ids % 3)
+    assert got.peak_hz.to_numpy() == pytest.approx((5 + ids % 10) * rates / 256)

@@ -533,3 +533,65 @@ def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+# --- spectral analysis: real DSP on the executed audio path -----------------
+
+def audio_spectrum_stats(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Dominant-frequency detection per WAV payload: numpy real FFT of the
+    mono signal, DC bin ignored, argmax magnitude bin -> frequency. The
+    executed form of audio feature extraction (the step before MFCC/mel
+    filterbanks in a speech pipeline), vectorized per Arrow batch."""
+
+    def analyze_one(b: bytes):
+        import numpy as np
+
+        rate, a = wav_decode(b)
+        x = a[:, 0].astype(np.float64)
+        n = x.shape[0]
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0  # ignore DC offset
+        k = int(np.argmax(spec))
+        return n, rate, k, k * rate / n
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            d = pdf[payload_col].map(analyze_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": d.map(lambda t: t[0]).astype("int64"),
+                    "sample_rate": d.map(lambda t: t[1]).astype("int32"),
+                    "peak_bin": d.map(lambda t: t[2]).astype("int32"),
+                    "peak_hz": d.map(lambda t: t[3]),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n_samples long, sample_rate int, peak_bin int, peak_hz double",
+    )
+
+
+def attach_tone_payload(df: DataFrame, id_col: str = "doc_id", n: int = 256) -> DataFrame:
+    """Pure-tone WAV fixture per row: 256 samples of
+    ``round(1000 * cos(2π k i / n))`` with ``k = 5 + id % 10`` cycles and
+    ``rate = 8000 + 4000 * (id % 3)``. An integer number of cycles puts all
+    signal energy in FFT bin k (rounding leakage is orders of magnitude
+    below the peak), so the detected frequency is the closed form
+    ``k * rate / n`` — and with n = 256 dividing both rates exactly, the
+    division is bit-exact in any engine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i_grid = np.arange(n)
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                k, rate = 5 + i % 10, int(8000 + 4000 * (i % 3))
+                s = np.round(1000 * np.cos(2 * np.pi * k * i_grid / n)).astype(np.int16)
+                payloads.append(wav_encode(s, rate))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")

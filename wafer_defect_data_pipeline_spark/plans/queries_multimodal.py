@@ -192,3 +192,29 @@ register(
     ORDER BY doc_id, frame_idx
     """,
 )
+
+
+# --- EXECUTED spectral analysis: FFT peak detection, oracle-checked ---------
+# Real numpy FFTs over real PCM bytes; the oracle predicts the result
+# because the fixture plants k = 5 + id%10 cycles of a pure tone in 256
+# samples — all spectral energy lands in bin k, and peak_hz = k*rate/256 is
+# bit-exact (256 divides both sample rates).
+def _audio_spectrum(spark, sf_dir):
+    from ..operators.multimodal import attach_tone_payload, audio_spectrum_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return audio_spectrum_stats(attach_tone_payload(d)).orderBy("doc_id")
+
+
+register(
+    "multimodal_audio_spectrum_peak",
+    _audio_spectrum,
+    """
+    SELECT doc_id,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(8000 + 4000 * (doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(5 + doc_id % 10 AS INTEGER) AS peak_bin,
+           CAST((5 + doc_id % 10) * (8000 + 4000 * (doc_id % 3)) AS DOUBLE) / 256 AS peak_hz
+    FROM documents ORDER BY doc_id
+    """,
+)

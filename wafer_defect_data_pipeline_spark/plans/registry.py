@@ -63,7 +63,7 @@ def _load_all() -> None:
 
 
 # The driver's correctness sweep covers the registry in iteration order and
-# samples only ~50 entries per round, so with 160 registered queries the
+# samples only ~50 entries per round, so with 161 registered queries the
 # order must ROTATE. Round 4 front-loads (a) the 34 queries that have never
 # received a driver row across rounds 1-3 (the union of CORRECTNESS_r01-03
 # — closing this evidence gap is VERDICT r3's top item), (b) queries whose
@@ -114,6 +114,7 @@ _PRIORITY: list[str] = [
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
     "multimodal_video_frame_stats",  # new: executed Y4M frame sampling, full oracle
+    "multimodal_audio_spectrum_peak",  # new: executed FFT peak detection, full oracle
     "text_pii_redact",  # new: redaction (not just detection), redacted text in oracle
     "text_url_domain_stats",  # new: per-domain corpus mass
     "text_paragraph_dedup",  # new: within-doc dedup counts
