@@ -1271,3 +1271,19 @@ def test_audio_spectrum_fft_executes(spark, sf_small):
     assert (got.n_samples == 256).all()
     rates = 8000 + 4000 * (ids % 3)
     assert got.peak_hz.to_numpy() == pytest.approx((5 + ids % 10) * rates / 256)
+
+
+def test_interval_left_join_honors_horizon(spark, sf_small):
+    """ADVICE r3: the LEFT OUTER interval join must interpolate its horizon
+    parameter into the join condition (it used to hardcode 10 minutes)."""
+    from wafer_defect_data_pipeline_spark.streaming.events import (
+        interval_left_join_stream,
+        read_events_stream,
+    )
+
+    v = read_events_stream(spark, sf_small)
+    c = read_events_stream(spark, sf_small)
+    joined = interval_left_join_stream(v, c, horizon="7 minutes")
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "INTERVAL '07' MINUTE" in plan, plan
+    assert "INTERVAL '10' MINUTE" not in plan  # the previously-hardcoded value
