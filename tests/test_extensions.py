@@ -1287,3 +1287,47 @@ def test_interval_left_join_honors_horizon(spark, sf_small):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "INTERVAL '07' MINUTE" in plan, plan
     assert "INTERVAL '10' MINUTE" not in plan  # the previously-hardcoded value
+
+
+def test_pca_components_orthonormal_and_variance_matches(spark, sf_small):
+    import numpy as np
+
+    from wafer_defect_data_pipeline_spark.operators.decomposition import (
+        pca_components,
+        pca_project,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    mean, comps, eigs = pca_components(emb, "embedding", dim=64, k=4)
+    c = np.asarray(comps)
+    # orthonormal axes, eigenvalue-descending
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-8)
+    assert eigs == sorted(eigs, reverse=True) and eigs[0] > 0
+    # sign convention: largest-|entry| of each component is positive
+    for row in c:
+        assert row[np.argmax(np.abs(row))] > 0
+    # projected variance equals the eigenvalue (population ddof=0)
+    proj = pca_project(emb, "vec_id", "embedding", dim=64, k=4).toPandas()
+    for k_i, eig in enumerate(eigs, start=1):
+        assert abs(proj[f"pc{k_i}"].var(ddof=0) - eig) / eig < 1e-3
+
+
+def test_covariance_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from wafer_defect_data_pipeline_spark.operators.decomposition import covariance_matrix
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    rows = covariance_matrix(emb, "embedding", dim=64).collect()
+    x = np.asarray(
+        [list(v) for v in emb.select("embedding").toPandas()["embedding"]], dtype=np.float64
+    )
+    ref = np.cov(x, rowvar=False, ddof=0)
+    got = np.zeros((64, 64))
+    for r in rows:
+        got[r.i - 1, r.j - 1] = r.cov
+        got[r.j - 1, r.i - 1] = r.cov
+    assert len(rows) == 64 * 65 // 2
+    assert np.allclose(got, ref, atol=1e-10)

@@ -228,3 +228,46 @@ def _lsh_pairs(spark, sf_dir):
 
 
 register("similarity_lsh_pairs", _lsh_pairs, None)
+
+
+# --- covariance matrix (distributed BLAS partial outer products) -----------
+def _covariance(spark, sf_dir):
+    from ..operators.decomposition import covariance_matrix
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        covariance_matrix(emb, "embedding", dim=64)
+        # + 0.0 normalizes IEEE negative zero so the exact-hash oracle
+        # comparison can't split on round() returning -0.0 on one side only
+        .select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+register(
+    "embedding_covariance",
+    _covariance,
+    """
+    WITH idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+    e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT i.i AS i, j.i AS j,
+           round(avg(v[i.i] * v[j.i]) - avg(v[i.i]) * avg(v[j.i]), 6) + 0.0 AS cov
+    FROM e CROSS JOIN idx i CROSS JOIN idx j
+    WHERE i.i <= j.i
+    GROUP BY i.i, j.i
+    ORDER BY i, j
+    """,
+)
+
+
+# --- PCA projection (rows-only: eigendecomposition is not SQL-expressible;
+# the covariance input is the oracle-checked exact twin above, and pytest
+# checks component orthonormality + variance == eigenvalue) -----------------
+def _pca_projection(spark, sf_dir):
+    from ..operators.decomposition import pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", dim=64, k=4).orderBy("vec_id")
+
+
+register("embedding_pca_projection", _pca_projection, None)
