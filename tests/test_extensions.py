@@ -1331,3 +1331,29 @@ def test_covariance_matches_numpy(spark, sf_small):
         got[r.j - 1, r.i - 1] = r.cov
     assert len(rows) == 64 * 65 // 2
     assert np.allclose(got, ref, atol=1e-10)
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    d = read_table(spark, sf_small, "documents").select("doc_id", "text").limit(120)
+    planted = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+    )
+    both = d.unionByName(planted)
+    fast = prefix_filter_jaccard_pairs(both, "doc_id", "text", threshold=0.6)
+    brute = jaccard_pairs(
+        both.withColumn("one", F.lit(1)), "doc_id", "text", "one", threshold=0.6
+    )
+    f = {(r.id_a, r.id_b): r.jaccard for r in fast.collect()}
+    b = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
+    assert f == b  # completeness AND exactness of the prefix-filtered join
+    assert len(f) >= 12  # planted twins found

@@ -359,3 +359,59 @@ register(
     LIMIT 10
     """,
 )
+
+
+# --- prefix-filtered EXACT Jaccard join (AllPairs/PPJoin family) ------------
+# Plants a near-dup twin for every 20th doc (one extra token => Jaccard
+# s/(s+1) ~ 0.98) so the result is non-trivially populated at every SF; the
+# oracle replicates the planting and checks the full all-pairs answer — the
+# equality is exactly the prefix-filter completeness theorem under test.
+def _prefix_jaccard(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        d.filter((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" plantedtoken")))
+    )
+    both = d.unionByName(planted)
+    return (
+        prefix_filter_jaccard_pairs(both, "doc_id", "text", threshold=0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+register(
+    "dedup_prefix_jaccard_pairs",
+    _prefix_jaccard,
+    rf"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' plantedtoken' FROM documents
+      WHERE doc_id % 20 = 0 AND trim(text) <> ''
+    ),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, {_SH3_Q} AS shingles FROM t
+    ),
+    tok AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM sh
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(o * 1.0 / (sa.sz + sb.sz - o), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(o * 1.0 / (sa.sz + sb.sz - o), 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
