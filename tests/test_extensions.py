@@ -1357,3 +1357,73 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, sf_small):
     b = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
     assert f == b  # completeness AND exactness of the prefix-filtered join
     assert len(f) >= 12  # planted twins found
+
+
+def test_zonemap_prunes_files_and_preserves_answer(spark, sf_small, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.layout import (
+        build_zonemap,
+        zonemap_pruned_read,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    li = read_table(spark, sf_small, "lineitem").select("l_shipdate", "l_extendedprice")
+    path = str(tmp_path / "clustered")
+    li.repartitionByRange(8, "l_shipdate").write.parquet(path)
+    zm = build_zonemap(spark, path, ["l_shipdate"])
+    assert zm.count() == 8  # one stats row per file
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1995, 6, 30, 23, 59, 59, 999999)
+    pruned, kept, total = zonemap_pruned_read(spark, path, zm, "l_shipdate", lo, hi)
+    assert total == 8 and 0 < kept < total  # skipping actually skipped
+    expect = li.filter(F.col("l_shipdate").between(F.lit(lo), F.lit(hi)))
+    assert pruned.count() == expect.count()
+    assert pruned.agg(F.sum("l_extendedprice")).first()[0] == (
+        expect.agg(F.sum("l_extendedprice")).first()[0]
+    )
+    # disjoint window entirely outside the data -> zero files, empty result
+    out, kept0, _ = zonemap_pruned_read(
+        spark, path, zm, "l_shipdate",
+        datetime.datetime(2050, 1, 1), datetime.datetime(2050, 12, 31),
+    )
+    assert kept0 == 0 and out.count() == 0
+
+
+def test_bloom_runtime_filter_injects_and_matches_plain_join(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.skew import bloom_runtime_filtered_join
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    li = read_table(spark, sf_small, "lineitem").select("l_orderkey", "l_extendedprice")
+    sel = read_table(spark, sf_small, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # plan shape: under the pinned confs the fact scan carries might_contain
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    # conf restoration + result parity with the plain join
+    got = bloom_runtime_filtered_join(spark, li, sel, "l_orderkey", "o_orderkey")
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == old[
+        "spark.sql.autoBroadcastJoinThreshold"
+    ]
+    plain = li.join(sel, li.l_orderkey == sel.o_orderkey)
+    assert got.count() == plain.count()
+    dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    assert got.agg(dec).first()[0] == plain.agg(dec).first()[0]

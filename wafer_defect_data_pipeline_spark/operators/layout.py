@@ -78,3 +78,60 @@ def zorder_by(
     z = with_zvalue(df, col_a, col_b, bits)
     parts = num_partitions or z.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return z.repartitionByRange(int(parts), "zvalue").sortWithinPartitions("zvalue")
+
+
+# --- file-statistics zonemap (data skipping) --------------------------------
+
+def build_zonemap(spark, path: str, cols: list[str]) -> "DataFrame":
+    """Per-file min/max statistics index — the data-skipping companion to
+    :func:`zorder_by` (clustering only pays off when something PRUNES on it).
+
+    One scan with the ``_metadata.file_path`` hidden column groups rows by
+    their physical file and records ``(file, n_rows, min_<c>, max_<c>, ...)``.
+    Build cost is a single pass (that is how every file-statistics index is
+    built); amortized over every subsequent pruned read. The groupBy key is
+    the file path, so partial aggregation collapses each scan task's rows to
+    one row before the (tiny) shuffle.
+
+    This is the mechanism under lakehouse-format data skipping (Delta/
+    Iceberg manifests keep exactly these stats per file); here it is an
+    explicit, queryable DataFrame that can be persisted next to the data.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.select(F.col("_metadata.file_path").alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def zonemap_pruned_read(
+    spark, path: str, zonemap: "DataFrame", col: str, lo, hi
+) -> tuple["DataFrame", int, int]:
+    """Read only the files whose ``[min, max]`` zone overlaps ``[lo, hi]``.
+
+    Returns ``(df, files_kept, files_total)``. The zonemap readout is
+    bounded (one row per file — ~800k rows for 100 TB of 128 MB files, a
+    driver-safe list; beyond that, keep the zonemap as a table and prune
+    via a join on ``_metadata.file_path`` instead). The range predicate is
+    RE-APPLIED to the surviving files, so pruning is a pure optimization:
+    zone overlap is a superset guarantee, never a correctness input. Files
+    with a null min/max (all-null zone) are kept — nulls carry no range
+    evidence either way.
+    """
+    rows = zonemap.select("file", f"min_{col}", f"max_{col}").collect()
+    keep = [
+        r["file"]
+        for r in rows
+        if r[f"min_{col}"] is None
+        or r[f"max_{col}"] is None
+        or not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, len(rows)
+    return spark.read.parquet(*keep).filter(pred), len(keep), len(rows)

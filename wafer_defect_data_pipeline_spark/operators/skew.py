@@ -77,3 +77,47 @@ def two_phase_agg(
     )
     partial = salted.groupBy(*keys, SALT).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def bloom_runtime_filtered_join(
+    spark,
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Shuffle join with Catalyst's runtime Bloom-filter semi-join reduction
+    forced on — the row-level analogue of zonemap file skipping.
+
+    When the dim side carries a selective filter, Catalyst's
+    InjectRuntimeFilter rule builds a Bloom filter over the dim keys in a
+    subquery and pushes ``might_contain(key)`` into the FACT scan, so
+    non-matching fact rows are dropped BEFORE the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and shuffling
+    only the ~join-surviving fraction; false positives only cost shuffle
+    bytes — the join itself stays exact.
+
+    Local thresholds block injection (the application side must look like
+    10 GB+ by default, and a broadcastable dim takes the broadcast path
+    where no Bloom is needed), so this helper pins the confs, materializes
+    the join result under them via an eager localCheckpoint (results are
+    plan-invariant — only the physical row route changes), and restores
+    the session confs — later queries plan under the defaults again.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(dim, fact[fact_key] == dim[dim_key])
+        return joined.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

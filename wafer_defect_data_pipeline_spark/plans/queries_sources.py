@@ -327,3 +327,60 @@ register(
     SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
     """,
 )
+
+
+# --- zonemap data skipping: cluster -> stats index -> pruned scan -----------
+def _zonemap_pruned_agg(spark, sf_dir):
+    """Range-cluster lineitem by ship date, build a per-file min/max
+    zonemap, and answer a date-range aggregate reading ONLY overlapping
+    files. repartitionByRange gives each file a disjoint l_shipdate zone,
+    so a one-quarter predicate keeps ~1-2 of 8 files (pytest asserts the
+    prune; this oracle checks only values — pruning is a superset
+    guarantee, so results are layout-invariant)."""
+    from ..operators.layout import build_zonemap, zonemap_pruned_read
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    clustered = Path(tempfile.gettempdir()) / f"wdps_zonemap_{tag}"
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(str(clustered))
+
+    zm = build_zonemap(spark, str(clustered), ["l_shipdate"])
+    import datetime
+
+    # l_shipdate is TIMESTAMP_NTZ; inclusive [Jan 1, last-us-of-Mar 31]
+    # == the oracle's half-open [1995-01-01, 1995-04-01) at us precision
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1995, 3, 31, 23, 59, 59, 999999)
+    pruned, _kept, _total = zonemap_pruned_read(
+        spark, str(clustered), zm, "l_shipdate", lo, hi
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "zonemap_pruned_agg",
+    _zonemap_pruned_agg,
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)

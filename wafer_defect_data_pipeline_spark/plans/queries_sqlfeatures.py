@@ -17,6 +17,8 @@ entirely inside the SQL engine:
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..sources import read_table
 from .registry import register
 
@@ -94,5 +96,52 @@ register(
            CAST(max(v) AS BIGINT) AS final_cents,
            (SELECT max_cents FROM mx) AS max_cents
     FROM loop
+    """,
+)
+
+
+# --- runtime Bloom-filter semi-join reduction -------------------------------
+def _bloom_filtered_join(spark, sf_dir):
+    """Selective dim filter -> Catalyst injects might_contain(l_orderkey)
+    into the fact scan, shrinking the shuffle to join survivors (see
+    operators/skew.bloom_runtime_filtered_join; plan-shape pytest asserts
+    the injection). Result is route-invariant, so the oracle is the plain
+    join."""
+    from ..operators.skew import bloom_runtime_filtered_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    j = bloom_runtime_filtered_join(spark, li, orders, "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "bloom_runtime_filter_join",
+    _bloom_filtered_join,
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )

@@ -100,6 +100,11 @@ _PRIORITY: list[str] = [
     "text_unigram_logprob",
     "multimodal_size_by_lang",
     "multimodal_frame_sample",
+    # (a'') new this session — oracle-bearing, no driver row yet
+    "embedding_covariance",
+    "dedup_prefix_jaccard_pairs",
+    "zonemap_pruned_agg",
+    "bloom_runtime_filter_join",
     # (a') never-driver-tested, rows-only by nature
     "events_hll_weekly_users",
     "events_streaming_tumbling",
@@ -110,6 +115,7 @@ _PRIORITY: list[str] = [
     "dedup_mllib_minhash_lsh",
     "similarity_bruteforce_topk_arrow",
     "similarity_lsh_pairs",
+    "embedding_pca_projection",  # new this session (eigh not SQL-expressible)
     # (b) new or changed in round 4 — need (re-)verification rows
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
