@@ -1427,3 +1427,79 @@ def test_bloom_runtime_filter_injects_and_matches_plain_join(spark, sf_small):
     assert got.count() == plain.count()
     dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
     assert got.agg(dec).first()[0] == plain.agg(dec).first()[0]
+
+
+def test_cms_never_undercounts_and_is_tight_for_top_terms(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimate,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    d = read_table(spark, sf_small, "documents").filter(F.trim("text") != "")
+    tok = d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+    exact = {r.t: r.n for r in tok.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = cms_build(tok, "t", depth=4, width=256)
+    probes = spark.createDataFrame([(t,) for t in list(exact)[:50]], "probe string")
+    est = {
+        r.probe: r.est_count
+        for r in cms_point_estimate(sketch, probes, "probe", depth=4, width=256).collect()
+    }
+    n_total = sum(exact.values())
+    for t, e in est.items():
+        assert e >= exact[t]  # CMS one-sided error guarantee
+        assert e - exact[t] <= 3 * n_total / 256  # ~eN/w overcount bound, slack 3x
+
+
+def test_kmv_estimate_within_relative_error(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.sketches import kmv_distinct_estimate
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    li = read_table(spark, sf_small, "lineitem")
+    est = {
+        r.l_returnflag: r.est_distinct
+        for r in kmv_distinct_estimate(li, "l_returnflag", "l_partkey", k=64).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for g, e in est.items():
+        assert abs(e - exact[g]) / exact[g] < 0.5  # 1/sqrt(64)=12.5% expected; generous gate
+    # exactness below k: a group with < k distinct values returns the exact count
+    small = li.filter(F.col("l_partkey") < 40)
+    se = {
+        r.l_returnflag: r.est_distinct
+        for r in kmv_distinct_estimate(small, "l_returnflag", "l_partkey", k=64).collect()
+    }
+    sx = {
+        r.l_returnflag: r.n
+        for r in small.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert se == {g: float(v) for g, v in sx.items()}
+
+
+def test_triangle_count_known_graphs(spark):
+    from wafer_defect_data_pipeline_spark.operators.graph import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return triangle_count(df).first().n_triangles
+
+    # K4 has 4 triangles; reversed/duplicated edges must not change it
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tc(k4) == 4
+    assert tc(k4 + [(b, a) for a, b in k4]) == 4
+    # path graph: none; triangle with a pendant: exactly one
+    assert tc([(0, 1), (1, 2), (2, 3)]) == 0
+    assert tc([(0, 1), (1, 2), (0, 2), (2, 3)]) == 1
+    # two disjoint triangles
+    assert tc([(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]) == 2

@@ -136,3 +136,63 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Exact triangle count over an undirected edge list, degree-oriented.
+
+    Near-dup graphs answer "how clubby is this cluster?" with triangle
+    density (a dedup cluster that is a clean clique looks very different
+    from a chain of borderline matches). The naive 3-way self-join
+    enumerates every path of length 2 — on a high-degree hub that is
+    O(d_max²) rows. The classic fix (compact-forward / Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11) orients
+    each edge from the lower-(degree, id) endpoint to the higher one: every
+    triangle is counted exactly once, and wedge enumeration is bounded by
+    the ORIENTED out-degree, O(sqrt(|E|)) per node, so no reducer melts.
+
+    Input rows may carry either orientation and duplicates; they are
+    normalized first. Returns a 1-row DataFrame ``(n_triangles)``.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degree agg + 3 join sides
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # orient low-(degree, id) -> high-(degree, id)
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = oriented.select(F.col("u").alias("x"), F.col("w").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    closing = oriented.select(
+        F.col("u").alias("cy"), F.col("w").alias("cz")
+    ).unionByName(oriented.select(F.col("w").alias("cy"), F.col("u").alias("cz")))
+    closed = wedges.join(
+        closing, (F.col("y") == F.col("cy")) & (F.col("z") == F.col("cz")), "left_semi"
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

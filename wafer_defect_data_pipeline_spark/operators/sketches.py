@@ -1,0 +1,124 @@
+"""Mergeable sketch operators, built relationally (extension surface §2.9).
+
+A 100 TB curation pipeline constantly needs cheap cardinality / frequency
+answers ("how many distinct urls per shard?", "which n-grams are hot?")
+where exact counting would shuffle the corpus. Spark ships HLL
+(``hll_sketch_agg`` — used by the weekly-rollup queries) and a binary
+``count_min_sketch`` aggregate, but the JVM sketch blobs are opaque to SQL
+and to the DuckDB oracle. These operators build the same two classic
+sketches RELATIONALLY — md5-derived hash functions, sketch state as plain
+(row, bucket, count) tables — so they are deterministic, mergeable with a
+``groupBy().sum()``, and every estimate is exactly reproducible in the
+oracle SQL. The md5-as-hash trick mirrors the MinHash/SimHash operators
+(operators/dedup.py).
+
+- **KMV (k minimum values)** distinct-count estimator: keep the k smallest
+  normalized hashes of the distinct values; estimate = (k-1)/u_k where u_k
+  is the k-th smallest. Per-group state is k longs — a groupBy window over
+  hashes, never a count-distinct shuffle of raw values. (Bar-Yossef et al.,
+  RANDOM'02 — public literature; the same estimator family as Theta/KMV
+  sketches in Apache DataSketches.)
+- **Count-Min** frequency estimator: depth×width counter matrix, cell
+  (r, md5_r(x) mod w) += weight; point estimate = min over rows. State is
+  d·w cells regardless of corpus size; builds map-side like any groupBy.
+  (Cormode & Muthukrishnan, J. Algorithms'05 — public literature.)
+
+Hash convention: ``md5(prefix || value)`` first 15 hex chars → 60-bit
+integer (fits a signed long on both Spark and DuckDB's 0x-cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60
+_HASH_SPACE = float(1 << _HASH_BITS)
+
+
+def _hash60(prefix: str, c: Column) -> Column:
+    """Deterministic 60-bit hash of a column value (string-cast)."""
+    h = F.md5(F.concat(F.lit(prefix), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group approximate distinct count via k minimum hash values.
+
+    Output ``(group_col, est_distinct)`` with ``est_distinct`` = (k-1)/u_k,
+    u_k the k-th smallest distinct normalized hash (falls back to the exact
+    distinct count when a group has fewer than k distinct values — the
+    sketch holds them all, so exactness is free).
+
+    Shuffle: one distinct on (group, hash60) — same key shape an exact
+    count-distinct needs, but the window keeps only k rows per group
+    downstream, and in streaming/mergeable form the per-group state is k
+    longs instead of the full value set.
+    """
+    from pyspark.sql import Window as W
+
+    hashed = df.select(
+        F.col(group_col), _hash60("kmv:", F.col(value_col)).alias("__h")
+    ).distinct()
+    w = W.partitionBy(group_col).orderBy("__h")
+    ranked = hashed.select(
+        group_col,
+        "__h",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("__n"),
+    )
+    kth = ranked.filter(
+        (F.col("__r") == F.least(F.lit(k), F.col("__n")))
+    )
+    return kth.select(
+        group_col,
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / (F.col("__h") / F.lit(_HASH_SPACE)))
+        .alias("est_distinct"),
+    )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch as a ``(r, b, cnt)`` table (depth·width cells max).
+
+    Each input row increments one bucket per hash row; the groupBy combines
+    map-side, so the shuffle carries at most depth·width rows per task.
+    Sketches for different shards/days union + re-groupBy to merge.
+    """
+    rows = []
+    for r in range(depth):
+        rows.append(
+            df.select(
+                F.lit(r).alias("r"),
+                (_hash60(f"cms{r}:", F.col(value_col)) % width).alias("b"),
+            )
+        )
+    all_rows = rows[0]
+    for extra in rows[1:]:
+        all_rows = all_rows.unionByName(extra)
+    return all_rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_point_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Estimated frequency for each probe value: min over hash rows of the
+    probe's bucket counter. The sketch is tiny (depth·width cells) and is
+    broadcast; probes never shuffle. Estimates only over-count (collisions
+    add), never under-count — the classic CMS guarantee, asserted in tests.
+    """
+    keyed = probes.select(F.col(value_col).alias("probe")).distinct()
+    for r in range(depth):
+        keyed = keyed.withColumn(f"__b{r}", _hash60(f"cms{r}:", F.col("probe")) % width)
+    longf = keyed.selectExpr(
+        "probe",
+        "stack({}, {}) as (r, b)".format(
+            depth, ", ".join(f"{r}, __b{r}" for r in range(depth))
+        ),
+    )
+    joined = longf.join(F.broadcast(sketch), ["r", "b"], "left").fillna(0, subset=["cnt"])
+    return joined.groupBy("probe").agg(F.min("cnt").alias("est_count"))

@@ -350,3 +350,41 @@ register(
     LIMIT 20
     """,
 )
+
+
+# --- triangle count over the co-supply graph ---------------------------------
+def _triangle_count(spark, sf_dir):
+    """Exact triangles among suppliers co-supplying high-quantity lines of
+    the same order (degree-oriented wedge counting — see
+    operators/graph.triangle_count). The oracle is the naive 3-way
+    self-join over the a<b edge list; equality IS the orientation
+    theorem's test."""
+    from ..operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("id_a"), F.col("sb").alias("id_b"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+register(
+    "graph_triangle_count",
+    _triangle_count,
+    """
+    WITH hi AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e0 ab JOIN e0 bc ON ab.b = bc.a JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b
+    """,
+)

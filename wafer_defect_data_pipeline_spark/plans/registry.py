@@ -59,6 +59,7 @@ def _load_all() -> None:
     from . import queries_multimodal  # noqa: F401
     from . import queries_wafer  # noqa: F401
     from . import queries_sqlfeatures  # noqa: F401
+    from . import queries_sketches  # noqa: F401
     from . import pipeline_ps  # noqa: F401
 
 
@@ -105,6 +106,9 @@ _PRIORITY: list[str] = [
     "dedup_prefix_jaccard_pairs",
     "zonemap_pruned_agg",
     "bloom_runtime_filter_join",
+    "sketch_kmv_distinct",
+    "sketch_cms_frequency",
+    "graph_triangle_count",
     # (a') never-driver-tested, rows-only by nature
     "events_hll_weekly_users",
     "events_streaming_tumbling",
