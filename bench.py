@@ -62,6 +62,15 @@ HEADLINE = [
     # round-4 additions: executed multimodal codec paths (stdlib P6 / RIFF)
     "multimodal_image_decode_stats",
     "multimodal_audio_decode_stats",
+    # round-4 session-2 additions: exact set-similarity join, data skipping,
+    # runtime Bloom join filter, distributed covariance, relational sketches,
+    # degree-oriented triangles
+    "dedup_prefix_jaccard_pairs",
+    "zonemap_pruned_agg",
+    "bloom_runtime_filter_join",
+    "embedding_covariance",
+    "sketch_cms_frequency",
+    "graph_triangle_count",
 ]
 
 
