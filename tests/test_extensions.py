@@ -1503,3 +1503,27 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(0, 1), (1, 2), (0, 2), (2, 3)]) == 1
     # two disjoint triangles
     assert tc([(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]) == 2
+
+
+def test_dq_audit_null_predicate_counts_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.quality import (
+        dq_audit,
+        uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0), (3, 5.0)], "id long, v double"
+    )
+    out = {
+        r.rule: (r.violations, r.checked)
+        for r in dq_audit(df, {"v_positive": F.col("v") > 0}, unique_keys=[["id"]]).collect()
+    }
+    # null v -> violation (unknown is not proof of quality); -1 -> violation
+    assert out["v_positive"] == (2, 4)
+    assert out["unique(id)"] == (1, 4)
+    # null keys group together for uniqueness, like groupBy semantics
+    dfn = spark.createDataFrame([(None, 1), (None, 2), (1, 3)], "id long, x long")
+    u = uniqueness_violations(dfn, ["id"]).first()
+    assert (u.violations, u.checked) == (1, 3)

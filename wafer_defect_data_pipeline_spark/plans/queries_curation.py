@@ -969,3 +969,81 @@ register(
     FROM paras GROUP BY doc_id ORDER BY doc_id
     """,
 )
+
+
+# --- declarative data-quality audit (Deequ-style, single-pass rules) --------
+def _dq_audit(spark, sf_dir):
+    """Predicate rules compile to ONE conditional-sum pass; uniqueness and
+    referential integrity each add one key-only shuffle (see
+    operators/quality.py). Range/RI violations are planted
+    deterministically (every l_orderkey%997 row re-appears orphaned with a
+    negative quantity; every l_orderkey%991 row as an exact duplicate);
+    the uniqueness rule additionally surfaces a REAL testdata property —
+    the generator assigns l_linenumber randomly, so (l_orderkey,
+    l_linenumber) has ~14k genuine collisions the audit reports."""
+    from ..operators.quality import dq_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    bad_range = (
+        li.filter(F.col("l_orderkey") % 997 == 0)
+        .withColumn("l_orderkey", F.col("l_orderkey") + 50_000_000)
+        .withColumn("l_quantity", F.lit(-5.0))
+    )
+    bad_dup = li.filter(F.col("l_orderkey") % 991 == 0)
+    corpus = li.unionByName(bad_range).unionByName(bad_dup)
+    rules = {
+        "non_null(l_orderkey)": F.col("l_orderkey").isNotNull(),
+        "range(l_quantity)": F.col("l_quantity").between(1, 50),
+        "range(l_discount)": F.col("l_discount").between(0.0, 0.1),
+        "domain(l_returnflag)": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    return dq_audit(
+        corpus,
+        rules,
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        references=[(orders, "l_orderkey", "o_orderkey")],
+    ).orderBy("rule")
+
+
+register(
+    "dq_audit_lineitem",
+    _dq_audit,
+    """
+    WITH corpus AS (
+      SELECT * FROM lineitem
+      UNION ALL
+      SELECT l_orderkey + 50000000, l_partkey, l_suppkey, l_linenumber, -5.0,
+             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM lineitem WHERE l_orderkey % 997 = 0
+      UNION ALL
+      SELECT * FROM lineitem WHERE l_orderkey % 991 = 0
+    )
+    SELECT 'domain(l_returnflag)' AS rule,
+           CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS checked FROM corpus
+    UNION ALL
+    SELECT 'non_null(l_orderkey)',
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM corpus
+    UNION ALL
+    SELECT 'range(l_discount)',
+           CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM corpus
+    UNION ALL
+    SELECT 'range(l_quantity)',
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM corpus
+    UNION ALL
+    SELECT 'ri(l_orderkey->o_orderkey)',
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM corpus LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON corpus.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(sum(c - 1) AS BIGINT), CAST(sum(c) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM corpus GROUP BY l_orderkey, l_linenumber)
+    ORDER BY rule
+    """,
+)

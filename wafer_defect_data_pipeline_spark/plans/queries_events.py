@@ -614,3 +614,26 @@ def _streaming_left_join(spark, sf_dir):
 
 
 register("events_streaming_left_join", _streaming_left_join, None)
+
+
+# --- stream-static broadcast enrichment (EXACT oracle) ----------------------
+def _streaming_static_enrich(spark, sf_dir):
+    from ..streaming.events import run_stream_static_enrich_batch
+
+    return run_stream_static_enrich_batch(spark, sf_dir)
+
+
+register(
+    "events_streaming_static_enrich",
+    _streaming_static_enrich,
+    """
+    SELECT CASE WHEN user_id % 3 = 0 THEN 'free'
+                WHEN user_id % 3 = 1 THEN 'pro'
+                ELSE 'enterprise' END AS tier,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY tier, event_type
+    """,
+)

@@ -384,3 +384,52 @@ register(
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
+
+
+# --- schema evolution: mergeSchema over heterogeneous batches ---------------
+def _schema_evolution_read(spark, sf_dir):
+    """Two ingest generations land in one dataset dir — an early batch with
+    (doc_id, lang) and a later batch that added (source, n_chars). The
+    mergeSchema read unions the footers into one superset schema, nulling
+    the columns an old batch lacks; the audit agg then quantifies the
+    backfill debt per lang. Per-file schemas stay prunable: the scan still
+    pushes the column subset down to each footer."""
+    tag = Path(sf_dir).name.replace(".", "_")
+    base = Path(tempfile.gettempdir()) / f"wdps_schevo_{tag}"
+    d = read_table(spark, sf_dir, "documents")
+    d.select("doc_id", "lang").write.mode("overwrite").parquet(str(base / "gen=1"))
+    d.select("doc_id", "lang", "source", "n_chars").write.mode("overwrite").parquet(
+        str(base / "gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(base))
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).alias(
+                "n_missing_source"
+            ),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "schema_evolution_read",
+    _schema_evolution_read,
+    """
+    WITH merged AS (
+      SELECT doc_id, lang, NULL AS source, CAST(NULL AS BIGINT) AS n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_source,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+    FROM merged GROUP BY lang ORDER BY lang
+    """,
+)

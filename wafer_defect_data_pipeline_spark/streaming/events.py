@@ -297,3 +297,39 @@ def run_interval_left_join_stream_batch(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("user_id")
     )
+
+
+def run_stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + aggregate, run to completion.
+
+    The canonical "join the firehose to the dimension table" shape: the
+    static side is a bounded batch DataFrame, so the join is STATELESS —
+    each micro-batch broadcast-hash-joins against it, no streaming state,
+    no watermark interplay (contrast the stream-stream interval joins
+    above, which must hold state for the join horizon). The static dim
+    here is a derived user-tier table; production swaps in any slowly
+    changing table (re-read per batch if it must stay fresh).
+
+    Complete-mode global agg over the enriched stream => deterministic,
+    batch-equal result — this query is EXACT-oracle-checked, not rows-only.
+    """
+    events = read_events_stream(spark, sf_dir)
+    users = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, "free")
+            .when(F.col("user_id") % 3 == 1, "pro")
+            .otherwise("enterprise"),
+        )
+    )
+    enriched = events.join(F.broadcast(users), "user_id")
+    agg = (
+        enriched.groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("tier", "event_type")
