@@ -1047,3 +1047,108 @@ register(
     ORDER BY rule
     """,
 )
+
+
+# --- quality-aware dedup keep (cluster -> argmax-quality representative) ----
+def _quality_keep(spark, sf_dir):
+    """Near-dup clusters collapsed to their best member — the curation
+    policy step after clustering: rather than keep-min-id (see
+    semantic_dedup_keep), keep the highest-quality doc per component
+    (quality = n_chars here; any scalar score slots in), ties by min
+    doc_id. One window over the (doc, component, score) frame — the
+    cluster payload never re-shuffles."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    gen1 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    gen2 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
+    )
+    corpus = d.unionByName(gen1).unionByName(gen2)
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=16, n_bands=4, shingle_k=3, threshold=0.6
+    )
+    comp = cluster_assignment(corpus, "doc_id", pairs).select("doc_id", "component")
+    scored = comp.join(corpus.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "sz", F.count(F.lit(1)).over(W.partitionBy("component"))
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("sz") >= 2))
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("sz").cast("bigint").alias("n_members"),
+        )
+        .orderBy("component")
+    )
+
+
+register(
+    "dedup_quality_keep",
+    _quality_keep,
+    rf"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, n_chars, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, n_chars, text || ' tail' FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, n_chars, text || ' tail tail' FROM documents WHERE doc_id % 25 = 0
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+                  ELSE [concat_ws(' ', toks)] END AS shingles
+      FROM t
+    ), sig AS (
+      SELECT doc_id,
+             [{_MINS16}] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             concat_ws('|', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+      FROM sig, range(4) tt(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON cand.id_a = sa.doc_id
+      JOIN sh sb ON cand.id_b = sb.doc_id
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1), 6) >= 0.6
+    ), edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.w, reach.r FROM reach JOIN edges e ON e.v = reach.v
+    ), comp AS (
+      SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+    ), assigned AS (
+      SELECT c.doc_id, CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component,
+             c.n_chars
+      FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY component) AS sz
+      FROM assigned
+    )
+    SELECT component, doc_id AS keep_doc_id, CAST(sz AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 AND sz >= 2
+    ORDER BY component
+    """,
+)

@@ -201,3 +201,109 @@ register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# --- RAG chunk retrieval: chunk -> BM25 over chunks -> top-k ----------------
+_RAG_CHUNK = 32
+
+
+def _rag_chunk_retrieval(spark, sf_dir):
+    """End-to-end retrieval composition: disjoint 32-token chunks scored by
+    BM25 against a fixed query, top-5 chunks returned with provenance
+    (doc_id, chunk_idx) — the retrieval half of a RAG pipeline.
+
+    Entirely relational: chunk membership is ``token_pos div 32`` off one
+    posexplode (no arrays shipped, no slices re-evaluated), chunk stats and
+    query-term dfs are tiny broadcast frames, and the only corpus-sized
+    shuffle is the (chunk, term) tf agg over rows already filtered to the
+    query terms. Same decimal-sum determinism contract as text_bm25_topk.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    ).select(
+        "doc_id", (F.col("pos") / _RAG_CHUNK).cast("int").alias("chunk_idx"), "term"
+    )
+    lens = tok.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_chunks"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "chunk_idx", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (
+        F.col("tf") * (_K1 + 1.0)
+        / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(lens, on=["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "chunk_idx", F.round(contrib, 6).cast("decimal(18,6)").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        scored.groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id", "chunk_idx")
+        .limit(5)
+    )
+    return ranked.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id", "chunk_idx"))
+        .alias("rank"),
+        "doc_id",
+        "chunk_idx",
+        "bm25",
+    )
+
+
+register(
+    "rag_chunk_retrieval",
+    _rag_chunk_retrieval,
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST((u.pos - 1) // {_RAG_CHUNK} AS INT) AS chunk_idx,
+             u.term
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents) t,
+           LATERAL (SELECT unnest(toks) AS term, generate_subscripts(toks, 1) AS pos) u
+    ), lens AS (
+      SELECT doc_id, chunk_idx, CAST(count(*) AS DOUBLE) AS dl
+      FROM tok GROUP BY doc_id, chunk_idx
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_chunks, sum(dl) / count(*) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, chunk_idx, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('join', 'hash', 'filter')
+      GROUP BY doc_id, chunk_idx, term
+    ), dfs AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.chunk_idx,
+             CAST(round(ln((stats.n_chunks - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                        * tf.tf * ({_K1} + 1.0)
+                        / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * lens.dl / stats.avgdl)),
+                        6) AS DECIMAL(18,6)) AS c
+      FROM tf JOIN dfs ON tf.term = dfs.term
+      JOIN lens ON tf.doc_id = lens.doc_id AND tf.chunk_idx = lens.chunk_idx
+      CROSS JOIN stats
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, CAST(sum(c) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id, chunk_idx
+      ORDER BY bm25 DESC, doc_id, chunk_idx LIMIT 5
+    )
+    SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id, chunk_idx) AS INT) AS rank,
+           doc_id, chunk_idx, bm25
+    FROM ranked ORDER BY rank
+    """,
+)

@@ -340,3 +340,65 @@ register(
     ORDER BY source, lang
     """,
 )
+
+
+# --- contrastive hard-negative mining ---------------------------------------
+def _hard_negatives(spark, sf_dir):
+    """Top-3 hardest negatives per anchor: most cosine-similar vectors with
+    a DIFFERENT label — the standard contrastive-training mining step.
+    Same broadcast-the-anchors shape as brute-force top-k (the corpus
+    never shuffles); the label inequality rides the scoring projection."""
+    from ..functions.arrays import as_double, cosine
+
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(cosine(F.col("av"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "rank", "negative_id", "cos_sim")
+        .orderBy("anchor_id", "rank")
+    )
+
+
+register(
+    "training_hard_negatives",
+    _hard_negatives,
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+      FROM e WHERE vec_id % 100 = 0
+    ), scored AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id,
+             round(list_sum(list_transform(list_zip(a.av, e.v), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(a.av, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+      FROM e CROSS JOIN a WHERE e.label <> a.anchor_label
+    )
+    SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, negative_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    ORDER BY anchor_id, rank
+    """,
+)

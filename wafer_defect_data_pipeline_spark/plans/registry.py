@@ -112,6 +112,9 @@ _PRIORITY: list[str] = [
     "dq_audit_lineitem",
     "schema_evolution_read",
     "events_streaming_static_enrich",
+    "rag_chunk_retrieval",
+    "training_hard_negatives",
+    "dedup_quality_keep",
     # (b) new in round 4 — oracle-bearing, no driver row yet
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
