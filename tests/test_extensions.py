@@ -1527,3 +1527,24 @@ def test_dq_audit_null_predicate_counts_as_violation(spark):
     dfn = spark.createDataFrame([(None, 1), (None, 2), (1, 3)], "id long, x long")
     u = uniqueness_violations(dfn, ["id"]).first()
     assert (u.violations, u.checked) == (1, 3)
+
+
+def test_cms_join_size_overestimates_within_additive_bound(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    w = 65536
+    li = read_table(spark, sf_small, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = read_table(spark, sf_small, "orders").select(F.col("o_orderkey").alias("k"))
+    est = cms_inner_product(
+        cms_build(li, "k", depth=4, width=w), cms_build(o, "k", depth=4, width=w)
+    ).first().est_join_size
+    exact = li.join(o, "k").count()
+    n1, n2 = li.count(), o.count()
+    assert est >= exact  # inner product only over-counts
+    assert est - exact <= 3 * n1 * n2 / w  # additive n1*n2/w bound, slack 3x

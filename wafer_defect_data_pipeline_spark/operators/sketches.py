@@ -122,3 +122,24 @@ def cms_point_estimate(
     )
     joined = longf.join(F.broadcast(sketch), ["r", "b"], "left").fillna(0, subset=["cnt"])
     return joined.groupBy("probe").agg(F.min("cnt").alias("est_count"))
+
+
+def cms_inner_product(sk1: DataFrame, sk2: DataFrame) -> DataFrame:
+    """Join-size estimate from two Count-Min sketches over the join keys:
+    ``|R1 JOIN R2 on k| = sum_k f1(k)*f2(k)``, estimated as the MIN over
+    hash rows of the bucket-wise inner product (Cormode & Muthukrishnan's
+    inner-product query; one-sided overestimate, like point queries).
+
+    This is how an optimizer prices a join WITHOUT running it: the two
+    sketches are depth·width cells each regardless of table size, built in
+    one map-side-combinable pass per side, and the estimate is a
+    depth-row join + sum. Returns a 1-row ``(est_join_size)`` frame.
+    """
+    a = sk1.select("r", "b", F.col("cnt").alias("c1"))
+    b = sk2.select("r", "b", F.col("cnt").alias("c2"))
+    per_row = (
+        a.join(b, ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est_join_size"))

@@ -93,3 +93,59 @@ register(
     GROUP BY pb.probe ORDER BY pb.probe
     """.replace("CROSSJOINPLACEHOLDER", "CROSS JOIN (SELECT unnest(range(4)) AS r) rr"),
 )
+
+
+# --- CMS inner product: price a join without running it ---------------------
+def _cms_join_size(spark, sf_dir):
+    """Estimate |lineitem JOIN orders| from two key sketches, next to
+    the exact answer. Width 2^18: the inner-product estimate carries
+    ADDITIVE error ~n1*n2/width, so the width must scale with the
+    PRODUCT of stream sizes (unlike point queries) for a usable estimate
+    — still a constant-size sketch, just a wider constant — the one-sided overestimate and its tightness are
+    what the driver checks (both sides replay identical arithmetic)."""
+    from ..operators.sketches import cms_build, cms_inner_product
+
+    li = read_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    sk_li = cms_build(li, "k", depth=4, width=262144)
+    sk_o = cms_build(o, "k", depth=4, width=262144)
+    est = cms_inner_product(sk_li, sk_o)
+    exact = (
+        li.join(o, "k").agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        F.col("est_join_size").cast("bigint").alias("est_join_size"),
+        F.col("exact_join_size").cast("bigint").alias("exact_join_size"),
+    )
+
+
+register(
+    "sketch_cms_join_size",
+    _cms_join_size,
+    """
+    WITH rr AS (SELECT unnest(range(4)) AS r),
+    c1 AS (
+      SELECT rr.r,
+             CAST(concat('0x', substring(md5('cms' || CAST(rr.r AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 262144 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem CROSS JOIN rr GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT rr.r,
+             CAST(concat('0x', substring(md5('cms' || CAST(rr.r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 262144 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders CROSS JOIN rr GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT c1.r, sum(c1.cnt * c2.cnt) AS ip
+      FROM c1 JOIN c2 ON c1.r = c2.r AND c1.b = c2.b
+      GROUP BY c1.r
+    ),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT est.est_join_size, ex.exact_join_size FROM est CROSS JOIN ex
+    """,
+)

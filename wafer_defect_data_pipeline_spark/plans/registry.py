@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     "rag_chunk_retrieval",
     "training_hard_negatives",
     "dedup_quality_keep",
+    "sketch_cms_join_size",
     # (b) new in round 4 — oracle-bearing, no driver row yet
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
