@@ -1548,3 +1548,29 @@ def test_cms_join_size_overestimates_within_additive_bound(spark, sf_small):
     n1, n2 = li.count(), o.count()
     assert est >= exact  # inner product only over-counts
     assert est - exact <= 3 * n1 * n2 / w  # additive n1*n2/w bound, slack 3x
+
+
+def test_bpe_encode_hand_computed(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.functions.udfs import (
+        bpe_encode_word,
+        bpe_token_stats,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    # 'the' -> t+h first (rank 0), then th+e (rank 1) -> one token
+    assert bpe_encode_word("the", ranks) == ["the"]
+    # 'thing' -> th (0), in (2), ing (3) -> ['th', 'ing']
+    assert bpe_encode_word("thing", ranks) == ["th", "ing"]
+    # no applicable merges -> characters
+    assert bpe_encode_word("zzz", ranks) == ["z", "z", "z"]
+    # priority order matters: lowest rank merges first even if later pair
+    # appears earlier in the word
+    assert bpe_encode_word("inthe", ranks) == ["in", "the"]
+    # Spark path agrees with the local function
+    df = spark.createDataFrame([(1, "the thing"), (2, ""), (3, None)],
+                               "doc_id long, text string")
+    rows = {r.doc_id: (r.n_bpe_tokens, r.mean_token_len)
+            for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
+    assert rows[1] == (3, round((3 + 2 + 3) / 3, 6))  # ['the'] + ['th','ing']
+    assert rows[2] == (0, 0.0) and rows[3] == (0, 0.0)

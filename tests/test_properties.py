@@ -153,3 +153,61 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=0, max_size=12
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**PROP_SETTINGS)
+def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, docs, threshold):
+    """Prefix filtering must return EXACTLY the brute-force all-pairs set —
+    completeness (no pair missed) is the theorem, exactness the verify."""
+    import itertools
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold, shingle_k=1
+        ).collect()
+    }
+    expect = {}
+    sets = {i: set(t.strip().lower().split()) for i, t in rows if t.strip()}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and round(inter / union, 6) >= threshold:
+            expect[(a, b)] = round(inter / union, 6)
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=25
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    import itertools
+
+    from wafer_defect_data_pipeline_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {v for e in und for v in e}
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    assert triangle_count(df).first().n_triangles == expect

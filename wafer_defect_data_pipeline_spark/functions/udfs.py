@@ -52,3 +52,79 @@ def geo_mean_arrow(x: pd.Series) -> float:
     never in the wide-shuffle hot path.
     """
     return float(np.exp(np.log(x.to_numpy(dtype=np.float64)).mean()))
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy byte-pair encoding of one word against a fixed merge table.
+
+    Standard BPE inference (Sennrich et al., ACL'16 — public literature):
+    start from characters, repeatedly merge the adjacent pair with the
+    LOWEST merge rank until no listed pair remains. Pure-Python by nature
+    (data-dependent iteration), so it runs only inside Arrow-batched
+    ``mapInPandas`` — never as a per-row JVM-crossing UDF.
+    """
+    toks = list(word)
+    while len(toks) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+    return toks
+
+
+def bpe_token_stats(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
+    """Per-document BPE token count + mean token length for a fixed merge
+    list. The merge table (a pretrained tokenizer's artifact in production)
+    is tiny and closure-captured into the Arrow workers; each batch
+    tokenizes locally, so the corpus never shuffles and the Python cost is
+    amortized per Arrow batch, not per row.
+    """
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode(batches):
+        # the word encoder is INLINED (not a call to the module-level
+        # bpe_encode_word): a closure referencing this module would make
+        # the Arrow worker import it, and the module-import-time
+        # @pandas_udf decorators need a live session the worker lacks.
+        # The pytest fixture asserts this copy agrees with bpe_encode_word.
+        def enc(word):
+            toks = list(word)
+            while len(toks) > 1:
+                best_i, best_rank = -1, None
+                for i in range(len(toks) - 1):
+                    r = ranks.get((toks[i], toks[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_i, best_rank = i, r
+                if best_rank is None:
+                    break
+                toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+            return toks
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts, lens = [], []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in (text or "").lower().split():
+                    toks.extend(enc(w))
+                counts.append(len(toks))
+                lens.append(
+                    round(sum(len(t) for t in toks) / len(toks), 6) if toks else 0.0
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_bpe_tokens": counts, "mean_token_len": lens}
+            )
+
+    from ..functions.partitioning import fan_out
+
+    src = fan_out(df.select(id_col, text_col))
+    return src.mapInPandas(
+        encode, schema=f"{id_col} long, n_bpe_tokens long, mean_token_len double"
+    )

@@ -637,3 +637,21 @@ register(
     GROUP BY 1, 2 ORDER BY tier, event_type
     """,
 )
+
+
+# --- Trigger.AvailableNow incremental run (EXACT oracle) --------------------
+def _streaming_available_now(spark, sf_dir):
+    from ..streaming.events import run_available_now_batch
+
+    return run_available_now_batch(spark, sf_dir)
+
+
+register(
+    "events_streaming_available_now",
+    _streaming_available_now,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)

@@ -399,3 +399,24 @@ register(
     GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# --- greedy BPE token stats (fixed merge table; rows-only — BPE's
+# data-dependent merge loop is not SQL-expressible; hand-computed pytest
+# fixtures pin the algorithm) ------------------------------------------------
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("e", "s"), ("o", "u"),
+    ("s", "t"),
+]
+
+
+def _bpe_token_stats(spark, sf_dir):
+    from ..functions.udfs import bpe_token_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_token_stats(d, "doc_id", "text", _BPE_MERGES).orderBy("doc_id")
+
+
+register("text_bpe_token_stats", _bpe_token_stats, None)

@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "training_hard_negatives",
     "dedup_quality_keep",
     "sketch_cms_join_size",
+    "events_streaming_available_now",
     # (b) new in round 4 — oracle-bearing, no driver row yet
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
@@ -137,6 +138,7 @@ _PRIORITY: list[str] = [
     "similarity_bruteforce_topk_arrow",
     "similarity_lsh_pairs",
     "embedding_pca_projection",  # new this session (eigh not SQL-expressible)
+    "text_bpe_token_stats",  # new this session (BPE merge loop not SQL-expressible)
     "events_streaming_tumbling",
     "events_streaming_sessions",
     "events_streaming_dedup",

@@ -333,3 +333,29 @@ def run_stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy("tier", "event_type")
+
+
+def run_available_now_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch processing via ``Trigger.AvailableNow``.
+
+    The modern "catch up, then stop" trigger: the query processes every
+    file available at start across rate-limited micro-batches
+    (maxFilesPerTrigger still applies) and TERMINATES — unlike
+    ``processAllAvailable`` (used by the always-on demos above), which
+    needs an external stop. This is the scheduled-incremental-job shape: a
+    cron-launched run drains the new files since the last checkpoint and
+    exits, giving batch economics with streaming exactly-once bookkeeping.
+    Complete-mode result equals the batch aggregate — EXACT-oracle-checked.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(events)
+    name = f"avail_now_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # availableNow self-terminates once caught up
+    return spark.table(name).orderBy("window_start", "event_type")
