@@ -1574,3 +1574,27 @@ def test_bpe_encode_hand_computed(spark, sf_small):
             for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
     assert rows[1] == (3, round((3 + 2 + 3) / 3, 6))  # ['the'] + ['th','ing']
     assert rows[2] == (0, 0.0) and rows[3] == (0, 0.0)
+
+
+def test_star_cc_matches_propagation_and_survives_long_chain(spark):
+    from wafer_defect_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def comp(fn, edges, **kw):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r.id: r.component for r in fn(df, **kw).collect()}
+
+    # mixed graph: two clusters, a chain, a singleton pair, a self-loop
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (30, 30)]
+    assert comp(connected_components_star, edges) == comp(connected_components, edges)
+    # 64-node path: diameter 63 — propagation's default 25 rounds CANNOT
+    # finish, the star rewrites converge in O(log n) alternations
+    chain = [(i, i + 1) for i in range(63)]
+    got = comp(connected_components_star, chain, max_iter=12)
+    assert got == {i: 0 for i in range(64)}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not converged|did not converge"):
+        comp(connected_components, chain)  # default max_iter=25 < diameter

@@ -211,3 +211,21 @@ def test_triangle_count_matches_bruteforce(spark, edges):
         if (a, b) in und and (b, c) in und and (a, c) in und
     )
     assert triangle_count(df).first().n_triangles == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=20
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_star_cc_matches_propagation_cc(spark, edges):
+    from wafer_defect_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    star = {r.id: r.component for r in connected_components_star(df).collect()}
+    prop = {r.id: r.component for r in connected_components(df).collect()}
+    assert star == prop

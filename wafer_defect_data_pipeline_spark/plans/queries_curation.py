@@ -1152,3 +1152,39 @@ register(
     ORDER BY component
     """,
 )
+
+
+# --- star-rewrite clustering twin (same oracle as dedup_cluster_assignment:
+# both algorithms must produce the identical component map) ------------------
+def _cluster_assignment_star(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    gen1 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    gen2 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
+    )
+    corpus = d.unionByName(gen1).unionByName(gen2)
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=16, n_bands=4, shingle_k=3, threshold=0.6
+    )
+    return (
+        cluster_assignment(corpus, "doc_id", pairs, algorithm="star")
+        .select("doc_id", "component")
+        .orderBy("doc_id")
+    )
+
+
+def _cc_oracle() -> str:
+    # the star rewrite must produce the IDENTICAL component map, so the
+    # oracle is literally dedup_cluster_assignment's registered SQL
+    from .registry import _REGISTRY
+
+    return _REGISTRY["dedup_cluster_assignment"].oracle
+
+
+register("dedup_cluster_assignment_star", _cluster_assignment_star, _cc_oracle())
