@@ -1188,3 +1188,44 @@ def _cc_oracle() -> str:
 
 
 register("dedup_cluster_assignment_star", _cluster_assignment_star, _cc_oracle())
+
+
+# --- k-anonymity audit (privacy governance) ---------------------------------
+def _k_anonymity(spark, sf_dir):
+    """Quasi-identifier group-size audit: rows whose (lang, source,
+    n_chars-bucket) combination is shared by fewer than k=5 documents are
+    re-identifiable at that granularity (Sweeney's k-anonymity — public
+    literature). One groupBy on the quasi-identifier tuple; the report is
+    per-bucket counts of violating groups/rows plus the worst group size —
+    the number a release-review gate actually checks."""
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "lang", "source", (F.col("n_chars") / 100).cast("int").alias("chars_bucket")
+    )
+    groups = q.groupBy("lang", "source", "chars_bucket").agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("g") < 5, 1).otherwise(0)).alias("n_groups_below_k"),
+        F.sum(F.when(F.col("g") < 5, F.col("g")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("g").alias("min_group_size"),
+    )
+
+
+register(
+    "privacy_k_anonymity",
+    _k_anonymity,
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(n_chars // 100 AS INT) AS chars_bucket,
+             count(*) AS g
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+           CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(min(g) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)

@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "sketch_cms_join_size",
     "events_streaming_available_now",
     "dedup_cluster_assignment_star",
+    "privacy_k_anonymity",
     # (b) new in round 4 — oracle-bearing, no driver row yet
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
