@@ -1598,3 +1598,30 @@ def test_star_cc_matches_propagation_and_survives_long_chain(spark):
 
     with _pytest.raises(RuntimeError, match="not converged|did not converge"):
         comp(connected_components, chain)  # default max_iter=25 < diameter
+
+
+def test_session2_ops_invariant_to_shuffle_partitions(spark, sf_small):
+    """The session-2 operators (prefix join, covariance, sketches,
+    triangles, DQ audit) must produce identical results under a different
+    shuffle-partition count — catches any accidental dependence on
+    physical partitioning (e.g. partial-sum rounding, per-partition ids)."""
+    from wafer_defect_data_pipeline_spark.plans.registry import all_queries
+
+    names = [
+        "dedup_prefix_jaccard_pairs",
+        "embedding_covariance",
+        "sketch_kmv_distinct",
+        "sketch_cms_frequency",
+        "graph_triangle_count",
+        "dq_audit_lineitem",
+    ]
+    qs = all_queries()
+    base = {n: qs[n](spark, sf_small).toPandas() for n in names}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for n in names:
+            other = qs[n](spark, sf_small).toPandas()
+            assert base[n].equals(other), n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -1086,3 +1086,77 @@ register(
     SELECT key, A, N, R FROM m ORDER BY key
     """,
 )
+
+
+# --- equi-width histogram (width_bucket) -------------------------------------
+def _price_histogram(spark, sf_dir):
+    """10-bucket equi-width histogram of l_extendedprice — the profiling
+    primitive behind optimizer NDV/selectivity estimates and data-drift
+    monitors. width_bucket is a pure projection; the histogram is one
+    map-side-combinable groupBy on a 12-value key (buckets 0/11 catch
+    underflow/overflow rows)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket(F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+register(
+    "price_histogram",
+    _price_histogram,
+    """
+    SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+                     WHEN l_extendedprice >= 110000.0 THEN 11
+                     ELSE CAST(floor(l_extendedprice / 11000.0) AS BIGINT) + 1
+                END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1 ORDER BY bucket
+    """,
+)
+
+
+# --- pairwise correlation matrix ---------------------------------------------
+def _numeric_correlations(spark, sf_dir):
+    """Pearson correlations of the four lineitem measures in ONE aggregate
+    job (6 corr pairs as parallel agg expressions over one scan) — the
+    relational sibling of the embedding covariance matrix
+    (operators/decomposition.py)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}"))
+    row = li.agg(*aggs)
+    pairs = ", ".join(f"'{c}', {c}" for c in row.columns)
+    return row.selectExpr(f"stack({len(row.columns)}, {pairs}) as (pair, corr)").orderBy(
+        "pair"
+    )
+
+
+register(
+    "numeric_correlations",
+    _numeric_correlations,
+    """
+    SELECT pair, corr FROM (
+      SELECT 'corr_l_quantity_l_extendedprice' AS pair, round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+      UNION ALL
+      SELECT 'corr_l_quantity_l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+      UNION ALL
+      SELECT 'corr_l_quantity_l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+      UNION ALL
+      SELECT 'corr_l_extendedprice_l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+      UNION ALL
+      SELECT 'corr_l_extendedprice_l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+      UNION ALL
+      SELECT 'corr_l_discount_l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+    ) t ORDER BY pair
+    """,
+)

@@ -119,6 +119,8 @@ _PRIORITY: list[str] = [
     "events_streaming_available_now",
     "dedup_cluster_assignment_star",
     "privacy_k_anonymity",
+    "price_histogram",
+    "numeric_correlations",
     # (b) new in round 4 — oracle-bearing, no driver row yet
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
