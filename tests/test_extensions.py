@@ -1625,3 +1625,34 @@ def test_session2_ops_invariant_to_shuffle_partitions(spark, sf_small):
             assert base[n].equals(other), n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_prefix_filter_jaccard_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # empty corpus and all-blank corpus -> no pairs, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_filter_jaccard_pairs(empty, "doc_id", "text").count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert prefix_filter_jaccard_pairs(blank, "doc_id", "text").count() == 0
+    # single doc -> no pairs
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert prefix_filter_jaccard_pairs(one, "doc_id", "text").count() == 0
+    # identical docs -> every pair at jaccard 1.0 (full clique)
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)], "doc_id long, text string"
+    )
+    rows = prefix_filter_jaccard_pairs(same, "doc_id", "text", threshold=0.9).collect()
+    assert len(rows) == 6 and all(r.jaccard == 1.0 for r in rows)
+    # threshold 1.0: only exact set matches survive
+    mixed = same.unionByName(
+        spark.createDataFrame([(99, "alpha beta gamma epsilon")], "doc_id long, text string")
+    )
+    exact = prefix_filter_jaccard_pairs(mixed, "doc_id", "text", threshold=1.0)
+    assert exact.filter(F.col("id_a") == 99).count() == 0
+    assert exact.filter(F.col("id_b") == 99).count() == 0
+    assert exact.count() == 6

@@ -229,3 +229,28 @@ def test_star_cc_matches_propagation_cc(spark, edges):
     star = {r.id: r.component for r in connected_components_star(df).collect()}
     prop = {r.id: r.component for r in connected_components(df).collect()}
     assert star == prop
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    lo=st.integers(-500, 0),
+    hi=st.integers(1, 500),
+    n_files=st.sampled_from([2, 4]),
+)
+@settings(**PROP_SETTINGS)
+def test_zonemap_pruned_read_equals_full_filter(spark, tmp_path_factory, vals, lo, hi, n_files):
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.layout import (
+        build_zonemap,
+        zonemap_pruned_read,
+    )
+
+    path = str(tmp_path_factory.mktemp("zm"))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    df.repartitionByRange(n_files, "x").write.mode("overwrite").parquet(path)
+    zm = build_zonemap(spark, path, ["x"])
+    pruned, kept, total = zonemap_pruned_read(spark, path, zm, "x", lo, hi)
+    expect = sorted(v for v in vals if lo <= v <= hi)
+    assert sorted(r.x for r in pruned.collect()) == expect
+    assert 0 <= kept <= total
