@@ -88,19 +88,26 @@ def cms_build(
     Each input row increments one bucket per hash row; the groupBy combines
     map-side, so the shuffle carries at most depth·width rows per task.
     Sketches for different shards/days union + re-groupBy to merge.
+
+    ONE scan: the depth bucket ids are computed as an array per input row
+    and exploded — a union of per-row projections would re-read the corpus
+    ``depth`` times.
     """
-    rows = []
-    for r in range(depth):
-        rows.append(
-            df.select(
+    cells = F.array(
+        *[
+            F.struct(
                 F.lit(r).alias("r"),
                 (_hash60(f"cms{r}:", F.col(value_col)) % width).alias("b"),
             )
-        )
-    all_rows = rows[0]
-    for extra in rows[1:]:
-        all_rows = all_rows.unionByName(extra)
-    return all_rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("p"))
+        .select("p.r", "p.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_point_estimate(
