@@ -53,22 +53,34 @@ def kmv_distinct_estimate(
     sketch holds them all, so exactness is free).
 
     Shuffle: one distinct on (group, hash60) — same key shape an exact
-    count-distinct needs, but the window keeps only k rows per group
-    downstream, and in streaming/mergeable form the per-group state is k
-    longs instead of the full value set.
+    count-distinct needs. The k-minimum selection is TWO-LEVEL because
+    min-k is a mergeable aggregate (the global k smallest of a union are
+    among the k smallest of each part): level 1 keeps k per (group,
+    physical partition), so no single reducer ever sorts a whole group's
+    distinct hashes — the thing that melts on a billion-distinct group —
+    and the global window then ranks at most k·partitions survivors per
+    group. The distinct-hash count rides a separate map-side-combinable
+    agg (it must count ALL hashes, not survivors, for the exact-below-k
+    fallback). Results are independent of the physical partitioning
+    (asserted by the shuffle-partition-invariance test).
     """
     from pyspark.sql import Window as W
 
     hashed = df.select(
         F.col(group_col), _hash60("kmv:", F.col(value_col)).alias("__h")
     ).distinct()
-    w = W.partitionBy(group_col).orderBy("__h")
-    ranked = hashed.select(
-        group_col,
-        "__h",
-        F.row_number().over(w).alias("__r"),
-        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("__n"),
+    counts = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w1 = W.partitionBy(group_col, "__pid").orderBy("__h")
+    surv = (
+        hashed.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .select(group_col, "__h")
     )
+    w = W.partitionBy(group_col).orderBy("__h")
+    ranked = surv.select(
+        group_col, "__h", F.row_number().over(w).alias("__r")
+    ).join(F.broadcast(counts), group_col)
     kth = ranked.filter(
         (F.col("__r") == F.least(F.lit(k), F.col("__n")))
     )

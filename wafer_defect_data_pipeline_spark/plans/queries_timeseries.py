@@ -388,3 +388,39 @@ register(
     FROM e0 ab JOIN e0 bc ON ab.b = bc.a JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b
     """,
 )
+
+
+# --- per-window quantile monitoring ------------------------------------------
+def _windowed_quantiles(spark, sf_dir):
+    """Hourly p50/p95/p99 of the event value — the latency-dashboard /
+    drift-monitor aggregate. Exact interpolated percentiles per tumbling
+    window: one map-side-combinable agg keyed on the (coarse) hour bucket;
+    at 100 TB swap mode to percentile_approx for mergeable bounded-memory
+    sketches (same query shape, see operators/outliers mode='approx')."""
+    e = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("window_start")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        e.groupBy(hour)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pct.getItem(0), 6).alias("p50"),
+            F.round(pct.getItem(1), 6).alias("p95"),
+            F.round(pct.getItem(2), 6).alias("p99"),
+        )
+        .orderBy("window_start")
+    )
+
+
+register(
+    "events_windowed_quantiles",
+    _windowed_quantiles,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1 ORDER BY window_start
+    """,
+)

@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "privacy_k_anonymity",
     "price_histogram",
     "numeric_correlations",
+    "events_windowed_quantiles",
     # (b) new in round 4 — oracle-bearing, no driver row yet
     "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
     "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
