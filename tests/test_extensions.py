@@ -1656,3 +1656,28 @@ def test_prefix_filter_jaccard_edge_cases(spark):
     assert exact.filter(F.col("id_a") == 99).count() == 0
     assert exact.filter(F.col("id_b") == 99).count() == 0
     assert exact.count() == 6
+
+
+def test_zca_whitening_unit_variance_and_decorrelation(spark, sf_small):
+    import numpy as np
+
+    from wafer_defect_data_pipeline_spark.operators.decomposition import (
+        pca_components,
+        zca_whiten,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    out = zca_whiten(emb, "vec_id", "embedding", dim=64).toPandas()
+    y = np.asarray([list(v) for v in out["white"]])
+    cov = np.cov(y, rowvar=False, ddof=0)
+    # unit variance on every axis, (near-)zero cross-covariance
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-2)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-2
+    # empty corpus raises a clear error instead of StopIteration
+    import pytest as _pytest
+
+    empty = emb.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pca_components(empty, "embedding", dim=64, k=2)

@@ -126,6 +126,11 @@ def pca_components(
     # aggregate and assemble mean + covariance driver-side.
     agg = gram_partials(df, vec_col, dim).groupBy("i", "j").agg(F.sum("s").alias("s"))
     rows = agg.collect()
+    if not rows:
+        raise ValueError(
+            f"pca_components: no rows with a length-{dim} {vec_col!r} vector — "
+            "cannot fit principal axes on an empty corpus"
+        )
     n = next(r.s for r in rows if r.i == 0 and r.j == 0)
     mean = np.zeros(dim)
     gram = np.zeros((dim, dim))
@@ -176,3 +181,44 @@ def pca_project(
         ) - F.lit(offset)
         cols.append(F.round(score, 6).alias(f"pc{c_idx}"))
     return df.select(F.col(id_col), *cols)
+
+
+def zca_whiten(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA-whitened vectors: ``W = U diag(1/sqrt(l+eps)) U^T`` applied to the
+    centered vector — unit variance along every principal axis while staying
+    maximally close to the original basis (the standard preprocessing before
+    cosine-sensitive similarity search on anisotropic embeddings).
+
+    W is a dim×dim broadcastable literal built from the same bounded
+    covariance readout as :func:`pca_components`; application is one
+    mapInPandas BLAS ``(X - mean) @ W`` per Arrow batch — no shuffle, no
+    per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mean, comps, eigs = pca_components(df, vec_col, dim, k=dim)
+    u = np.asarray(comps).T  # (dim, k=dim) eigenvector columns
+    w = u @ np.diag(1.0 / np.sqrt(np.asarray(eigs) + eps)) @ u.T
+    mu = np.asarray(mean)
+    bc = df.sparkSession.sparkContext.broadcast((mu, w))
+
+    def apply(batches):
+        m, wm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            y = (x - m) @ wm
+            yield pd.DataFrame({id_col: pdf[id_col], "white": list(y)})
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        apply, schema=f"{id_col} long, white array<double>"
+    )
+    return out

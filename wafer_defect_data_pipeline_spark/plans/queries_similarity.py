@@ -271,3 +271,18 @@ def _pca_projection(spark, sf_dir):
 
 
 register("embedding_pca_projection", _pca_projection, None)
+
+
+# --- ZCA whitening (rows-only: eigendecomposition not SQL-expressible;
+# pytest asserts unit variance + decorrelation of the output) ---------------
+def _zca_whiten(spark, sf_dir):
+    from ..operators.decomposition import zca_whiten
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = zca_whiten(emb, "vec_id", "embedding", dim=64)
+    return out.select(
+        "vec_id", F.round(F.aggregate("white", F.lit(0.0), lambda a, x: a + x * x), 6).alias("sq_norm")
+    ).orderBy("vec_id")
+
+
+register("embedding_zca_whiten", _zca_whiten, None)
