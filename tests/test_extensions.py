@@ -1681,3 +1681,20 @@ def test_zca_whitening_unit_variance_and_decorrelation(spark, sf_small):
     empty = emb.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty corpus"):
         pca_components(empty, "embedding", dim=64, k=2)
+
+
+def test_bpe_learn_merges_classic_example(spark):
+    from wafer_defect_data_pipeline_spark.functions.udfs import bpe_learn_merges
+
+    # the canonical BPE corpus: 'low'x5 'lower'x2 'newest'x6 'widest'x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(text,)], "text string")
+    merges = bpe_learn_merges(df, "text", n_merges=4)
+    # round 1: 'e'+'s' appears in newest(6) + widest(3) = 9 — the max
+    assert merges[0] == ("e", "s", 9)
+    # round 2: 'es'+'t' = 9
+    assert merges[1] == ("es", "t", 9)
+    # round 3: 'l'+'o' in low(5) + lower(2) = 7
+    assert merges[2] == ("l", "o", 7)
+    # round 4: 'lo'+'w' = 7
+    assert merges[3] == ("lo", "w", 7)

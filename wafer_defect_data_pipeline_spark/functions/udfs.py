@@ -128,3 +128,86 @@ def bpe_token_stats(df, id_col: str, text_col: str, merges: list[tuple[str, str]
     return src.mapInPandas(
         encode, schema=f"{id_col} long, n_bpe_tokens long, mean_token_len double"
     )
+
+
+def bpe_learn_merges(df, text_col: str, n_merges: int = 8):
+    """Learn a BPE merge table from the corpus (Sennrich et al., ACL'16):
+    repeatedly merge the globally most frequent adjacent symbol pair.
+
+    Distributed-iterative shape, same driver-loop pattern as connected
+    components / PageRank: state is the (word, count, symbols) table —
+    one row per DISTINCT word (BPE trains on word frequencies, so the
+    corpus collapses to its vocabulary first; the explode+groupBy combines
+    map-side). Each round costs
+
+    - one adjacent-bigram expansion (``arrays_zip`` of two slices — pure
+      projection),
+    - one map-side-combinable weighted count + a 1-row TakeOrdered readout
+      (the argmax pair; ties broken lexicographically for determinism),
+    - one Arrow-batched merge application over the vocabulary table
+      (data-dependent list rewrite — inherently imperative, so it runs in
+      mapInPandas, amortized per batch),
+
+    with a ``localCheckpoint`` per round so the plan stays flat. Returns
+    the merge list ``[(left, right, pair_count), ...]`` in learned order.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("c"), F.expr("transform(split(w, ''), x -> x)").alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pairs = (
+            words.filter(n >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, n - 1).alias("l"),
+                        F.slice("syms", 2, n - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((l, r, cnt))
+
+        def apply_merge(batches, _l=l, _r=r):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    i, res = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"c": pdf["c"], "syms": out})
+
+        words = words.mapInPandas(
+            apply_merge, schema="c long, syms array<string>"
+        ).localCheckpoint(eager=False)
+    return merges

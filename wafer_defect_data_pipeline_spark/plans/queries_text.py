@@ -420,3 +420,17 @@ def _bpe_token_stats(spark, sf_dir):
 
 
 register("text_bpe_token_stats", _bpe_token_stats, None)
+
+
+# --- BPE merge-table learning (rows-only: iterative argmax + imperative
+# list rewrite; the canonical-corpus pytest pins the algorithm) --------------
+def _bpe_learned_merges(spark, sf_dir):
+    from ..functions.udfs import bpe_learn_merges
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(d, "text", n_merges=6)
+    rows = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string, pair_count long")
+
+
+register("text_bpe_learned_merges", _bpe_learned_merges, None)
