@@ -655,3 +655,25 @@ register(
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
 )
+
+
+# --- stream-static LEFT OUTER enrichment (EXACT oracle) ---------------------
+def _streaming_static_left_enrich(spark, sf_dir):
+    from ..streaming.events import run_stream_static_left_enrich_batch
+
+    return run_stream_static_left_enrich_batch(spark, sf_dir)
+
+
+register(
+    "events_streaming_static_left_enrich",
+    _streaming_static_left_enrich,
+    """
+    SELECT CASE WHEN user_id % 2 <> 0 THEN 'unknown'
+                WHEN user_id % 4 = 0 THEN 'gold'
+                ELSE 'silver' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY tier
+    """,
+)

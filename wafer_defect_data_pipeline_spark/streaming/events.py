@@ -359,3 +359,33 @@ def run_available_now_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()  # availableNow self-terminates once caught up
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+def run_stream_static_left_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-static enrichment: stream rows with no dim match
+    keep flowing with a null tier (coalesced to 'unknown') instead of
+    silently dropping — the correct default for a dimension table that
+    lags the stream (new users exist in events before the user dim ingests
+    them). Still stateless per micro-batch; still exact vs batch SQL.
+    The dim here covers only even user_ids, so the unmatched path is
+    actually exercised (half the users aggregate under 'unknown').
+    """
+    events = read_events_stream(spark, sf_dir)
+    users = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 4 == 0, "gold").otherwise("silver"),
+        )
+    )
+    enriched = events.join(F.broadcast(users), "user_id", "left")
+    agg = (
+        enriched.groupBy(F.coalesce("tier", F.lit("unknown")).alias("tier"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("tier")
