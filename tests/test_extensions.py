@@ -1418,11 +1418,15 @@ def test_bloom_runtime_filter_injects_and_matches_plain_join(spark, sf_small):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
-    # conf restoration + result parity with the plain join
+    # the helper itself: plans in a cloned session (caller confs untouched,
+    # no global mutation window for concurrent queries), and its own
+    # optimized plan carries the injected Bloom filter
     got = bloom_runtime_filtered_join(spark, li, sel, "l_orderkey", "o_orderkey")
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == old[
         "spark.sql.autoBroadcastJoinThreshold"
     ]
+    assert "might_contain" in got._jdf.queryExecution().optimizedPlan().toString()
+    assert got.sparkSession is not spark  # clone-bound, shared SparkContext
     plain = li.join(sel, li.l_orderkey == sel.o_orderkey)
     assert got.count() == plain.count()
     dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
@@ -1527,6 +1531,18 @@ def test_dq_audit_null_predicate_counts_as_violation(spark):
     dfn = spark.createDataFrame([(None, 1), (None, 2), (1, 3)], "id long, x long")
     u = uniqueness_violations(dfn, ["id"]).first()
     assert (u.violations, u.checked) == (1, 3)
+    # empty rule set: a uniqueness/RI-only audit must work, not die in
+    # stack(0, ...) analysis
+    from wafer_defect_data_pipeline_spark.operators.quality import predicate_audit
+
+    empty = predicate_audit(df, {})
+    assert empty.columns == ["rule", "violations", "checked"]
+    assert empty.count() == 0
+    only_unique = {
+        r.rule: (r.violations, r.checked)
+        for r in dq_audit(df, {}, unique_keys=[["id"]]).collect()
+    }
+    assert only_unique == {"unique(id)": (1, 4)}
 
 
 def test_cms_join_size_overestimates_within_additive_bound(spark, sf_small):
@@ -1656,6 +1672,29 @@ def test_prefix_filter_jaccard_edge_cases(spark):
     assert exact.filter(F.col("id_a") == 99).count() == 0
     assert exact.filter(F.col("id_b") == 99).count() == 0
     assert exact.count() == 6
+
+
+def test_prefix_filter_jaccard_ieee_ceil_boundary(spark):
+    """A pair at EXACTLY the threshold must survive even when
+    threshold*size rounds just above an integer in IEEE double
+    (0.55*100 = 55.000000000000007, so a raw ceil gives 56 where exact
+    arithmetic gives 55 — over-pruning the size filter and shortening the
+    prefix by one). |a|=100, b subset of a with |b|=55: J = 55/100 = 0.55."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    words = [f"w{i:03d}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:55]))],
+        "doc_id long, text string",
+    )
+    rows = prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.55, shingle_k=1
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].id_a == 1 and rows[0].id_b == 2
+    assert abs(rows[0].jaccard - 0.55) < 1e-9
 
 
 def test_zca_whitening_unit_variance_and_decorrelation(spark, sf_small):

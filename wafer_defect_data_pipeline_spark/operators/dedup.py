@@ -376,8 +376,14 @@ def prefix_filter_jaccard_pairs(
     )
     # pinned: the prefix frame is BOTH sides of the candidate self-join —
     # unpinned, the doc-frequency join + per-doc window would run twice
+    # The 1e-9 relaxation mirrors alpha's: for thresholds whose product
+    # lands just above an integer in IEEE double (ceil(0.55*100)=56 vs the
+    # exact 55), a raw ceil shortens the prefix by one token and a
+    # threshold-boundary pair could be silently dropped. Relaxation only
+    # widens the prefix, so exactness is preserved.
     prefix = ranked.filter(
-        F.col("__pos") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        F.col("__pos")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - 1e-9) + 1
     ).localCheckpoint(eager=False)
     a = prefix.select(
         F.col("__id").alias("id_a"),
@@ -407,8 +413,8 @@ def prefix_filter_jaccard_pairs(
         a.join(b, "__tok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa")))
-            & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb")))
+            & (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa") - 1e-9))
+            & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb") - 1e-9))
         )
         .groupBy("id_a", "id_b", "__sa", "__sb")
         .agg(F.min("__pa").alias("__pa1"), F.min("__pb").alias("__pb1"))

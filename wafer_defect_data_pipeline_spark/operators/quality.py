@@ -27,8 +27,16 @@ def predicate_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     proof of quality — same stance as SQL CHECK constraints NOT ENFORCED
     would hide).
     """
-    aggs = [F.count(F.lit(1)).alias("__checked")]
     names = list(rules)
+    if not names:
+        # stack(0, ...) is a parse error; an empty rule set is a valid
+        # audit (uniqueness/RI-only) and must yield an empty frame, not a
+        # confusing analysis failure.
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "rule string, violations bigint, checked bigint"
+        )
+    aggs = [F.count(F.lit(1)).alias("__checked")]
     for i, name in enumerate(names):
         aggs.append(
             F.sum(F.when(F.coalesce(rules[name], F.lit(False)), 0).otherwise(1)).alias(

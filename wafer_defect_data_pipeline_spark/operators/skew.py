@@ -21,6 +21,8 @@ task or expression state too big to combine early).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -99,25 +101,39 @@ def bloom_runtime_filtered_join(
 
     Local thresholds block injection (the application side must look like
     10 GB+ by default, and a broadcastable dim takes the broadcast path
-    where no Bloom is needed), so this helper pins the confs, materializes
-    the join result under them via an eager localCheckpoint (results are
-    plan-invariant — only the physical row route changes), and restores
-    the session confs — later queries plan under the defaults again.
+    where no Bloom is needed), so the confs must be pinned — but NOT on the
+    shared session: mutating session-global confs would silently re-plan any
+    concurrently-planned query (no broadcast joins during the window), and
+    the eager-checkpoint-then-restore workaround truncates lineage, making
+    executor loss unrecoverable. Instead the join is planned in a CLONED
+    session (``spark.newSession()`` — isolated SQLConf, shared
+    SparkContext): the inputs cross over via global temp views, the clone
+    pins the confs for the lifetime of the returned DataFrame (downstream
+    transformations stay clone-bound, so the Bloom rule fires at action
+    time), and the caller's session is never touched.
     """
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    old = {k: spark.conf.get(k, None) for k in confs}
+    clone = spark.newSession()
     for k, v in confs.items():
-        spark.conf.set(k, v)
+        clone.conf.set(k, v)
+    # Global temp views are the one catalog namespace shared across
+    # sessions; unique names keep concurrent calls from clobbering each
+    # other, and the views are dropped as soon as analysis has resolved
+    # them into the joined plan.
+    tag = uuid.uuid4().hex
+    fact_view, dim_view = f"__bloom_fact_{tag}", f"__bloom_dim_{tag}"
+    fact.createOrReplaceGlobalTempView(fact_view)
+    dim.createOrReplaceGlobalTempView(dim_view)
     try:
-        joined = fact.join(dim, fact[fact_key] == dim[dim_key])
-        return joined.localCheckpoint(eager=True)
+        f = clone.table(f"global_temp.{fact_view}")
+        d = clone.table(f"global_temp.{dim_view}")
+        joined = f.join(d, f[fact_key] == d[dim_key])
+        joined.schema  # force analysis so dropping the views below is safe
+        return joined
     finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        spark.catalog.dropGlobalTempView(fact_view)
+        spark.catalog.dropGlobalTempView(dim_view)
