@@ -71,6 +71,10 @@ HEADLINE = [
     "embedding_covariance",
     "sketch_cms_frequency",
     "graph_triangle_count",
+    # round-5 addition: the O(log n) large-star/small-star CC — the 100 TB
+    # path whose constant factors BENCH should track alongside the
+    # short-chain propagation variant above
+    "dedup_cluster_assignment_star",
 ]
 
 

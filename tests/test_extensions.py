@@ -284,6 +284,28 @@ def test_cosine_lsh_finds_planted_dups(spark, sf_small):
     assert (pairs.cos_sim >= 0.99).all()
 
 
+def test_knn_join_unblocked_guard(spark):
+    """block_col=None is a cartesian product — beyond the row bound it must
+    refuse unless the caller opts in explicitly; small inputs and blocked
+    joins are unaffected."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.similarity import knn_join_pairs
+
+    big = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.rand(seed=7)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="cartesian"):
+        knn_join_pairs(big, threshold=0.5, max_unblocked_rows=100)
+    # explicit opt-in runs; small input under the bound runs
+    assert knn_join_pairs(
+        big, threshold=1.1, max_unblocked_rows=100, allow_quadratic=True
+    ).count() == 0
+    small = big.limit(10)
+    assert knn_join_pairs(small, threshold=1.1, max_unblocked_rows=100).count() == 0
+
+
 def test_streaming_multibatch_state_accumulates(spark, sf_small, tmp_path):
     """Split events over 4 files -> 4 micro-batches (maxFilesPerTrigger=1):
     tumbling counts and applyInPandasWithState running profiles must equal
@@ -1431,6 +1453,40 @@ def test_bloom_runtime_filter_injects_and_matches_plain_join(spark, sf_small):
     assert got.count() == plain.count()
     dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
     assert got.agg(dec).first()[0] == plain.agg(dec).first()[0]
+
+
+def test_misra_gries_guarantee_and_partition_invariance(spark, sf_small):
+    """MG contract vs exact counts: <= k counters, every counter
+    under-counts by at most max_deficit, every value with true frequency
+    > max_deficit is present. Content-keyed segmentation makes the result
+    partitioning-invariant (unlike a per-batch imperative MG)."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.sketches import misra_gries_summary
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    d = read_table(spark, sf_small, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    out = misra_gries_summary(tok, "term", "doc_id", k=16, n_groups=4).toPandas()
+    assert 0 < len(out) <= 16
+    deficit = int(out.max_deficit.iloc[0])
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).toPandas()
+    j = out.merge(exact, on="term")
+    assert len(j) == len(out)  # every emitted term exists
+    assert ((j.c - j.mg_estimate) >= 0).all()  # never over-counts
+    assert ((j.c - j.mg_estimate) <= deficit).all()  # bounded under-count
+    heavy = set(exact[exact.c > deficit].term)
+    assert heavy <= set(out.term)  # no heavy hitter missed
+    # partitioning must not change a single counter
+    out2 = misra_gries_summary(
+        tok.repartition(17), "term", "doc_id", k=16, n_groups=4
+    ).toPandas()
+    a = out.sort_values(["term"]).reset_index(drop=True)
+    b = out2.sort_values(["term"]).reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_cms_never_undercounts_and_is_tight_for_top_terms(spark, sf_small):

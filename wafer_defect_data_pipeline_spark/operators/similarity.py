@@ -116,8 +116,28 @@ def knn_join_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block_col: str | None = None,
+    allow_quadratic: bool = False,
+    max_unblocked_rows: int = 100_000,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold; optional blocking."""
+    """All pairs (id_a < id_b) with cosine >= threshold; optional blocking.
+
+    ``block_col=None`` degrades to a cartesian product — the documented
+    brute-force verifier used by tests and oracle twins, never a headline
+    path. To keep it from ever shipping by accident against a large input,
+    the unblocked form counts the input first and raises beyond
+    ``max_unblocked_rows`` unless ``allow_quadratic=True`` is passed
+    explicitly (the count is one narrow scan — trivial next to the O(n²)
+    join it gates).
+    """
+    if block_col is None and not allow_quadratic:
+        n = df.count()
+        if n > max_unblocked_rows:
+            raise ValueError(
+                f"knn_join_pairs without block_col is a cartesian product; "
+                f"input has {n} rows (> {max_unblocked_rows}). Pass a "
+                f"block_col (LSH bucket, IVF cell) or allow_quadratic=True "
+                f"if the O(n²) cost is intended."
+            )
     base = df.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("__id"),

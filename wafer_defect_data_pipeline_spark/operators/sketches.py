@@ -162,3 +162,82 @@ def cms_inner_product(sk1: DataFrame, sk2: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("c1") * F.col("c2")).alias("ip"))
     )
     return per_row.agg(F.min("ip").alias("est_join_size"))
+
+
+def misra_gries_summary(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 32,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Two-level deterministic Misra-Gries heavy-hitter summary
+    (Misra & Gries '82; merge rule from Agarwal et al., PODS'12 mergeable
+    summaries — public literature).
+
+    The streaming MG decrement loop ("k+1 live counters -> decrement all")
+    has a deterministic offline fixed point: given a segment's exact
+    frequencies, every counter ends at ``f - theta`` where ``theta`` is the
+    segment's (k+1)-th largest frequency (each decrement round subtracts 1
+    from all live counters until only k survive, so the total subtracted is
+    exactly the (k+1)-th largest). That makes the whole sketch expressible
+    as column algebra with NO batch-boundary nondeterminism — unlike a
+    per-Arrow-batch imperative MG, the result is invariant to partitioning
+    and exactly replayable by the SQL oracle:
+
+    - level 1: rows scatter into ``n_groups`` segments by md5 of
+      ``key_col`` (content-deterministic, not partition-dependent); exact
+      per-(segment, value) counts — map-side combinable; each segment
+      keeps ``count - theta_g > 0`` (<= k survivors, one window rank over
+      <= distinct-values rows per segment);
+    - level 2 (the MERGE of the g summaries): residuals sum per value —
+      Agarwal's pairwise counter-wise add — then one final subtract of the
+      merged (k+1)-th largest keeps the state at <= k counters.
+
+    Output ``(value_col, mg_estimate, max_deficit)``: ``mg_estimate``
+    under-counts by at most ``max_deficit`` (the sum of every subtracted
+    threshold), so any value with true frequency > max_deficit is
+    GUARANTEED to appear — the MG heavy-hitter contract, asserted by
+    pytest against exact counts.
+    """
+    from pyspark.sql import Window as W
+
+    seg = df.select(
+        F.pmod(_hash60("mg:", F.col(key_col)), F.lit(n_groups)).alias("__g"),
+        F.col(value_col).alias("__v"),
+    )
+    counts = seg.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    wg = W.partitionBy("__g").orderBy(F.desc("__c"), F.asc("__v"))
+    ranked = counts.withColumn("__r", F.row_number().over(wg))
+    # theta_g = (k+1)-th largest count in the segment (0 when <= k values)
+    thetas = ranked.filter(F.col("__r") == k + 1).select(
+        "__g", F.col("__c").alias("__theta")
+    )
+    level1 = (
+        ranked.join(F.broadcast(thetas), "__g", "left")
+        .withColumn("__theta", F.coalesce("__theta", F.lit(0)))
+        .filter(F.col("__c") > F.col("__theta"))
+        .select("__v", (F.col("__c") - F.col("__theta")).alias("__res"), "__theta")
+    )
+    merged = level1.groupBy("__v").agg(F.sum("__res").alias("__sum"))
+    wm = W.orderBy(F.desc("__sum"), F.asc("__v"))
+    mranked = merged.withColumn("__r", F.row_number().over(wm))
+    mtheta = mranked.filter(F.col("__r") == k + 1).select(
+        F.col("__sum").alias("__mtheta")
+    )
+    # total deficit bound: every segment threshold plus the merge threshold
+    deficit = (
+        thetas.agg(F.coalesce(F.sum("__theta"), F.lit(0)).alias("__d"))
+        .crossJoin(
+            mtheta.agg(F.coalesce(F.max("__mtheta"), F.lit(0)).alias("__md"))
+        )
+        .select((F.col("__d") + F.col("__md")).alias("max_deficit"))
+    )
+    final = (
+        mranked.crossJoin(
+            F.broadcast(mtheta.agg(F.coalesce(F.max("__mtheta"), F.lit(0)).alias("__mt")))
+        )
+        .filter(F.col("__sum") > F.col("__mt"))
+        .select(F.col("__v").alias(value_col), (F.col("__sum") - F.col("__mt")).alias("mg_estimate"))
+    )
+    return final.crossJoin(F.broadcast(deficit))

@@ -149,3 +149,64 @@ register(
     SELECT est.est_join_size, ex.exact_join_size FROM est CROSS JOIN ex
     """,
 )
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+def _mg_heavy_hitters(spark, sf_dir):
+    """Deterministic two-level Misra-Gries over document terms (k=20,
+    8 segments keyed by doc_id hash). The oracle replays the identical
+    md5 segmentation + threshold-subtract arithmetic, so the driver checks
+    the sketch VALUES; the under-count bound vs exact frequencies is the
+    pytest property."""
+    from ..operators.sketches import misra_gries_summary
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    return (
+        misra_gries_summary(tok, "term", "doc_id", k=20, n_groups=8)
+        .select(
+            "term",
+            F.col("mg_estimate").cast("bigint").alias("mg_estimate"),
+            F.col("max_deficit").cast("bigint").alias("max_deficit"),
+        )
+        .orderBy(F.desc("mg_estimate"), F.asc("term"))
+    )
+
+
+register(
+    "sketch_mg_heavy_hitters",
+    _mg_heavy_hitters,
+    r"""
+    WITH tok AS (
+      SELECT CAST(concat('0x', substring(md5('mg:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS g,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT g, term, count(*) AS c FROM tok GROUP BY g, term),
+    ranked AS (
+      SELECT g, term, c,
+             row_number() OVER (PARTITION BY g ORDER BY c DESC, term) AS r
+      FROM counts
+    ),
+    thetas AS (SELECT g, c AS theta FROM ranked WHERE r = 21),
+    level1 AS (
+      SELECT ranked.term, ranked.c - coalesce(thetas.theta, 0) AS res
+      FROM ranked LEFT JOIN thetas USING (g)
+      WHERE ranked.c > coalesce(thetas.theta, 0)
+    ),
+    merged AS (SELECT term, sum(res) AS s FROM level1 GROUP BY term),
+    mranked AS (
+      SELECT term, s, row_number() OVER (ORDER BY s DESC, term) AS r FROM merged
+    ),
+    mtheta AS (SELECT coalesce(max(CASE WHEN r = 21 THEN s END), 0) AS mt FROM mranked),
+    dsum AS (SELECT coalesce(sum(theta), 0) AS d FROM thetas)
+    SELECT term, CAST(s - mt AS BIGINT) AS mg_estimate,
+           CAST(d + mt AS BIGINT) AS max_deficit
+    FROM mranked, mtheta, dsum
+    WHERE s > mt
+    ORDER BY mg_estimate DESC, term
+    """,
+)

@@ -434,3 +434,78 @@ def _bpe_learned_merges(spark, sf_dir):
 
 
 register("text_bpe_learned_merges", _bpe_learned_merges, None)
+
+
+# --- BPE fixture roundtrip (EXACT oracles) ----------------------------------
+# The corpus-scale BPE queries above are rows-only by nature (the merge
+# loop is not SQL-expressible). These twins close the evidence gap the way
+# the multimodal codec queries do: a closed-form micro-corpus whose merge
+# order is PROVABLE by hand (overlapping-pair counts, left-to-right
+# non-overlapping merge application, lexicographic tie-break at count 3
+# between ('ban','d') and ('d','ana')), with the expected outputs
+# hard-coded in the oracle as VALUES. The corpus is deliberately
+# sf-independent — the subject under test is the algorithm, not the data.
+#
+#   vocab: banana x4, bandana x3, ananas x2, ns/b/nd x1 (unseen-pair foil)
+#   provable merges: (a,n,18) (an,a,9) (b,an,7) (ban,ana,4) (ban,d,3)
+#                    (band,ana,3)
+def _bpe_fixture_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "banana banana banana banana"),
+            (2, "bandana bandana bandana"),
+            (3, "ananas ananas"),
+            (4, "ns b nd"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _bpe_fixture_merges(spark, sf_dir):
+    from ..functions.udfs import bpe_learn_merges
+
+    merges = bpe_learn_merges(_bpe_fixture_docs(spark), "text", n_merges=6)
+    rows = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+register(
+    "text_bpe_fixture_merges",
+    _bpe_fixture_merges,
+    """
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, merge_left, merge_right,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES (1, 'a', 'n', 18), (2, 'an', 'a', 9), (3, 'b', 'an', 7),
+                 (4, 'ban', 'ana', 4), (5, 'ban', 'd', 3), (6, 'band', 'ana', 3))
+         t(merge_rank, merge_left, merge_right, pair_count)
+    ORDER BY merge_rank
+    """,
+)
+
+
+def _bpe_fixture_stats(spark, sf_dir):
+    """End-to-end learn -> encode: greedy inference with the merge table
+    just learned from the same fixture. banana/bandana re-collapse to one
+    token; ananas stops at [an, ana, s] (no (an,ana) merge exists); doc 4's
+    words contain no learned pair and stay at character tokens."""
+    from ..functions.udfs import bpe_learn_merges, bpe_token_stats
+
+    docs = _bpe_fixture_docs(spark)
+    merges = [(l, r) for l, r, _ in bpe_learn_merges(docs, "text", n_merges=6)]
+    return bpe_token_stats(docs, "doc_id", "text", merges).orderBy("doc_id")
+
+
+register(
+    "text_bpe_fixture_stats",
+    _bpe_fixture_stats,
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(mean_token_len AS DOUBLE) + 0.0 AS mean_token_len
+    FROM (VALUES (1, 4, 6.0), (2, 3, 7.0), (3, 6, 2.0), (4, 5, 1.0))
+         t(doc_id, n_bpe_tokens, mean_token_len)
+    ORDER BY doc_id
+    """,
+)

@@ -64,185 +64,83 @@ def _load_all() -> None:
 
 
 # The driver's correctness sweep covers the registry in iteration order and
-# samples only ~50 entries per round, so with 161 registered queries the
-# order must ROTATE. Round 4 front-loads (a) the 34 queries that have never
-# received a driver row across rounds 1-3 (the union of CORRECTNESS_r01-03
-# — closing this evidence gap is VERDICT r3's top item), (b) queries whose
-# implementation or oracle changed this round and need re-verification,
-# then (c) known-green sentinels spanning families so a systemic regression
-# is still visible. Everything driver-green in r1-r3 rotates to the back;
-# pytest keeps covering all of them every session. Names not listed here
-# follow in registration order; a listed name missing from the registry is
-# a hard error (catches renames).
+# samples only ~50 entries per round, so with 190 registered queries the
+# order must ROTATE. Round 5 finishes the evidence matrix (VERDICT r4 item
+# 1): front-load (a) the 3 oracle-bearing queries that have never seen a
+# driver row, (b) sample_stratified (its only driver row is a stale r2
+# "no_oracle" err from before it was rebuilt with an exact oracle), (c) the
+# 4 queries whose implementation changed in round 4 after their last green
+# row, (d) the queries added or changed THIS round (new exact-oracle twins
+# for ZCA/BPE/Misra-Gries; the ceil-relaxed prefix join; the cloned-session
+# Bloom join), (e) the 13 rows-only queries that have never had a rows>0
+# row, (f) the 3 r2-era rows-only entries whose latest row predates two
+# rounds of rework, then (g) known-green sentinels spanning families so a
+# systemic regression is still visible. Names not listed follow in
+# registration order; a listed name missing from the registry is a hard
+# error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) never-driver-tested in r1-r3 — oracle-bearing first
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lines",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q18_large_orders",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "events_user_profile",
-    "events_range_join",
-    "events_cohort_retention",
-    "text_fingerprints",
-    "text_language_profile",
-    "text_sentence_stats",
-    "text_top_terms",
-    "sample_shuffled_head",
-    "text_pii_scan",
-    "embedding_quantization_recall",
-    "window_ntile_quartiles",
-    "text_boilerplate_ngrams",
-    "text_quality_rank_filter",
-    "text_unigram_logprob",
-    "multimodal_size_by_lang",
-    "multimodal_frame_sample",
-    # (a'') new this session — oracle-bearing, no driver row yet
-    "embedding_covariance",
-    "dedup_prefix_jaccard_pairs",
-    "zonemap_pruned_agg",
-    "bloom_runtime_filter_join",
-    "sketch_kmv_distinct",
-    "sketch_cms_frequency",
-    "graph_triangle_count",
-    "dq_audit_lineitem",
-    "schema_evolution_read",
-    "events_streaming_static_enrich",
-    "rag_chunk_retrieval",
-    "training_hard_negatives",
-    "dedup_quality_keep",
-    "sketch_cms_join_size",
-    "events_streaming_available_now",
-    "dedup_cluster_assignment_star",
-    "privacy_k_anonymity",
-    "price_histogram",
-    "numeric_correlations",
-    "events_windowed_quantiles",
-    # (b) new in round 4 — oracle-bearing, no driver row yet
-    "multimodal_image_decode_stats",  # new: executed pixel path, full oracle
-    "multimodal_audio_decode_stats",  # new: executed RIFF/PCM path, full oracle
-    "multimodal_video_frame_stats",  # new: executed Y4M frame sampling, full oracle
-    "multimodal_audio_spectrum_peak",  # new: executed FFT peak detection, full oracle
-    "text_pii_redact",  # new: redaction (not just detection), redacted text in oracle
-    "text_url_domain_stats",  # new: per-domain corpus mass
-    "text_paragraph_dedup",  # new: within-doc dedup counts
-    "sample_stratified",  # latest row was an err; now hash-threshold with exact oracle
-    # (a') never-driver-tested, rows-only by nature — weakest marginal
-    # signal (driver checks rows>0 only; each has pytest structure checks
-    # and an exact-oracle twin in its family), so they take the slots AFTER
-    # every oracle-bearing gap is covered. 42 oracle-bearing + 8 of these
-    # fill the driver's ~50-query window; the 3 stream-stream rows-only
-    # queries and the 4 re-verification entries land just past the cut and
-    # front a future rotation.
+    # (a) oracle-bearing, never driver-tested (r1-r4)
+    "text_url_domain_stats",
+    "text_paragraph_dedup",
+    "events_streaming_static_left_enrich",
+    # (b) stale r2 err row; now deterministic hash-threshold with exact oracle
+    "sample_stratified",
+    # (c) changed in round 4 after their last green row — re-verification
+    "wafer_pipeline_on_lineitem",  # pin-free metadata row id
+    "events_streaming_foreachbatch_upsert",  # state moved off-driver
+    "events_session_window_native",  # oracle tie-break by event_id
+    "events_streaming_mv_q1",  # null-safe merge
+    # (d) new or changed this round
+    "embedding_zca_identity_check",  # new: whitened covariance == identity
+    "text_bpe_fixture_merges",  # new: provable micro-corpus merge table
+    "text_bpe_fixture_stats",  # new: learn->encode roundtrip vs VALUES
+    "sketch_mg_heavy_hitters",  # new: deterministic two-level Misra-Gries
+    "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
+    "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
+    "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
+    "similarity_neardup_pairs",  # knn_join_pairs quadratic guard added
+    # (e) rows-only, never driver-tested — weakest marginal signal but each
+    # should carry a rows>0 row at least once
     "events_hll_weekly_users",
     "dedup_mllib_minhash_lsh",
     "similarity_bruteforce_topk_arrow",
     "similarity_lsh_pairs",
-    "embedding_pca_projection",  # new this session (eigh not SQL-expressible)
-    "text_bpe_token_stats",  # new this session (BPE merge loop not SQL-expressible)
+    "embedding_pca_projection",
+    "embedding_zca_whiten",
+    "text_bpe_token_stats",
+    "text_bpe_learned_merges",
     "events_streaming_tumbling",
     "events_streaming_sessions",
     "events_streaming_dedup",
     "events_streaming_join",
     "events_streaming_left_join",
-    # (b') changed in round 4, prior driver rows green — re-verification
-    "wafer_pipeline_on_lineitem",  # pin-free metadata row id
-    "events_streaming_foreachbatch_upsert",  # state moved off-driver
-    "events_session_window_native",  # oracle tie-break by event_id
-    "events_streaming_mv_q1",  # null-safe merge
-    # (c) known-green sentinels, one per major family
+    # (f) rows-only entries whose latest row is r2-era
+    "iqr_cascade_approx",
+    "approx_aggregates",
+    "events_stateful_profile",
+    # (g) known-green sentinels, one per family, fill the ~50-query window
     "flagship_iqr_summary",
     "filter_project",
     "csv_roundtrip",
     "dedup_exact",
+    "dedup_cluster_assignment_star",
     "similarity_bruteforce_topk",
     "text_quality_scores",
     "events_tumbling_window",
     "curation_pipeline",
     "tpch_q1_pricing_summary",
+    "tpch_q9_profit_by_nation",
     "semantic_dedup_keep",
-    # previously-green queries rotate to the back (r1-r3 driver rows exist)
-    "events_sessionization",
-    "events_lag_lead",
-    "json_extract",
-    "events_sliding_window",
-    "bucketed_join_zeroshuffle",
-    "orc_roundtrip",
-    "json_variant_agg",
-    "events_stateful_profile_exact",
-    "python_datasource_scan",
-    "recursive_cte_hierarchy",
-    "sql_scripting_doubling",
-    "wafer_features_pandas_api",
-    "observed_scan_metrics",
-    "compaction_small_files",
-    "events_user_topk_arrow",
-    "xml_roundtrip",
-    "transpose_metrics",
-    "split_leakage_audit",
+    "multimodal_image_decode_stats",
+    "sketch_cms_frequency",
+    "graph_triangle_count",
+    "zonemap_pruned_agg",
     "merge_upsert",
-    "graph_pagerank_suppliers",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_chunking",
-    "corpus_datacard",
-    "text_inverted_index",
-    "text_bm25_topk",
-    "events_gapfill_ffill",
-    "events_anomaly_mad",
-    "scd2_priority_history",
-    "unpivot_measures",
-    "text_editdist_pairs",
-    "text_geomean_chars_udaf",
-    "events_moving_median",
-    "json_roundtrip",
-    "partitioned_pruned_read",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_region_volume",
-    "range_filter",
-    "drop_nulls",
-    "derived_ratio",
-    "conditional_label",
-    "cast_columns",
-    "grouped_quantiles",
-    "iqr_bounds",
-    "null_counts",
-    "distinct_sorted",
-    "value_counts",
-    "boolean_sum",
-    "crosstab_pivot",
-    "union_by_name",
-    "iqr_cascade_rows",
-    "conditional_label_join",
-    "iqr_cascade_approx",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_jaccard_pairs",
-    "dedup_cluster_assignment",
-    "embedding_vector_stats",
-    "similarity_neardup_pairs",
-    "embedding_label_centroids",
-    "similarity_ivf_topk",
-    "text_token_stats",
-    "text_language_id",
-    "text_tfidf_topk",
-    "text_repetition_scores",
-    "text_benchmark_contamination",
-    "layout_zorder_stats",
-    "multimodal_binary_metadata",
-    "sample_hash_split",
-    "sample_mixture_weights",
-    "sample_topk_per_group",
-    "pack_sequences",
-    "events_asof_join",
-    "events_funnel",
-    "events_hypertable_rollup",
-    "events_stateful_profile",
+    "rag_chunk_retrieval",
+    "training_hard_negatives",
+    "events_windowed_quantiles",
+    # everything else (driver-green in r1-r4) follows in registration order;
+    # pytest's oracle-parity sweep still covers all of them every session
 ]
 
 
