@@ -1793,3 +1793,115 @@ def test_bpe_learn_merges_classic_example(spark):
     assert merges[2] == ("l", "o", 7)
     # round 4: 'lo'+'w' = 7
     assert merges[3] == ("lo", "w", 7)
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_small):
+    # Codebook centroids ARE the subvectors of vec_id < k, so those
+    # vectors must self-assign in every subspace with zero error.
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    cb = pq_codebook(e, "vec_id", "embedding", dim=64, k=16)
+    codes = pq_encode(e, cb, "vec_id", "embedding", dim=64).toPandas()
+    own = codes[codes.id < 16]
+    assert (own.code == own.id).all()
+    assert (own.d == 0).all()
+    # every (vector, subspace) got exactly one code
+    n = e.count()
+    assert len(codes) == n * 8
+
+
+def test_pq_lloyd_step_never_increases_error(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        pq_codebook,
+        pq_encode,
+        pq_lloyd_refine,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    cb0 = pq_codebook(e, "vec_id", "embedding", dim=64, k=16)
+    err0 = pq_encode(e, cb0, "vec_id", "embedding", dim=64).agg(F.sum("d")).first()[0]
+    cb1 = pq_lloyd_refine(e, cb0, "vec_id", "embedding", dim=64)
+    err1 = pq_encode(e, cb1, "vec_id", "embedding", dim=64).agg(F.sum("d")).first()[0]
+    assert err1 <= err0
+    # codebook shape is preserved: same (code, s, j) key set
+    assert cb1.count() == cb0.count()
+
+
+def test_pq_adc_matches_exact_when_vectors_are_centroids(spark):
+    # A corpus consisting ONLY of the codebook vectors quantizes with
+    # zero error, so ADC distance == exact integer L2 and the top-k sets
+    # must coincide.
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        exact_int_l2_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_distance_table,
+        pq_encode,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 16
+    )
+    cb = pq_codebook(e, "vec_id", "embedding", dim=64, k=16)
+    codes = pq_encode(e, cb, "vec_id", "embedding", dim=64)
+    q = e.filter(F.col("vec_id") < 4)
+    dt = pq_distance_table(q, cb, "vec_id", "embedding", dim=64)
+    adc = pq_adc_topk(codes, dt, k_top=3).toPandas()
+    exact = exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=3).toPandas()
+    a = adc.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    x = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a.corpus_id == x.corpus_id).all()
+    assert (a.adc_dist.values == x.l2_dist.values).all()
+
+
+def test_pq_codes_invariant_to_partitioning(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    cb = pq_codebook(e, "vec_id", "embedding", dim=64, k=16)
+    one = pq_encode(e, cb, "vec_id", "embedding", dim=64).toPandas()
+    many = pq_encode(e.repartition(13), cb, "vec_id", "embedding", dim=64).toPandas()
+    key = ["id", "s"]
+    one = one.sort_values(key).reset_index(drop=True)
+    many = many.sort_values(key).reset_index(drop=True)
+    assert (one.code.values == many.code.values).all()
+    assert (one.d.values == many.d.values).all()
+
+
+def test_kmv_threshold_prune_no_false_negatives(spark, sf_small):
+    # The 1.5x-margin sketch gate must not drop any group whose exact
+    # distinct count clears the threshold (checked against the direct
+    # single-phase computation), and every emitted profile is exact.
+    from wafer_defect_data_pipeline_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    T = 40  # sf0.001 parts span 17-47 distinct orders: the T/1.5 gate bites
+    li = read_table(spark, sf_small, "lineitem")
+    est = kmv_distinct_estimate(li, "l_partkey", "l_orderkey", k=32)
+    surv = est.filter(F.col("est_distinct") >= T / 1.5)
+    two_phase = (
+        li.join(F.broadcast(surv.select("l_partkey")), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("dv"))
+        .filter(F.col("dv") >= T)
+        .toPandas()
+    )
+    direct = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("dv"))
+        .filter(F.col("dv") >= T)
+        .toPandas()
+    )
+    assert set(two_phase.l_partkey) == set(direct.l_partkey)
+    merged = two_phase.merge(direct, on="l_partkey", suffixes=("_2p", "_d"))
+    assert (merged.dv_2p == merged.dv_d).all()
+    # and the gate actually prunes something at this threshold
+    assert surv.count() < est.count()

@@ -1,0 +1,250 @@
+"""Product quantization (PQ) for embedding compression + ADC search
+(extension surface §2.9 — similarity-search scale path).
+
+PQ (Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public literature; the codebook-per-subspace idea
+also underlies FAISS's IVF-PQ indexes) splits a d-dim vector into ``m``
+subvectors and encodes each against a per-subspace codebook of ``k``
+centroids, compressing a vector to ``m`` small codes. Search uses
+asymmetric distance computation (ADC): per query, a tiny ``m x k``
+distance table is precomputed against the codebooks, and a corpus
+vector's approximate distance is the sum of ``m`` table lookups — no
+per-pair float math over raw vectors. At 100 TB this is the difference
+between shuffling 64 floats and ``m`` bytes per corpus vector.
+
+Determinism / oracle design: ALL arithmetic is integer. Vector values
+quantize to ``round(v * scale)`` longs up front, the codebook is the
+subvectors of the ``k`` lowest-id vectors (a deterministic sampled
+codebook — exactly k-means++-free init, zero iterations — so no RNG and
+no iterative refinement to replay), and every distance is an integer sum
+of squared integer diffs. The DuckDB oracle therefore replays the whole
+pipeline with bit-exact hashes: there is no float fold-order hazard
+anywhere, the same trade the int8 recall query makes
+(plans/queries_curation.py `embedding_quantization_recall`).
+
+Scale shape:
+- codebook: ``m * k * d_sub`` rows — broadcast everywhere, never shuffled;
+- encode: corpus explodes to ``N * d`` rows once, broadcast-joins the
+  codebook (fan-out ``k`` inside a map-side-combinable sum), and the
+  argmin is a lexicographic ``min(struct(dist, code))`` per (id, s) —
+  a partial-aggregating groupBy, no window over raw distances;
+- ADC: the per-query distance table (``Q * m * k`` rows) broadcasts onto
+  the codes table (``N * m`` rows); the per-(query, id) sum is again
+  map-side combinable, and top-k uses the two-level rank (partition-local
+  k first) so no single reducer ever sorts a whole query's corpus — the
+  same pattern as operators/sketches.kmv_distinct_estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, dsub: int, scale: int
+) -> DataFrame:
+    """Explode ``vec_col`` to quantized subvector components
+    ``(id, s, j, iv)``: subspace ``s = pos // dsub``, within-subspace
+    position ``j = pos % dsub``, value ``iv = round(v * scale)`` as a
+    long. Integer from here on out — both engines round ties away from
+    zero on doubles, so ``iv`` is identical on Spark and DuckDB.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    return ex.select(
+        "id",
+        (F.col("pos") / F.lit(dsub)).cast("int").alias("s"),
+        (F.col("pos") % F.lit(dsub)).alias("j"),
+        F.round(F.col("val") * F.lit(float(scale)), 0).cast("long").alias("iv"),
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic sampled codebook ``(code, s, j, cv)``: centroid
+    ``code`` in subspace ``s`` is the quantized subvector of the vector
+    with ``id == code`` (the ``k`` lowest ids). ``m * k * dim/m`` rows —
+    tiny and broadcast by every consumer."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    return _subvectors(
+        df.filter(F.col(id_col) < k), id_col, vec_col, dsub, scale
+    ).select(F.col("id").cast("int").alias("code"), "s", "j", F.col("iv").alias("cv"))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Assign each (id, subspace) its nearest centroid: output
+    ``(id, s, code, d)`` with ``d`` the integer squared L2 distance to
+    the chosen centroid. Ties break to the smallest code via the
+    lexicographic ``min(struct(d, code))`` — the oracle's
+    ``row_number() ORDER BY d, code`` replays it exactly."""
+    dsub = dim // m
+    sub = _subvectors(df, id_col, vec_col, dsub, scale)
+    delta = F.col("iv") - F.col("cv")
+    dists = (
+        sub.join(F.broadcast(codebook), ["s", "j"])
+        .groupBy("id", "s", "code")
+        .agg(F.sum(delta * delta).alias("d"))
+    )
+    return (
+        dists.groupBy("id", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("m"))
+        .select("id", "s", F.col("m.code").alias("code"), F.col("m.d").alias("d"))
+    )
+
+
+def pq_lloyd_refine(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """One distributed Lloyd (k-means) refinement step over the PQ
+    codebook: assign every (vector, subspace) to its nearest centroid,
+    then move each centroid to the integer-rounded mean of its assigned
+    subvectors. Centroids with no assignment keep their old value.
+
+    This is the PQ *training* loop body expressed relationally: the
+    assignment is :func:`pq_encode` (broadcast codebook, map-side
+    combinable argmin) and the update is one groupBy-avg over
+    ``(s, code, j)`` — bounded output (``m * k * d_sub`` rows), linear
+    shuffle. Iterating it is classic Lloyd; each step provably does not
+    increase total quantization error (asserted by pytest and by the
+    ``embedding_pq_train_step`` oracle query). Integer rounding of the
+    means keeps the whole loop bit-exact replayable in SQL: the mean is
+    an exact-integer sum divided by a count (both < 2^53, so the double
+    division is exact on both engines), rounded ties-away-from-zero on
+    both.
+    """
+    dsub = dim // m
+    sub = _subvectors(df, id_col, vec_col, dsub, scale)
+    codes = pq_encode(df, codebook, id_col, vec_col, dim, m, scale).select(
+        "id", "s", "code"
+    )
+    means = (
+        sub.join(codes, ["id", "s"])
+        .groupBy("s", "code", "j")
+        .agg(F.round(F.avg("iv"), 0).cast("long").alias("nv"))
+    )
+    return codebook.join(F.broadcast(means), ["s", "code", "j"], "left").select(
+        "code", "s", "j", F.coalesce("nv", "cv").alias("cv")
+    )
+
+
+def pq_distance_table(
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, s, code, d)``: integer
+    squared L2 between the query's subvector ``s`` and centroid ``code``.
+    ``Q * m * k`` rows — broadcast onto the codes table by the search."""
+    dsub = dim // m
+    qsub = _subvectors(queries, id_col, vec_col, dsub, scale).withColumnRenamed(
+        "id", "query_id"
+    )
+    delta = F.col("iv") - F.col("cv")
+    return (
+        qsub.join(F.broadcast(codebook), ["s", "j"])
+        .groupBy("query_id", "s", "code")
+        .agg(F.sum(delta * delta).alias("d"))
+    )
+
+
+def pq_adc_topk(codes: DataFrame, dtable: DataFrame, k_top: int = 5) -> DataFrame:
+    """ADC search: approximate distance(query, id) = sum over subspaces of
+    the broadcast table entry for the id's code. Output
+    ``(query_id, rank, corpus_id, adc_dist)`` — all integers. Self-hits
+    (``query_id == id``) are excluded. Top-k is TWO-LEVEL (the k smallest
+    of a union are among the k smallest of each part): partition-local
+    rank keeps ``k_top`` per (query, physical partition), so the global
+    window ranks at most ``k_top * partitions`` survivors per query
+    instead of sorting the whole corpus on one reducer."""
+    scored = (
+        codes.select("id", "s", "code")  # drop encode residual: clashes with dtable.d
+        .join(F.broadcast(dtable), ["s", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("id"))
+    )
+    w1 = W.partitionBy("query_id", "__pid").orderBy("adc_dist", "id")
+    surv = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k_top)
+        .drop("__pid", "__r1")
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "id")
+    return (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "rank", F.col("id").alias("corpus_id"), "adc_dist")
+    )
+
+
+def exact_int_l2_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+    k_top: int = 5,
+) -> DataFrame:
+    """Exact top-k by integer squared L2 on the SAME quantized values —
+    the recall baseline for :func:`pq_adc_topk`. Queries are broadcast
+    (small batch by contract, like brute_force_topk); output
+    ``(query_id, rank, corpus_id, l2_dist)``. Uses the full-dim exploded
+    join, ``N * d * Q`` intermediate rows in a map-side-combinable sum —
+    the documented brute-force scale shape."""
+    sub = _subvectors(df, id_col, vec_col, dim, scale)
+    qsub = (
+        _subvectors(queries, id_col, vec_col, dim, scale)
+        .select(F.col("id").alias("query_id"), "j", F.col("iv").alias("qv"))
+    )
+    delta = F.col("iv") - F.col("qv")
+    scored = (
+        sub.join(F.broadcast(qsub), "j")
+        .groupBy("query_id", "id")
+        .agg(F.sum(delta * delta).alias("l2_dist"))
+        .filter(F.col("query_id") != F.col("id"))
+    )
+    w1 = W.partitionBy("query_id", "__pid").orderBy("l2_dist", "id")
+    surv = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k_top)
+        .drop("__pid", "__r1")
+    )
+    w = W.partitionBy("query_id").orderBy("l2_dist", "id")
+    return (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "rank", F.col("id").alias("corpus_id"), "l2_dist")
+    )

@@ -312,6 +312,247 @@ def _zca_identity_check(spark, sf_dir):
     )
 
 
+# --- product quantization (integer-exact; see operators/quantization.py) ---
+_PQ_CORE_SQL = """
+    ex AS (
+      SELECT vec_id, u.pos - 1 AS pos,
+             CAST(round(CAST(u.val AS DOUBLE) * 1000) AS BIGINT) AS iv
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ),
+    sub AS (SELECT vec_id, pos // 8 AS s, pos % 8 AS j, iv FROM ex),
+    cb AS (SELECT CAST(vec_id AS INTEGER) AS code, s, j, iv AS cv
+           FROM sub WHERE vec_id < 32),
+    dist AS (
+      SELECT sub.vec_id, sub.s, cb.code,
+             sum((sub.iv - cb.cv) * (sub.iv - cb.cv)) AS d
+      FROM sub JOIN cb ON sub.s = cb.s AND sub.j = cb.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, code, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS r
+        FROM dist) t WHERE r = 1
+    )
+"""
+
+
+def _pq_codes(spark, sf_dir):
+    """PQ encode: 64-dim float vector -> 8 codes + integer squared
+    reconstruction error. Everything integer, so the driver hash-checks
+    the codes AND the error bit-exactly."""
+    from ..operators.quantization import pq_codebook, pq_encode
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, "vec_id", "embedding", dim=64, k=32)
+    codes = pq_encode(e, cb, "vec_id", "embedding", dim=64)
+    return (
+        codes.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+                "-",
+            ).alias("pq_code"),
+            F.sum("d").alias("sq_err"),
+        )
+        .select(F.col("id").alias("vec_id"), "pq_code", "sq_err")
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "embedding_pq_codes",
+    _pq_codes,
+    f"""
+    WITH {_PQ_CORE_SQL}
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS pq_code,
+           CAST(sum(d) AS BIGINT) AS sq_err
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+
+
+def _pq_adc_topk(spark, sf_dir):
+    """ADC search over PQ codes: distances come from the broadcast
+    per-query lookup table, never from raw vectors."""
+    from ..operators.quantization import pq_adc_topk, pq_codebook, pq_distance_table, pq_encode
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, "vec_id", "embedding", dim=64, k=32)
+    codes = pq_encode(e, cb, "vec_id", "embedding", dim=64)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    dt = pq_distance_table(q, cb, "vec_id", "embedding", dim=64)
+    return pq_adc_topk(codes, dt, k_top=5).orderBy("query_id", "rank")
+
+
+register(
+    "embedding_pq_adc_topk",
+    _pq_adc_topk,
+    f"""
+    WITH {_PQ_CORE_SQL},
+    dt AS (
+      SELECT sub.vec_id AS query_id, sub.s, cb.code,
+             sum((sub.iv - cb.cv) * (sub.iv - cb.cv)) AS d
+      FROM sub JOIN cb ON sub.s = cb.s AND sub.j = cb.j
+      WHERE sub.vec_id % 50 = 0
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT dt.query_id, codes.vec_id AS corpus_id, sum(dt.d) AS adc
+      FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.code
+      WHERE dt.query_id <> codes.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
+           CAST(adc AS BIGINT) AS adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, corpus_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+
+
+def _pq_recall(spark, sf_dir):
+    """Recall@5 of ADC search vs the exact integer-L2 top-5 on the same
+    quantized values — the quality metric a 100 TB index build would
+    monitor. Integer hit counts, so the oracle is exact."""
+    from ..operators.quantization import (
+        exact_int_l2_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_distance_table,
+        pq_encode,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, "vec_id", "embedding", dim=64, k=32)
+    codes = pq_encode(e, cb, "vec_id", "embedding", dim=64)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    dt = pq_distance_table(q, cb, "vec_id", "embedding", dim=64)
+    adc = (
+        pq_adc_topk(codes, dt, k_top=5)
+        .select("query_id", "corpus_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact = exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=5).select(
+        "query_id", "corpus_id"
+    )
+    return (
+        exact.join(adc, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits_at_5"))
+        .orderBy("query_id")
+    )
+
+
+register(
+    "embedding_pq_recall_at5",
+    _pq_recall,
+    f"""
+    WITH {_PQ_CORE_SQL},
+    dt AS (
+      SELECT sub.vec_id AS query_id, sub.s, cb.code,
+             sum((sub.iv - cb.cv) * (sub.iv - cb.cv)) AS d
+      FROM sub JOIN cb ON sub.s = cb.s AND sub.j = cb.j
+      WHERE sub.vec_id % 50 = 0
+      GROUP BY 1, 2, 3
+    ),
+    adc_scored AS (
+      SELECT dt.query_id, codes.vec_id AS corpus_id, sum(dt.d) AS adc
+      FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.code
+      WHERE dt.query_id <> codes.vec_id
+      GROUP BY 1, 2
+    ),
+    adc_k AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, corpus_id) AS rank
+        FROM adc_scored) t WHERE rank <= 5
+    ),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             sum((c.iv - q.iv) * (c.iv - q.iv)) AS d
+      FROM ex c JOIN ex q ON c.pos = q.pos
+      WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    exact_k AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d, corpus_id) AS rank
+        FROM exact_scored) t WHERE rank <= 5
+    )
+    SELECT exact_k.query_id, CAST(count(adc_k.corpus_id) AS BIGINT) AS hits_at_5
+    FROM exact_k LEFT JOIN adc_k
+      ON exact_k.query_id = adc_k.query_id AND exact_k.corpus_id = adc_k.corpus_id
+    GROUP BY exact_k.query_id ORDER BY exact_k.query_id
+    """,
+)
+
+
+def _pq_train_step(spark, sf_dir):
+    """One distributed Lloyd step of PQ training: total integer
+    quantization error before vs after. Lloyd provably never increases
+    the error (assign-then-mean each weakly improves), so
+    ``err_refined <= err_init`` — the pytest property — and both sums
+    replay bit-exactly in the oracle (the refined codebook is
+    integer-rounded means of exact-integer sums)."""
+    from ..operators.quantization import pq_codebook, pq_encode, pq_lloyd_refine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb0 = pq_codebook(e, "vec_id", "embedding", dim=64, k=32)
+    # NB: the refine step re-runs the assignment internally; at scale the
+    # codes frame would be persisted across the two uses, but at bench SF
+    # the double assignment is cheaper than a persist round-trip.
+    err0 = pq_encode(e, cb0, "vec_id", "embedding", dim=64).agg(
+        F.sum("d").alias("err_init")
+    )
+    cb1 = pq_lloyd_refine(e, cb0, "vec_id", "embedding", dim=64)
+    err1 = pq_encode(e, cb1, "vec_id", "embedding", dim=64).agg(
+        F.sum("d").alias("err_refined")
+    )
+    return err0.crossJoin(err1)
+
+
+register(
+    "embedding_pq_train_step",
+    _pq_train_step,
+    f"""
+    WITH {_PQ_CORE_SQL},
+    means AS (
+      SELECT codes.s, codes.code, sub.j,
+             CAST(round(avg(sub.iv)) AS BIGINT) AS nv
+      FROM sub JOIN codes ON sub.vec_id = codes.vec_id AND sub.s = codes.s
+      GROUP BY 1, 2, 3
+    ),
+    cb1 AS (
+      SELECT cb.code, cb.s, cb.j, coalesce(means.nv, cb.cv) AS cv
+      FROM cb LEFT JOIN means
+        ON cb.s = means.s AND cb.code = means.code AND cb.j = means.j
+    ),
+    dist1 AS (
+      SELECT sub.vec_id, sub.s, cb1.code,
+             sum((sub.iv - cb1.cv) * (sub.iv - cb1.cv)) AS d
+      FROM sub JOIN cb1 ON sub.s = cb1.s AND sub.j = cb1.j
+      GROUP BY 1, 2, 3
+    ),
+    codes1 AS (
+      SELECT vec_id, s, code, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS r
+        FROM dist1) t WHERE r = 1
+    )
+    SELECT (SELECT CAST(sum(d) AS BIGINT) FROM codes) AS err_init,
+           (SELECT CAST(sum(d) AS BIGINT) FROM codes1) AS err_refined
+    """,
+)
+
+
 register(
     "embedding_zca_identity_check",
     _zca_identity_check,

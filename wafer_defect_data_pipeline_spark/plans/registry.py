@@ -95,6 +95,11 @@ _PRIORITY: list[str] = [
     "text_bpe_fixture_merges",  # new: provable micro-corpus merge table
     "text_bpe_fixture_stats",  # new: learn->encode roundtrip vs VALUES
     "sketch_mg_heavy_hitters",  # new: deterministic two-level Misra-Gries
+    "embedding_pq_codes",  # new: integer-exact product quantization encode
+    "embedding_pq_adc_topk",  # new: ADC search over PQ codes
+    "embedding_pq_recall_at5",  # new: ADC recall vs exact integer-L2 top-k
+    "embedding_pq_train_step",  # new: one distributed Lloyd step, monotone error
+    "sketch_kmv_threshold_prune",  # new: sketch-gated exact hot-key profiling
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
