@@ -1905,3 +1905,66 @@ def test_kmv_threshold_prune_no_false_negatives(spark, sf_small):
     assert (merged.dv_2p == merged.dv_d).all()
     # and the gate actually prunes something at this threshold
     assert surv.count() < est.count()
+
+
+def test_minhash_probe_finds_planted_and_rejects_novel(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_probe,
+        minhash_signatures,
+    )
+
+    d = read_table(spark, sf_small, "documents")
+    index_sigs = minhash_signatures(d, "doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    novel = (
+        d.filter(F.col("doc_id") % 10 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("novel "), F.col("doc_id").cast("string"), F.lit(" qqq")),
+        )
+    )
+    out = minhash_lsh_probe(
+        near.unionByName(novel), index_sigs, "doc_id", "text", threshold=0.4
+    ).toPandas()
+    planted = set(range(0, 200, 10))
+    self_hits = {
+        a - 2_000_000 for a, b in zip(out.new_id, out.index_id) if a - 2_000_000 == b
+    }
+    assert len(planted - self_hits) / len(planted) <= 0.1  # >= 90% recall
+    novel_ids = {i + 2_000_000 for i in range(5, 200, 10)}
+    assert not (set(out.new_id) & novel_ids), "novel docs must not match the index"
+
+
+def test_minhash_probe_agrees_with_self_join_pairs(spark, sf_small):
+    # Probing a batch against an index built from a disjoint corpus must
+    # produce exactly the cross pairs the self-join variant finds on the
+    # union (restricted to one side in the batch, one in the corpus).
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_probe,
+        minhash_signatures,
+    )
+
+    d = read_table(spark, sf_small, "documents").limit(100)
+    corpus = d.filter(F.col("doc_id") < 50)
+    batch = (
+        d.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    )
+    probe = minhash_lsh_probe(
+        batch, minhash_signatures(corpus, "doc_id", "text"), "doc_id", "text",
+        threshold=0.4,
+    ).toPandas()
+    union_pairs = minhash_lsh_pairs(
+        corpus.unionByName(batch), "doc_id", "text", threshold=0.4
+    ).toPandas()
+    cross = union_pairs[(union_pairs.id_a < 1_000_000) & (union_pairs.id_b >= 1_000_000)]
+    got = {(b, a) for a, b in zip(cross.id_a, cross.id_b)}
+    want = set(zip(probe.new_id, probe.index_id))
+    assert got == want

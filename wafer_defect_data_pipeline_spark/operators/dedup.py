@@ -453,3 +453,88 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_probe(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: band-join a NEW batch against a PREBUILT
+    signature index — the daily-crawl-vs-historical-corpus pattern.
+
+    ``index_sigs`` is a ``(id, sig)`` frame as produced by
+    :func:`minhash_signatures` (in production: computed once when a batch
+    is admitted, appended to a parquet/Delta index, and re-read per new
+    batch — the historical TEXT is never re-shingled). Only the new batch
+    pays the shingle+hash cost; the band join's left side is
+    batch-sized, so probing a 1 M-doc crawl against a 100 TB index is a
+    batch-side explode plus one equi-join on (band, key) against the
+    narrow index band table. Returns ``(new_id, index_id, est_jaccard)``
+    with ``est_jaccard`` = matching signature positions / n_hashes
+    ``>= threshold``; candidate pairs dedup on the narrow id pair before
+    signatures join back in, exactly like :func:`minhash_lsh_pairs`.
+    """
+    rows_per_band = n_hashes // n_bands
+    new_sigs = (
+        minhash_signatures(new_df, id_col, text_col, n_hashes, shingle_k)
+        .select(F.col(id_col).alias("__id"), "sig")
+        .localCheckpoint(eager=False)
+    )
+    idx = index_sigs.select(
+        F.col(index_sigs.columns[0]).alias("__id"), F.col("sig")
+    )
+
+    def _bands(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("__id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig").getItem(b * rows_per_band + i)
+                                    for i in range(rows_per_band)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        _bands(new_sigs, "new_id")
+        .join(_bands(idx, "index_id"), ["band", "key"])
+        .select("new_id", "index_id")
+        .distinct()
+        .join(
+            new_sigs.select(F.col("__id").alias("new_id"), F.col("sig").alias("sig_a")),
+            "new_id",
+        )
+        .join(
+            idx.select(F.col("__id").alias("index_id"), F.col("sig").alias("sig_b")),
+            "index_id",
+        )
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(n_match / F.lit(float(n_hashes)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "est_jaccard")
+    )

@@ -1229,3 +1229,48 @@ register(
     FROM g
     """,
 )
+
+
+def _l_diversity(spark, sf_dir):
+    """Sensitive-attribute diversity audit, the companion gate to
+    k-anonymity (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    k-Anonymity", ICDE'06 — public literature): a quasi-identifier group
+    that is large enough for k-anonymity still leaks if every member
+    shares the same sensitive value. Here QI = (lang, n_chars-bucket)
+    and the sensitive attribute is ``source``; a group with fewer than
+    l=3 distinct sources fails. One groupBy with a distinct-count — the
+    same single-shuffle shape as the k audit."""
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "lang",
+        (F.col("n_chars") / 100).cast("int").alias("chars_bucket"),
+        "source",
+    )
+    groups = q.groupBy("lang", "chars_bucket").agg(
+        F.count(F.lit(1)).alias("g"),
+        F.countDistinct("source").alias("ldiv"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("ldiv") < 3, 1).otherwise(0)).alias("n_groups_below_l"),
+        F.sum(F.when(F.col("ldiv") < 3, F.col("g")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("ldiv").alias("min_diversity"),
+    )
+
+
+register(
+    "privacy_l_diversity",
+    _l_diversity,
+    """
+    WITH g AS (
+      SELECT lang, CAST(n_chars // 100 AS INT) AS chars_bucket,
+             count(*) AS g, count(DISTINCT source) AS ldiv
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_l,
+           CAST(sum(CASE WHEN ldiv < 3 THEN g ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(min(ldiv) AS BIGINT) AS min_diversity
+    FROM g
+    """,
+)

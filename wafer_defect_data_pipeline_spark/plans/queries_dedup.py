@@ -415,3 +415,79 @@ register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# --- incremental dedup: new batch vs prebuilt signature index ---------------
+def _incremental_vs_index(spark, sf_dir):
+    """Daily-crawl dedup: probe a new batch (25 near-dups of indexed docs
+    + 25 genuinely novel docs) against the historical corpus' PREBUILT
+    MinHash signature index. Only the batch is shingled; the index side
+    is the narrow (id, sig) table — see operators/dedup.minhash_lsh_probe.
+    Every stage is md5-deterministic, so candidates and overlap estimates
+    hash-check exactly against the SQL replay."""
+    from ..operators.dedup import minhash_lsh_probe, minhash_signatures
+
+    d = read_table(spark, sf_dir, "documents")
+    index_sigs = minhash_signatures(d, "doc_id", "text", n_hashes=16, shingle_k=3)
+    near = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh crawl")))
+    )
+    novel = (
+        d.filter(F.col("doc_id") % 20 == 10)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("novel document "), F.col("doc_id").cast("string"), F.lit(" zzz unique")),
+        )
+    )
+    batch = near.unionByName(novel)
+    return minhash_lsh_probe(
+        batch, index_sigs.select("doc_id", "sig"), "doc_id", "text", threshold=0.4
+    ).orderBy("new_id", "index_id")
+
+
+register(
+    "dedup_incremental_vs_index",
+    _incremental_vs_index,
+    rf"""
+    WITH idx_t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ), idx_sh AS (
+      SELECT doc_id, {_SH3_Q} AS shingles FROM idx_t
+    ), idx_sig AS (
+      SELECT doc_id, [{_MINS16_Q}] AS sig FROM idx_sh
+    ), batch AS (
+      SELECT doc_id + 2000000 AS doc_id, text || ' fresh crawl' AS text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'novel document ' || CAST(doc_id + 2000000 AS VARCHAR) || ' zzz unique'
+      FROM documents WHERE doc_id % 20 = 10
+    ), b_t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM batch
+    ), b_sh AS (
+      SELECT doc_id, {_SH3_Q} AS shingles FROM b_t
+    ), b_sig AS (
+      SELECT doc_id, [{_MINS16_Q}] AS sig FROM b_sh
+    ), idx_bands AS (
+      SELECT doc_id, b,
+             concat_ws('|', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+      FROM idx_sig, range(4) tt(b)
+    ), b_bands AS (
+      SELECT doc_id, b,
+             concat_ws('|', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+      FROM b_sig, range(4) tt(b)
+    ), cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id
+      FROM b_bands nb JOIN idx_bands ib ON nb.b = ib.b AND nb.key = ib.key
+    )
+    SELECT new_id, index_id,
+           round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) AS est_jaccard
+    FROM cand JOIN b_sig sa ON cand.new_id = sa.doc_id
+              JOIN idx_sig sb ON cand.index_id = sb.doc_id
+    WHERE round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) >= 0.4
+    ORDER BY new_id, index_id
+    """,
+)

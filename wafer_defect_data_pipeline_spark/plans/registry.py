@@ -100,6 +100,8 @@ _PRIORITY: list[str] = [
     "embedding_pq_recall_at5",  # new: ADC recall vs exact integer-L2 top-k
     "embedding_pq_train_step",  # new: one distributed Lloyd step, monotone error
     "sketch_kmv_threshold_prune",  # new: sketch-gated exact hot-key profiling
+    "dedup_incremental_vs_index",  # new: batch-vs-prebuilt-index LSH probe
+    "privacy_l_diversity",  # new: sensitive-attribute diversity audit
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
