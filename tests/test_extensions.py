@@ -1968,3 +1968,20 @@ def test_minhash_probe_agrees_with_self_join_pairs(spark, sf_small):
     got = {(b, a) for a, b in zip(cross.id_a, cross.id_b)}
     want = set(zip(probe.new_id, probe.index_id))
     assert got == want
+
+
+def test_mmr_rerank_selection_invariants(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["rag_rerank_mmr"].fn(spark, sf_small).toPandas()
+    assert list(out.sel_rank) == [1, 2, 3]
+    # selected chunks are pairwise distinct
+    keys = set(zip(out.doc_id, out.chunk_idx))
+    assert len(keys) == 3
+    # step-1 pick is the relevance argmax: its mmr_score is 0.7 * bm25
+    top = out[out.sel_rank == 1].iloc[0]
+    assert abs(top.mmr_score - round(0.7 * top.bm25, 6)) < 1e-9
+    # later picks pay a diversity penalty: mmr_score <= 0.7 * bm25
+    rest = out[out.sel_rank > 1]
+    assert (rest.mmr_score <= 0.7 * rest.bm25 + 1e-9).all()

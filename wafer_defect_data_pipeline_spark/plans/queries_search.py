@@ -307,3 +307,219 @@ register(
     FROM ranked ORDER BY rank
     """,
 )
+
+
+# --- MMR rerank: relevance-diversity tradeoff on the candidate pool ---------
+def _rag_rerank_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98
+    — public literature) of the BM25 candidate pool: greedily pick the
+    chunk maximizing ``0.7 * bm25 - 0.3 * max_sim_to_selected``, where
+    chunk-chunk similarity is token-set Jaccard. Kills the
+    near-duplicate-chunks problem in RAG context assembly: the top-k by
+    relevance alone is often k copies of the same boilerplate.
+
+    Scale shape: the corpus-sized work is the SAME BM25 scoring pass as
+    rag_chunk_retrieval; everything after operates on the top-10 pool
+    (bounded by contract), so the greedy loop's joins are broadcast-tiny
+    and the k=3 unrolled steps add constant work. All similarity
+    arithmetic is int/int division rounded to 6 — replayed exactly by
+    the oracle's unrolled selection CTEs.
+    """
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    ).select(
+        "doc_id", (F.col("pos") / _RAG_CHUNK).cast("int").alias("chunk_idx"), "term"
+    )
+    lens = tok.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_chunks"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "chunk_idx", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (
+        F.col("tf") * (_K1 + 1.0)
+        / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(lens, on=["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "chunk_idx", F.round(contrib, 6).cast("decimal(18,6)").alias("c"))
+    )
+    cand = (
+        scored.groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id", "chunk_idx")
+        .limit(10)
+        .localCheckpoint(eager=False)  # feeds terms join + every greedy step
+    )
+    cterms = (
+        tok.join(cand.select("doc_id", "chunk_idx"), ["doc_id", "chunk_idx"])
+        .select("doc_id", "chunk_idx", "term")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes + both sides of the pair join
+    )
+    csz = cterms.groupBy("doc_id", "chunk_idx").agg(F.count(F.lit(1)).alias("sz"))
+    a = cterms.select(
+        F.col("doc_id").alias("da"), F.col("chunk_idx").alias("ca"), "term"
+    )
+    b = cterms.select(
+        F.col("doc_id").alias("db"), F.col("chunk_idx").alias("cb"), "term"
+    )
+    inter = (
+        a.join(b, "term")
+        .filter((F.col("da") != F.col("db")) | (F.col("ca") != F.col("cb")))
+        .groupBy("da", "ca", "db", "cb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sims = (
+        inter.join(
+            csz.select(F.col("doc_id").alias("da"), F.col("chunk_idx").alias("ca"), F.col("sz").alias("sa")),
+            ["da", "ca"],
+        )
+        .join(
+            csz.select(F.col("doc_id").alias("db"), F.col("chunk_idx").alias("cb"), F.col("sz").alias("sb")),
+            ["db", "cb"],
+        )
+        .select(
+            "da", "ca", "db", "cb",
+            F.round(F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # reused by every greedy step
+    )
+    selected = (
+        cand.orderBy(F.desc("bm25"), "doc_id", "chunk_idx")
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_rank"), "doc_id", "chunk_idx", "bm25",
+            F.round(F.lit(0.7) * F.col("bm25"), 6).alias("mmr_score"),
+        )
+    )
+    for step in (2, 3):
+        sel_keys = selected.select("doc_id", "chunk_idx")
+        remaining = cand.join(sel_keys, ["doc_id", "chunk_idx"], "left_anti")
+        msim = (
+            sims.join(
+                sel_keys.select(F.col("doc_id").alias("db"), F.col("chunk_idx").alias("cb")),
+                ["db", "cb"],
+            )
+            .groupBy(F.col("da").alias("doc_id"), F.col("ca").alias("chunk_idx"))
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            remaining.join(msim, ["doc_id", "chunk_idx"], "left")
+            .select(
+                "doc_id", "chunk_idx", "bm25",
+                F.round(
+                    F.lit(0.7) * F.col("bm25")
+                    - F.lit(0.3) * F.coalesce("msim", F.lit(0.0)),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), "doc_id", "chunk_idx")
+            .limit(1)
+            .select(F.lit(step).alias("sel_rank"), "doc_id", "chunk_idx", "bm25", "mmr_score")
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy("sel_rank")
+
+
+register(
+    "rag_rerank_mmr",
+    _rag_rerank_mmr,
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST((u.pos - 1) // {_RAG_CHUNK} AS INT) AS chunk_idx,
+             u.term
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents) t,
+           LATERAL (SELECT unnest(toks) AS term, generate_subscripts(toks, 1) AS pos) u
+    ), lens AS (
+      SELECT doc_id, chunk_idx, CAST(count(*) AS DOUBLE) AS dl
+      FROM tok GROUP BY doc_id, chunk_idx
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_chunks, sum(dl) / count(*) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, chunk_idx, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('join', 'hash', 'filter')
+      GROUP BY doc_id, chunk_idx, term
+    ), dfs AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bscored AS (
+      SELECT tf.doc_id, tf.chunk_idx,
+             CAST(round(ln((stats.n_chunks - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                        * tf.tf * ({_K1} + 1.0)
+                        / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * lens.dl / stats.avgdl)),
+                        6) AS DECIMAL(18,6)) AS c
+      FROM tf JOIN dfs ON tf.term = dfs.term
+      JOIN lens ON tf.doc_id = lens.doc_id AND tf.chunk_idx = lens.chunk_idx
+      CROSS JOIN stats
+    ), cand AS (
+      SELECT doc_id, chunk_idx, CAST(sum(c) AS DOUBLE) AS bm25
+      FROM bscored GROUP BY doc_id, chunk_idx
+      ORDER BY bm25 DESC, doc_id, chunk_idx LIMIT 10
+    ), cterms AS (
+      SELECT DISTINCT tok.doc_id, tok.chunk_idx, tok.term
+      FROM tok JOIN cand ON tok.doc_id = cand.doc_id AND tok.chunk_idx = cand.chunk_idx
+    ), csz AS (
+      SELECT doc_id, chunk_idx, count(*) AS sz FROM cterms GROUP BY 1, 2
+    ), inter AS (
+      SELECT a.doc_id AS da, a.chunk_idx AS ca, b.doc_id AS db, b.chunk_idx AS cb,
+             count(*) AS i
+      FROM cterms a JOIN cterms b ON a.term = b.term
+       AND (a.doc_id <> b.doc_id OR a.chunk_idx <> b.chunk_idx)
+      GROUP BY 1, 2, 3, 4
+    ), sims AS (
+      SELECT da, ca, db, cb,
+             round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS sim
+      FROM inter
+      JOIN csz sa ON sa.doc_id = da AND sa.chunk_idx = ca
+      JOIN csz sb ON sb.doc_id = db AND sb.chunk_idx = cb
+    ), s1 AS (
+      SELECT 1 AS sel_rank, doc_id, chunk_idx, bm25,
+             round(0.7 * bm25, 6) AS mmr_score
+      FROM cand ORDER BY bm25 DESC, doc_id, chunk_idx LIMIT 1
+    ), s2 AS (
+      SELECT 2 AS sel_rank, doc_id, chunk_idx, bm25, mmr_score FROM (
+        SELECT c.doc_id, c.chunk_idx, c.bm25,
+               round(0.7 * c.bm25 - 0.3 * coalesce(m.msim, 0.0), 6) AS mmr_score
+        FROM cand c
+        LEFT JOIN (SELECT s.da, s.ca, max(s.sim) AS msim
+                   FROM sims s JOIN s1 ON s.db = s1.doc_id AND s.cb = s1.chunk_idx
+                   GROUP BY 1, 2) m
+          ON m.da = c.doc_id AND m.ca = c.chunk_idx
+        WHERE NOT EXISTS (SELECT 1 FROM s1
+                          WHERE s1.doc_id = c.doc_id AND s1.chunk_idx = c.chunk_idx)
+      ) r ORDER BY mmr_score DESC, doc_id, chunk_idx LIMIT 1
+    ), sel2 AS (
+      SELECT doc_id, chunk_idx FROM s1 UNION ALL SELECT doc_id, chunk_idx FROM s2
+    ), s3 AS (
+      SELECT 3 AS sel_rank, doc_id, chunk_idx, bm25, mmr_score FROM (
+        SELECT c.doc_id, c.chunk_idx, c.bm25,
+               round(0.7 * c.bm25 - 0.3 * coalesce(m.msim, 0.0), 6) AS mmr_score
+        FROM cand c
+        LEFT JOIN (SELECT s.da, s.ca, max(s.sim) AS msim
+                   FROM sims s JOIN sel2 ON s.db = sel2.doc_id AND s.cb = sel2.chunk_idx
+                   GROUP BY 1, 2) m
+          ON m.da = c.doc_id AND m.ca = c.chunk_idx
+        WHERE NOT EXISTS (SELECT 1 FROM sel2
+                          WHERE sel2.doc_id = c.doc_id AND sel2.chunk_idx = c.chunk_idx)
+      ) r ORDER BY mmr_score DESC, doc_id, chunk_idx LIMIT 1
+    )
+    SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id, chunk_idx, bm25, mmr_score
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u
+    ORDER BY sel_rank
+    """,
+)
