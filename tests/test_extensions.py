@@ -1985,3 +1985,45 @@ def test_mmr_rerank_selection_invariants(spark, sf_small):
     # later picks pay a diversity penalty: mmr_score <= 0.7 * bm25
     rest = out[out.sel_rank > 1]
     assert (rest.mmr_score <= 0.7 * rest.bm25 + 1e-9).all()
+
+
+def test_greedy_nosplit_invariants(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.packing import pack_greedy_nosplit
+
+    d = read_table(spark, sf_small, "documents")
+    packed = pack_greedy_nosplit(d, "source", "doc_id", "n_chars", seq_len=2048)
+    pdf = packed.toPandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    # every document appears exactly once with its columns intact
+    assert len(pdf) == d.count()
+    # no multi-doc pack exceeds the budget (oversized docs sit alone)
+    sums = pdf.groupby(["source", "pack_id"]).agg(
+        n=("doc_id", "size"), tot=("n_chars", "sum")
+    )
+    assert (sums[sums.n >= 2].tot <= 2048).all()
+    # pack ids are dense and non-decreasing in doc order within a shard
+    for _, g in pdf.groupby("source"):
+        ids = list(g.pack_id)
+        assert ids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+    # greedy is tight: a doc only opens a new pack when it truly overflows
+    for _, g in pdf.groupby("source"):
+        fill = None
+        for n, pid, prev_pid in zip(g.n_chars, g.pack_id, [None] + list(g.pack_id)[:-1]):
+            if prev_pid is None or pid != prev_pid:
+                if fill is not None:
+                    assert fill + n > 2048  # the overflow that forced the break
+                fill = n
+            else:
+                fill += n
+
+
+def test_greedy_nosplit_partition_invariant(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.packing import pack_greedy_nosplit
+
+    d = read_table(spark, sf_small, "documents")
+    one = pack_greedy_nosplit(d, "source", "doc_id", "n_chars", 2048).toPandas()
+    many = pack_greedy_nosplit(d.repartition(17), "source", "doc_id", "n_chars", 2048).toPandas()
+    key = ["source", "doc_id"]
+    one = one.sort_values(key).reset_index(drop=True)
+    many = many.sort_values(key).reset_index(drop=True)
+    assert (one.pack_id.values == many.pack_id.values).all()

@@ -52,3 +52,58 @@ def pack_concat_chunks(
         .withColumn(pack_col, F.expr(f"__cum_before div {int(seq_len)}"))
         .drop("__cum_before")
     )
+
+
+def pack_greedy_nosplit(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    seq_len: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy first-fit-in-order packing WITHOUT splitting documents — the
+    stateful variant the module docstring defers to ``applyInPandas``.
+
+    Scanning each shard in ``order_col`` order: a document joins the
+    current pack if it fits (``fill + size <= seq_len``), else it opens a
+    new pack. Documents larger than ``seq_len`` occupy a pack alone (they
+    can never fit with a neighbor). Unlike :func:`pack_concat_chunks`, no
+    document straddles a pack boundary — the layout sacrifices perfect
+    fill for sample integrity, the trade instruction-tuning pipelines
+    usually make.
+
+    Scale shape: the per-shard scan is inherently sequential — that is
+    the honest cost of the no-split guarantee — but shards pack
+    independently, so ``applyInPandas`` over ``part_col`` runs one
+    Arrow-batched linear pass per shard in parallel across executors.
+    The scan carries two integers of state and is deterministic given the
+    (total) ``order_col`` order within each shard, so the result is
+    partition-invariant and the DuckDB oracle replays it with a
+    per-shard recursive CTE. A shard must fit in one task's Arrow frame
+    (same contract as every grouped-pandas op here); shard by source /
+    date so it does.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(pack_col, LongType())])
+    seq = int(seq_len)
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        ids = []
+        fill, pid = None, 0
+        for n in pdf[size_col]:
+            n = int(n)
+            if fill is None:
+                fill = n
+            elif fill + n <= seq:
+                fill += n
+            else:
+                pid += 1
+                fill = n
+            ids.append(pid)
+        pdf[pack_col] = ids
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(_pack, schema=out_schema)

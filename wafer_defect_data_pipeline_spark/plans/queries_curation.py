@@ -1274,3 +1274,48 @@ register(
     FROM g
     """,
 )
+
+
+# --- greedy no-split sequence packing ---------------------------------------
+def _pack_sequences_nosplit(spark, sf_dir):
+    """Per-source greedy first-fit packing without document splitting
+    (operators/packing.pack_greedy_nosplit): pack summaries mirror
+    pack_sequences for direct comparison of the two layouts. The
+    sequential per-shard scan is deterministic in doc_id order, so a
+    per-shard recursive CTE replays it exactly."""
+    from ..operators.packing import pack_greedy_nosplit
+
+    d = read_table(spark, sf_dir, "documents")
+    packed = pack_greedy_nosplit(d, "source", "doc_id", "n_chars", seq_len=2048)
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_tokens"))
+        .orderBy("source", "pack_id")
+    )
+
+
+register(
+    "pack_sequences_nosplit",
+    _pack_sequences_nosplit,
+    """
+    WITH RECURSIVE docs AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), walk(source, rn, pack_id, fill, n_chars) AS (
+      SELECT source, rn, CAST(0 AS BIGINT), n_chars, n_chars FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn,
+             CASE WHEN w.fill + d.n_chars <= 2048 THEN w.pack_id ELSE w.pack_id + 1 END,
+             CASE WHEN w.fill + d.n_chars <= 2048 THEN w.fill + d.n_chars ELSE d.n_chars END,
+             d.n_chars
+      FROM walk w JOIN docs d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_tokens
+    FROM walk
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)

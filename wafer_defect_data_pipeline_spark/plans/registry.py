@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "dedup_incremental_vs_index",  # new: batch-vs-prebuilt-index LSH probe
     "privacy_l_diversity",  # new: sensitive-attribute diversity audit
     "rag_rerank_mmr",  # new: MMR diversification of the BM25 pool
+    "pack_sequences_nosplit",  # new: stateful greedy packing, recursive oracle
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
