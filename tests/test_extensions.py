@@ -2027,3 +2027,45 @@ def test_greedy_nosplit_partition_invariant(spark, sf_small):
     one = one.sort_values(key).reset_index(drop=True)
     many = many.sort_values(key).reset_index(drop=True)
     assert (one.pack_id.values == many.pack_id.values).all()
+
+
+def test_drift_psi_nonnegative_and_covers_all_types(spark, sf_small):
+    # Each PSI bin term (q - p) * ln(q / p) has matching signs, so the sum
+    # is mathematically >= 0; smoothing keeps every term finite.
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["events_drift_psi"].fn(spark, sf_small).toPandas()
+    assert (out.psi >= 0).all()
+    assert out.psi.notna().all()
+    types = read_table(spark, sf_small, "events").select("event_type").distinct().count()
+    assert len(out) == types
+
+
+def test_basket_lift_matches_pandas_replica(spark, sf_small):
+    import pandas as pd
+
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["basket_part_pairs_lift"].fn(spark, sf_small).toPandas()
+    li = pd.read_parquet(f"{sf_small}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    n_orders = li.l_orderkey.nunique()
+    item = li.groupby("l_partkey").size()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    cnt = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    cnt = cnt[cnt >= 3]
+    rep = cnt.reset_index(name="n_ab")
+    rep["lift"] = round(
+        rep.n_ab * n_orders / (item[rep.l_partkey_x].values * item[rep.l_partkey_y].values),
+        6,
+    )
+    rep = rep.sort_values(
+        ["lift", "l_partkey_x", "l_partkey_y"], ascending=[False, True, True]
+    ).head(10)
+    assert list(out.pa) == list(rep.l_partkey_x)
+    assert list(out.pb) == list(rep.l_partkey_y)
+    assert list(out.n_ab) == list(rep.n_ab)

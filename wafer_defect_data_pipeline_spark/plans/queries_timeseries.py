@@ -424,3 +424,86 @@ register(
     FROM events GROUP BY 1 ORDER BY window_start
     """,
 )
+
+
+# --- distribution drift: population stability index -------------------------
+def _drift_psi(spark, sf_dir):
+    """Week-over-period drift monitor: PSI of the event-value distribution
+    per event type, first half of the month (baseline) vs second half
+    (current). PSI = sum over bins of (q - p) * ln(q / p) with
+    add-one smoothing over the fixed 10-bin grid (industry-standard
+    credit-scoring drift metric — public literature; >0.2 conventionally
+    flags a shift). One pass builds both histograms (conditional sums on
+    the half-month flag); the 10-bin grid cross join is constant-size.
+    Per-bin contributions are rounded to 6 decimals and summed as
+    DECIMAL(18,6) — the same fold-order-proof determinism contract as
+    text_bm25_topk — so the oracle hash-matches exactly."""
+    e = read_table(spark, sf_dir, "events")
+    half = F.col("ts").cast("timestamp") >= F.lit("2024-01-16").cast("timestamp")
+    binned = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bin"),
+        half.cast("int").alias("cur"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(1 - F.col("cur")).alias("base_n"),
+        F.sum("cur").alias("cur_n"),
+    )
+    types = binned.select("event_type").distinct()
+    grid = types.crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    filled = grid.join(counts, ["event_type", "bin"], "left").fillna(
+        0, subset=["base_n", "cur_n"]
+    )
+    totals = filled.groupBy("event_type").agg(
+        F.sum("base_n").alias("base_tot"), F.sum("cur_n").alias("cur_tot")
+    )
+    p = (F.col("base_n") + 1.0) / (F.col("base_tot") + 10.0)
+    q = (F.col("cur_n") + 1.0) / (F.col("cur_tot") + 10.0)
+    contrib = F.round((q - p) * F.log(q / p), 6).cast("decimal(18,6)")
+    return (
+        filled.join(F.broadcast(totals), "event_type")
+        .select("event_type", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_drift_psi",
+    _drift_psi,
+    """
+    WITH binned AS (
+      SELECT event_type,
+             CAST(least(floor("value" / 50.0), 9) AS INT) AS bin,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
+      FROM events
+    ), counts AS (
+      SELECT event_type, bin,
+             sum(1 - cur) AS base_n, sum(cur) AS cur_n
+      FROM binned GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, CAST(g.range AS INT) AS bin
+      FROM (SELECT DISTINCT event_type FROM binned) t, range(10) g
+    ), filled AS (
+      SELECT grid.event_type, grid.bin,
+             coalesce(counts.base_n, 0) AS base_n,
+             coalesce(counts.cur_n, 0) AS cur_n
+      FROM grid LEFT JOIN counts
+        ON grid.event_type = counts.event_type AND grid.bin = counts.bin
+    ), totals AS (
+      SELECT event_type, sum(base_n) AS base_tot, sum(cur_n) AS cur_tot
+      FROM filled GROUP BY 1
+    ), contribs AS (
+      SELECT f.event_type,
+             CAST(round(((f.cur_n + 1.0) / (t.cur_tot + 10.0)
+                         - (f.base_n + 1.0) / (t.base_tot + 10.0))
+                        * ln(((f.cur_n + 1.0) / (t.cur_tot + 10.0))
+                             / ((f.base_n + 1.0) / (t.base_tot + 10.0))),
+                        6) AS DECIMAL(18,6)) AS c
+      FROM filled f JOIN totals t ON f.event_type = t.event_type
+    )
+    SELECT event_type, round(CAST(sum(c) AS DOUBLE), 6) AS psi
+    FROM contribs GROUP BY event_type ORDER BY event_type
+    """,
+)

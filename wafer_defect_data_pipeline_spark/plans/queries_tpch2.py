@@ -646,3 +646,77 @@ register(
     ORDER BY l_returnflag, measure
     """,
 )
+
+
+# --- market-basket association: part-pair support / confidence / lift -------
+def _basket_pairs_lift(spark, sf_dir):
+    """Association-rule mining over order baskets (Agrawal & Srikant's
+    frequent-itemset framing, VLDB'94 — public literature): for part
+    pairs co-occurring in the same order, support, and lift
+    = P(a,b) / (P(a) P(b)). The pair join is WITHIN-ORDER only (baskets
+    cap at ~13 lines here, and basket size bounds the quadratic term at
+    any scale — the pair explosion is per-basket, never corpus-wide),
+    distinct parts per basket first so multi-line repeats don't inflate
+    counts. Lift stays a single ratio of exact bigint products — one
+    double division, deterministic on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    basket = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds totals, item counts, both pair sides
+    )
+    n_orders = basket.agg(F.countDistinct("ok").alias("n_orders"))
+    item = basket.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.select("ok", F.col("p").alias("pa"))
+    b = basket.select("ok", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    return (
+        pairs.join(F.broadcast(item.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))), "pa")
+        .join(F.broadcast(item.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(10)
+    )
+
+
+register(
+    "basket_part_pairs_lift",
+    _basket_pairs_lift,
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM basket
+    ), item AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM basket a JOIN basket b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT pa, pb, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n_orders.n, 6) AS support,
+           round(CAST(n_ab * n_orders.n AS DOUBLE) / (ia.n * ib.n), 6) AS lift
+    FROM pairs
+    JOIN item ia ON pairs.pa = ia.p
+    JOIN item ib ON pairs.pb = ib.p
+    CROSS JOIN n_orders
+    ORDER BY lift DESC, pa, pb
+    LIMIT 10
+    """,
+)

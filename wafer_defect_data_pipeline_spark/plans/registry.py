@@ -104,6 +104,8 @@ _PRIORITY: list[str] = [
     "privacy_l_diversity",  # new: sensitive-attribute diversity audit
     "rag_rerank_mmr",  # new: MMR diversification of the BM25 pool
     "pack_sequences_nosplit",  # new: stateful greedy packing, recursive oracle
+    "events_drift_psi",  # new: population stability index drift monitor
+    "basket_part_pairs_lift",  # new: association rules over order baskets
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
