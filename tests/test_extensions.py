@@ -2069,3 +2069,20 @@ def test_basket_lift_matches_pandas_replica(spark, sf_small):
     assert list(out.pa) == list(rep.l_partkey_x)
     assert list(out.pb) == list(rep.l_partkey_y)
     assert list(out.n_ab) == list(rep.n_ab)
+
+
+def test_seasonal_backtest_covers_every_eval_row(spark, sf_small):
+    # Three training weeks cover all seven weekdays, so the forecast join
+    # must not drop a single eval-week row; MAE is nonnegative by shape.
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["events_seasonal_backtest"].fn(spark, sf_small).toPandas()
+    e = read_table(spark, sf_small, "events")
+    ts = F.col("ts").cast("timestamp")
+    expected = e.filter(
+        (ts >= F.lit("2024-01-22").cast("timestamp"))
+        & (ts < F.lit("2024-01-29").cast("timestamp"))
+    ).count()
+    assert int(out.n_eval.sum()) == expected
+    assert (out.mae >= 0).all()

@@ -507,3 +507,68 @@ register(
     FROM contribs GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# --- seasonal-naive backtest: train weeks 1-3, evaluate week 4 --------------
+def _seasonal_backtest(spark, sf_dir):
+    """Forecast backtesting shape: per (event_type, day-of-week) mean
+    value learned on weeks 1-3 is the seasonal-naive forecast for week 4;
+    report per-type MAE. The train aggregate is one map-side-combinable
+    groupBy over a DECIMAL(18,2) cast (event values carry 2dp, so train
+    sums are exact and the mean is a single exact-over-count division);
+    forecasts broadcast back onto the eval week. Per-row absolute errors
+    round to 6 decimals and sum as DECIMAL(18,6) — the fold-order-proof
+    contract — so the whole train/forecast/eval loop hash-checks against
+    the oracle."""
+    e = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    base = e.select(
+        "event_type",
+        F.dayofweek(ts).alias("dow"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (ts >= F.lit("2024-01-22").cast("timestamp")).alias("is_eval"),
+    ).filter(ts < F.lit("2024-01-29").cast("timestamp"))
+    train = (
+        base.filter(~F.col("is_eval"))
+        .groupBy("event_type", "dow")
+        .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("forecast"))
+    )
+    evald = base.filter(F.col("is_eval")).join(F.broadcast(train), ["event_type", "dow"])
+    err = F.round(F.abs(F.col("v").cast("double") - F.col("forecast")), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        evald.select("event_type", err.alias("e"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.sum("e").cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_seasonal_backtest",
+    _seasonal_backtest,
+    """
+    WITH base AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST("value" AS DECIMAL(18,2)) AS v,
+             ts >= TIMESTAMP '2024-01-22' AS is_eval
+      FROM events WHERE ts < TIMESTAMP '2024-01-29'
+    ), train AS (
+      SELECT event_type, dow,
+             CAST(sum(v) AS DOUBLE) / count(*) AS forecast
+      FROM base WHERE NOT is_eval GROUP BY 1, 2
+    ), evald AS (
+      SELECT base.event_type,
+             CAST(round(abs(CAST(v AS DOUBLE) - train.forecast), 6) AS DECIMAL(18,6)) AS e
+      FROM base JOIN train ON base.event_type = train.event_type AND base.dow = train.dow
+      WHERE base.is_eval
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS mae
+    FROM evald GROUP BY event_type ORDER BY event_type
+    """,
+)

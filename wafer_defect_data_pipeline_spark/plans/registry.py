@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "pack_sequences_nosplit",  # new: stateful greedy packing, recursive oracle
     "events_drift_psi",  # new: population stability index drift monitor
     "basket_part_pairs_lift",  # new: association rules over order baskets
+    "events_seasonal_backtest",  # new: day-of-week forecast MAE backtest
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
