@@ -2086,3 +2086,50 @@ def test_seasonal_backtest_covers_every_eval_row(spark, sf_small):
     ).count()
     assert int(out.n_eval.sum()) == expected
     assert (out.mae >= 0).all()
+
+
+def test_k_core_known_graphs(spark):
+    from wafer_defect_data_pipeline_spark.operators.graph import k_core
+
+    # K4 clique (3-core) with a pendant chain hanging off node 0: the chain
+    # and its attachment never survive 3-core peeling; the clique does.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + chain, "id_a long, id_b long")
+    out = k_core(edges, k=3).toPandas().sort_values("id")
+    assert list(out.id) == [0, 1, 2, 3]
+    assert list(out.core_degree) == [3, 3, 3, 3]
+    # 2-core of a triangle with a tail: triangle survives, tail peels off
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out2 = k_core(tri, k=2).toPandas().sort_values("id")
+    assert list(out2.id) == [1, 2, 3]
+    # no 4-core exists in the triangle: empty result, no crash
+    assert k_core(tri, k=4).count() == 0
+    # cascade test: peeling must iterate (node 4 only drops after 5 does)
+    # k=2 on path 1-2-3-4-5: everything peels, in waves from the ends
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    assert k_core(path, k=2).count() == 0
+
+
+def test_skew_diagnosis_matches_pandas_replica(spark, sf_small):
+    import numpy as np
+    import pandas as pd
+
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["skew_key_diagnosis"].fn(spark, sf_small).toPandas()
+    li = pd.read_parquet(f"{sf_small}/lineitem.parquet")
+    for _, row in out.iterrows():
+        c = li.groupby(row.key_col).size().sort_values().values
+        n, tot = len(c), c.sum()
+        i = np.arange(1, n + 1)
+        gini = 2.0 * (i * c).sum() / (n * tot) - (n + 1.0) / n
+        assert row.n_keys == n and row.total_rows == tot
+        assert abs(row.top1_share - round(c.max() / tot, 6)) < 1e-9
+        assert abs(row.top10_share - round(np.sort(c)[-10:].sum() / tot, 6)) < 1e-9
+        assert abs(row.gini - round(gini, 6)) < 1e-9

@@ -306,3 +306,51 @@ def connected_components_star(
         nodes.join(comp, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+def k_core(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", k: int = 2, max_iter: int = 50
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman, "Network
+    structure and minimum degree", Social Networks 1983 — public
+    literature): repeatedly delete nodes of degree < k in the CURRENT
+    subgraph until none remain. The surviving subgraph is the maximal one
+    where every node keeps >= k neighbors — the standard dense-community
+    filter over near-dup graphs (a k-core survivor is corroborated by k
+    independent near-matches, a chain pendant is not).
+
+    Same driver-side fixpoint shape as :func:`connected_components`: each
+    round is one symmetrized degree count plus two broadcast anti-joins
+    against the (small) low-degree node set, with ``localCheckpoint``
+    pinning lineage. Rounds are bounded by the peeling depth (graph
+    degeneracy), not the diameter. Deterministic: the final subgraph is
+    unique (the k-core is order-independent — peeling in any order
+    reaches the same fixpoint), so the output is partition-invariant.
+
+    Returns ``(id, core_degree)`` for surviving nodes — degree counted
+    within the k-core. Empty output when no k-core exists. Rows-only by
+    nature for the oracle (the data-dependent round count has no bounded
+    SQL unrolling; recursive CTEs disallow aggregates in the recursive
+    term); correctness is pinned by pytest on known graphs.
+    """
+    e0 = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    edges = (
+        e0.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.filter(F.col("d") < k).select(F.col("a").alias("v"))
+        if low.isEmpty():
+            return deg.select(F.col("a").alias("id"), F.col("d").alias("core_degree"))
+        edges = (
+            edges.join(F.broadcast(low.withColumnRenamed("v", "a")), "a", "left_anti")
+            .join(F.broadcast(low.withColumnRenamed("v", "b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

@@ -572,3 +572,26 @@ register(
     FROM evald GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# --- k-core of the co-supply graph (rows-only: data-dependent peeling) ------
+def _graph_kcore(spark, sf_dir):
+    """3-core survivors of the high-quantity co-supply graph (same edge
+    set as graph_triangle_count): the dense seller communities. Rows-only
+    by nature — see operators/graph.k_core; pytest pins exact outputs on
+    known graphs (clique + pendant chain)."""
+    from ..operators.graph import k_core
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("id_a"), F.col("sb").alias("id_b"))
+        .distinct()
+    )
+    return k_core(edges, k=3).orderBy("id")
+
+
+register("graph_kcore_suppliers", _graph_kcore, None)

@@ -720,3 +720,76 @@ register(
     LIMIT 10
     """,
 )
+
+
+# --- key-skew diagnosis: the report that decides salting --------------------
+def _skew_key_diagnosis(spark, sf_dir):
+    """Per-join-key skew report over lineitem: key cardinality, heaviest
+    key's row share, top-10 share, and the Gini coefficient of the
+    per-key count distribution — the numbers that decide whether a join
+    needs salting or AQE skew handling BEFORE running it. All ranking
+    and windowing happens on the per-key COUNT SUMMARY (bounded by key
+    cardinality, not row count), the corpus itself is touched by one
+    map-side-combinable groupBy per column. Gini uses the exact rank
+    formula 2*sum(i*c_i)/(n*sum(c)) - (n+1)/n on integer sums — one
+    double expression at the end, hash-exact in the oracle."""
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    reports = []
+    for col in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        counts = li.groupBy(F.col(col).alias("key")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        ranked = counts.select(
+            "key", "c",
+            F.row_number().over(W.orderBy(F.asc("c"), F.asc("key"))).alias("i"),
+            F.row_number().over(W.orderBy(F.desc("c"), F.asc("key"))).alias("ri"),
+        )
+        reports.append(
+            ranked.agg(
+                F.lit(col).alias("key_col"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("c").alias("total_rows"),
+                F.round(F.max("c") / F.sum("c"), 6).alias("top1_share"),
+                F.round(
+                    F.sum(F.when(F.col("ri") <= 10, F.col("c")).otherwise(0)) / F.sum("c"), 6
+                ).alias("top10_share"),
+                F.round(
+                    2.0 * F.sum(F.col("i") * F.col("c"))
+                    / (F.count(F.lit(1)) * F.sum("c"))
+                    - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                    6,
+                ).alias("gini"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key_col")
+
+
+_SKEW_COL_SQL = """
+      SELECT '{col}' AS key_col,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+             round(CAST(sum(CASE WHEN ri <= 10 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS top10_share,
+             round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+                   - (count(*) + 1.0) / count(*), 6) AS gini
+      FROM (
+        SELECT key, c,
+               row_number() OVER (ORDER BY c ASC, key ASC) AS i,
+               row_number() OVER (ORDER BY c DESC, key ASC) AS ri
+        FROM (SELECT {col} AS key, count(*) AS c FROM lineitem GROUP BY 1) t
+      ) r
+"""
+
+register(
+    "skew_key_diagnosis",
+    _skew_key_diagnosis,
+    "\nUNION ALL\n".join(
+        _SKEW_COL_SQL.format(col=c) for c in ["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+    + "\nORDER BY key_col",
+)

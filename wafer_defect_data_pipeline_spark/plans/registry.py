@@ -107,6 +107,8 @@ _PRIORITY: list[str] = [
     "events_drift_psi",  # new: population stability index drift monitor
     "basket_part_pairs_lift",  # new: association rules over order baskets
     "events_seasonal_backtest",  # new: day-of-week forecast MAE backtest
+    "skew_key_diagnosis",  # new: Gini + top-k share salting report
+    "graph_kcore_suppliers",  # new rows-only: iterative peeling k-core
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
