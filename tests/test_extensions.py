@@ -2133,3 +2133,16 @@ def test_skew_diagnosis_matches_pandas_replica(spark, sf_small):
         assert abs(row.top1_share - round(c.max() / tot, 6)) < 1e-9
         assert abs(row.top10_share - round(np.sort(c)[-10:].sum() / tot, 6)) < 1e-9
         assert abs(row.gini - round(gini, 6)) < 1e-9
+
+
+def test_containment_finds_planted_wrappers(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["text_containment_pairs"].fn(spark, sf_small).toPandas()
+    planted = out[(out.container_id - 3_000_000) == out.contained_id]
+    n_expected = len(range(0, 500, 25))
+    assert len(planted) == n_expected  # every original contained in its wrapper
+    # a wrapped copy contains the original completely: containment == 1.0
+    assert (planted.containment == 1.0).all()
+    assert (out.containment >= 0.9).all()

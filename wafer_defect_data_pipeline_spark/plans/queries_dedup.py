@@ -491,3 +491,93 @@ register(
     ORDER BY new_id, index_id
     """,
 )
+
+
+# --- asymmetric containment: wrapper / quote detection ----------------------
+def _containment_pairs(spark, sf_dir):
+    """Directed near-containment pairs: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| >= 0.9. The asymmetric
+    twin of the Jaccard join — a boilerplate-wrapped or quoting document
+    CONTAINS its source nearly fully while their Jaccard can sit well
+    below any dedup threshold, so symmetric dedup misses exactly the
+    wrapper-expansion pattern this catches. Planted fixture: every 25th
+    doc re-enters wrapped in quote-block boilerplate; each original must
+    surface as contained-in its wrapper.
+
+    Scale shape: shingle inverted-index self-join — cost is sum over
+    shingles of df², here bounded (max df 7 + the 21-doc planted
+    boilerplate); at web scale cap shingle df (drop ultra-common
+    shingles) before the join, the standard containment-join lever.
+    Intersections and sizes are exact integers; one rounded division at
+    the end, hash-exact in the oracle.
+    """
+    from ..functions.text import token_shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    wrapped = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("begin quote block "), F.col("text"), F.lit(" end quote block")),
+        )
+    )
+    corpus = d.unionByName(wrapped)
+    sh = (
+        corpus.select(
+            "doc_id", F.explode(F.array_distinct(token_shingles("text", 3))).alias("s")
+        )
+        .localCheckpoint(eager=False)  # feeds sizes + both sides of the join
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("contained_id"), "s")
+    b = sh.select(F.col("doc_id").alias("container_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("contained_id"), F.col("sz").alias("sz_a")),
+            "contained_id",
+        )
+        .withColumn("containment", F.round(F.col("i") / F.col("sz_a"), 6))
+        .filter(F.col("containment") >= 0.9)
+        .select("contained_id", "container_id", "containment")
+        .orderBy("contained_id", "container_id")
+    )
+
+
+register(
+    "text_containment_pairs",
+    _containment_pairs,
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, 'begin quote block ' || text || ' end quote block'
+      FROM documents WHERE doc_id % 25 = 0
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(0, len(toks) - 2),
+             i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+        ELSE [concat_ws(' ', toks)] END) AS s
+      FROM t
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id,
+           round(CAST(i AS DOUBLE) / sizes.sz, 6) AS containment
+    FROM inter JOIN sizes ON inter.contained_id = sizes.doc_id
+    WHERE round(CAST(i AS DOUBLE) / sizes.sz, 6) >= 0.9
+    ORDER BY contained_id, container_id
+    """,
+)
