@@ -2146,3 +2146,19 @@ def test_containment_finds_planted_wrappers(spark, sf_small):
     # a wrapped copy contains the original completely: containment == 1.0
     assert (planted.containment == 1.0).all()
     assert (out.containment >= 0.9).all()
+
+
+def test_length_bucketing_never_loses_to_arrival(spark, sf_small):
+    # Sorted contiguous grouping minimizes the sum of per-batch maxima over
+    # all fixed-size partitions, so its padded total can never exceed the
+    # arrival-order strategy's; real token mass is identical by definition.
+    from wafer_defect_data_pipeline_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    out = _REGISTRY["pack_length_bucketing_waste"].fn(spark, sf_small).toPandas()
+    a = out[out.strategy == "arrival"].iloc[0]
+    s = out[out.strategy == "length_sorted"].iloc[0]
+    assert a.real_tokens == s.real_tokens
+    assert s.padded_tokens <= a.padded_tokens
+    assert s.waste_pct <= a.waste_pct
+    assert a.n_batches == s.n_batches

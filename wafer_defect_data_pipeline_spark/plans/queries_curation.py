@@ -1319,3 +1319,81 @@ register(
     ORDER BY source, pack_id
     """,
 )
+
+
+# --- length-bucketed batching: padding-waste accounting ---------------------
+def _length_bucketing_waste(spark, sf_dir):
+    """Quantifies what length-sorted batching saves: fixed batches of 32
+    docs are padded to the batch max, so padded = sum over batches of
+    max_len * batch_size; waste is padded minus real tokens. Compares
+    arrival order (doc_id) against length-sorted order — the measurement
+    that justifies bucketed batching in a training data loader. Both
+    strategies are one global row_number + one groupBy over the BATCH
+    SUMMARY (at 100 TB the global sort would shard per source/shard
+    first, same numbers per shard); all arithmetic is integer except the
+    final ratio."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    out = []
+    for strategy, order in [
+        ("arrival", [F.asc("doc_id")]),
+        ("length_sorted", [F.asc("n_chars"), F.asc("doc_id")]),
+    ]:
+        w = W.orderBy(*order)
+        batched = d.select(
+            "n_chars", ((F.row_number().over(w) - 1) / 32).cast("int").alias("batch_id")
+        )
+        per_batch = batched.groupBy("batch_id").agg(
+            F.count(F.lit(1)).alias("bsz"),
+            F.max("n_chars").alias("mx"),
+            F.sum("n_chars").alias("tot"),
+        )
+        out.append(
+            per_batch.agg(
+                F.lit(strategy).alias("strategy"),
+                F.count(F.lit(1)).alias("n_batches"),
+                F.sum("tot").alias("real_tokens"),
+                F.sum(F.col("mx") * F.col("bsz")).alias("padded_tokens"),
+                F.round(
+                    (F.sum(F.col("mx") * F.col("bsz")) - F.sum("tot"))
+                    / F.sum(F.col("mx") * F.col("bsz")).cast("double"),
+                    6,
+                ).alias("waste_pct"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("strategy")
+
+
+register(
+    "pack_length_bucketing_waste",
+    _length_bucketing_waste,
+    """
+    WITH arrival AS (
+      SELECT n_chars,
+             (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id
+      FROM documents
+    ), srt AS (
+      SELECT n_chars,
+             (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 32 AS batch_id
+      FROM documents
+    ), pa AS (
+      SELECT batch_id, count(*) AS bsz, max(n_chars) AS mx, sum(n_chars) AS tot
+      FROM arrival GROUP BY 1
+    ), ps AS (
+      SELECT batch_id, count(*) AS bsz, max(n_chars) AS mx, sum(n_chars) AS tot
+      FROM srt GROUP BY 1
+    )
+    SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(tot) AS BIGINT) AS real_tokens,
+           CAST(sum(mx * bsz) AS BIGINT) AS padded_tokens,
+           round((sum(mx * bsz) - sum(tot)) / CAST(sum(mx * bsz) AS DOUBLE), 6) AS waste_pct
+    FROM pa
+    UNION ALL
+    SELECT 'length_sorted', CAST(count(*) AS BIGINT),
+           CAST(sum(tot) AS BIGINT), CAST(sum(mx * bsz) AS BIGINT),
+           round((sum(mx * bsz) - sum(tot)) / CAST(sum(mx * bsz) AS DOUBLE), 6)
+    FROM ps
+    ORDER BY strategy
+    """,
+)
