@@ -2162,3 +2162,63 @@ def test_length_bucketing_never_loses_to_arrival(spark, sf_small):
     assert s.padded_tokens <= a.padded_tokens
     assert s.waste_pct <= a.waste_pct
     assert a.n_batches == s.n_batches
+
+
+def test_new_operator_edge_cases(spark):
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.packing import pack_greedy_nosplit
+    from wafer_defect_data_pipeline_spark.operators.quantization import pq_codebook
+    from wafer_defect_data_pipeline_spark.operators.graph import k_core
+
+    # PQ: dimension must split evenly into subspaces
+    e = spark.createDataFrame([(0, [0.1] * 64)], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(e, "vec_id", "embedding", dim=64, m=7)
+    # greedy packing: empty input -> empty output with the pack column
+    empty = spark.createDataFrame([], "source string, doc_id long, n_chars long")
+    out = pack_greedy_nosplit(empty, "source", "doc_id", "n_chars", 100)
+    assert out.count() == 0 and "pack_id" in out.columns
+    # greedy packing: a single oversized doc still gets pack 0
+    one = spark.createDataFrame([("s", 1, 10_000)], "source string, doc_id long, n_chars long")
+    assert pack_greedy_nosplit(one, "source", "doc_id", "n_chars", 100).first().pack_id == 0
+    # k-core: self-loops and duplicate edges are normalized away
+    messy = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 3), (1, 3), (1, 3)], "id_a long, id_b long"
+    )
+    out = k_core(messy, k=2).toPandas().sort_values("id")
+    assert list(out.id) == [1, 2, 3]
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.quantization import ivfpq_topk
+    from wafer_defect_data_pipeline_spark.operators.similarity import array_mean
+    from wafer_defect_data_pipeline_spark.functions.arrays import as_double
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = ivfpq_topk(e, q, dim=64, cb_k=16, k_top=5, n_probe=3).toPandas()
+    # ranks are dense 1..5 per query, distances nondecreasing, no self-hits
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g.adc_dist.is_monotonic_increasing
+        assert (g.corpus_id != qid).all()
+    # every candidate's cell is one of the query's 3 probed cells
+    import numpy as np
+
+    cents = array_mean(e, "label").toPandas()
+    vecs = e.select("vec_id", as_double("embedding").alias("v"), "label").toPandas()
+    vmap = dict(zip(vecs.vec_id, vecs.v))
+    lmap = dict(zip(vecs.vec_id, vecs.label))
+    C = {r.label: np.array(r.centroid) for r in cents.itertuples()}
+    for qid, g in out.groupby("query_id"):
+        qv = np.array(vmap[qid])
+        sims = {
+            lab: float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c)))
+            for lab, c in C.items()
+        }
+        probed = set(
+            sorted(sims, key=lambda lab: (-sims[lab], lab))[:3]
+        )
+        assert {lmap[cid] for cid in g.corpus_id} <= probed

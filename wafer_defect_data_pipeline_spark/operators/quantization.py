@@ -248,3 +248,75 @@ def exact_int_l2_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "rank", F.col("id").alias("corpus_id"), "l2_dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    m: int = 8,
+    cb_k: int = 32,
+    scale: int = 1000,
+    k_top: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-PQ composite index — the two-level ANN layout production
+    vector stores run (FAISS's IVF_PQ; Jegou et al. TPAMI'11 combine the
+    coarse inverted file with product codes): a coarse quantizer routes
+    each query to its ``n_probe`` nearest cells, and candidates inside
+    probed cells rank by PQ ADC distance — never by raw-vector math.
+
+    Composition of two already-verified parts: the cell probe is
+    operators/similarity.ivf_topk's (cell centroids broadcast, cosine
+    probe ranking) and the fine ranking is this module's ADC machinery.
+    Corpus-side cost: the PQ encode pass plus one broadcast-probe join —
+    probed cells gate the ADC join, so the per-query candidate set is
+    ``n_probe`` cells, not the corpus. Output
+    ``(query_id, rank, corpus_id, adc_dist)``, integer distances.
+    """
+    from ..functions.arrays import as_double
+    from .similarity import array_mean, cosine
+
+    centroids = array_mean(corpus, cell_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", cell_col,
+            cosine(F.col("qv"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", cell_col)
+    )
+    cb = pq_codebook(corpus, id_col, vec_col, dim, m, cb_k, scale)
+    codes = pq_encode(corpus, cb, id_col, vec_col, dim, m, scale).select(
+        "id", "s", "code"
+    )
+    cells = corpus.select(F.col(id_col).alias("id"), F.col(cell_col))
+    dt = pq_distance_table(queries, cb, id_col, vec_col, dim, m, scale)
+    scored = (
+        codes.join(cells, "id")
+        .join(F.broadcast(probes), cell_col)
+        .join(F.broadcast(dt), ["query_id", "s", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("id"))
+    )
+    w1 = W.partitionBy("query_id", "__pid").orderBy("adc_dist", "id")
+    surv = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k_top)
+        .drop("__pid", "__r1")
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "id")
+    return (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "rank", F.col("id").alias("corpus_id"), "adc_dist")
+    )

@@ -565,3 +565,73 @@ register(
     ORDER BY i, j
     """,
 )
+
+
+# --- IVF-PQ composite index -------------------------------------------------
+def _ivfpq_topk(spark, sf_dir):
+    """Two-level ANN: coarse label-centroid probe (n_probe=3) gates the
+    candidate set, PQ ADC ranks inside probed cells — the FAISS-style
+    IVF_PQ layout from two already-oracle-verified parts. Deterministic
+    end to end, so the composed oracle hash-checks probes AND ranking."""
+    from ..operators.quantization import ivfpq_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(e, q, dim=64, cb_k=32, k_top=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+register(
+    "similarity_ivfpq_topk",
+    _ivfpq_topk,
+    f"""
+    WITH {_PQ_CORE_SQL},
+    dt AS (
+      SELECT sub.vec_id AS query_id, sub.s, cb.code,
+             sum((sub.iv - cb.cv) * (sub.iv - cb.cv)) AS d
+      FROM sub JOIN cb ON sub.s = cb.s AND sub.j = cb.j
+      WHERE sub.vec_id % 50 = 0
+      GROUP BY 1, 2, 3
+    ),
+    exl AS (
+      SELECT label, u.pos - 1 AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ), per_dim AS (
+      SELECT label, pos, avg(val) AS avg_val FROM exl GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), probes AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, cent.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(list_zip(q.qv, cent.centroid), p -> p[1] * p[2]))
+                          / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) DESC,
+                          cent.label ASC) AS probe_rank
+        FROM q CROSS JOIN cent
+      ) t WHERE probe_rank <= 3
+    ), scored AS (
+      SELECT dt.query_id, codes.vec_id AS corpus_id, sum(dt.d) AS adc
+      FROM codes
+      JOIN embeddings c ON codes.vec_id = c.vec_id
+      JOIN probes ON c.label = probes.label
+      JOIN dt ON dt.query_id = probes.query_id
+             AND dt.s = codes.s AND dt.code = codes.code
+      WHERE codes.vec_id <> dt.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
+           CAST(adc AS BIGINT) AS adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, corpus_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)

@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "graph_kcore_suppliers",  # new rows-only: iterative peeling k-core
     "text_containment_pairs",  # new: asymmetric wrapper/quote detection
     "pack_length_bucketing_waste",  # new: padding-waste accounting
+    "similarity_ivfpq_topk",  # new: composed coarse-probe + ADC index
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
