@@ -2222,3 +2222,18 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, sf_small):
             sorted(sims, key=lambda lab: (-sims[lab], lab))[:3]
         )
         assert {lmap[cid] for cid in g.corpus_id} <= probed
+
+
+def test_group_split_never_splits_a_source(spark, sf_small):
+    from wafer_defect_data_pipeline_spark.operators.sampling import hash_split
+
+    d = read_table(spark, sf_small, "documents")
+    s = hash_split(d, "source", seed="gsplit:")
+    spans = (
+        s.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .toPandas()
+    )
+    assert (spans.n_splits == 1).all()
+    # and the split is exhaustive: every doc is in exactly one split
+    assert s.count() == d.count()

@@ -581,3 +581,44 @@ register(
     ORDER BY contained_id, container_id
     """,
 )
+
+
+# --- group-aware split: whole sources stay in one split ---------------------
+def _group_split(spark, sf_dir):
+    """Leakage-proof train/val/test split: the hash bucket keys on the
+    GROUP column (source), so every document of a source lands in the
+    same split by construction — the generator counterpart to
+    split_leakage_audit (which detects cross-split near-dups after the
+    fact; grouping by origin prevents the dominant leak class up front).
+    Same pure-projection shape as sample_hash_split: no shuffle, no
+    state, reproducible across engines."""
+    from ..operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "source", seed="gsplit:")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    "sample_group_split",
+    _group_split,
+    """
+    SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT source, CASE
+               WHEN CAST(concat('0x', substring(md5(concat('gsplit:', CAST(source AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substring(md5(concat('gsplit:', CAST(source AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ) t GROUP BY split ORDER BY split
+    """,
+)

@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "text_containment_pairs",  # new: asymmetric wrapper/quote detection
     "pack_length_bucketing_waste",  # new: padding-waste accounting
     "similarity_ivfpq_topk",  # new: composed coarse-probe + ADC index
+    "sample_group_split",  # new: group-coherent train/val/test split
     "dedup_prefix_jaccard_pairs",  # ceil relaxation in prefix/size filters
     "bloom_runtime_filter_join",  # cloned-session planning, no checkpoint
     "dq_audit_lineitem",  # empty-rules short-circuit in predicate_audit
