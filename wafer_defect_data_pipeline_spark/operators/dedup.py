@@ -125,6 +125,12 @@ def minhash_lsh_pairs(
     joined back in for the overlap estimate, so wide rows never shuffle
     through the hot join.
     """
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by n_bands={n_bands}; "
+            f"otherwise banding silently drops trailing signature positions "
+            f"while est_jaccard still divides by the full n_hashes"
+        )
     rows_per_band = n_hashes // n_bands
     sig_df = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
         F.col(id_col).alias("__id"), "sig"
@@ -480,6 +486,12 @@ def minhash_lsh_probe(
     ``>= threshold``; candidate pairs dedup on the narrow id pair before
     signatures join back in, exactly like :func:`minhash_lsh_pairs`.
     """
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by n_bands={n_bands}; "
+            f"otherwise banding silently drops trailing signature positions "
+            f"while est_jaccard still divides by the full n_hashes"
+        )
     rows_per_band = n_hashes // n_bands
     new_sigs = (
         minhash_signatures(new_df, id_col, text_col, n_hashes, shingle_k)

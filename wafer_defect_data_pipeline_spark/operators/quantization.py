@@ -78,9 +78,16 @@ def pq_codebook(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    return _subvectors(
-        df.filter(F.col(id_col) < k), id_col, vec_col, dsub, scale
-    ).select(F.col("id").cast("int").alias("code"), "s", "j", F.col("iv").alias("cv"))
+    # The seed set is the ACTUAL k lowest ids (TakeOrderedAndProject — one
+    # narrow scan), not a `id < k` predicate that silently undersizes the
+    # codebook on sparse or offset id spaces.
+    seed_ids = df.select(F.col(id_col).alias("__cb_id")).orderBy("__cb_id").limit(k)
+    seed = df.join(
+        F.broadcast(seed_ids), F.col(id_col) == F.col("__cb_id"), "inner"
+    ).drop("__cb_id")
+    return _subvectors(seed, id_col, vec_col, dsub, scale).select(
+        F.col("id").cast("int").alias("code"), "s", "j", F.col("iv").alias("cv")
+    )
 
 
 def pq_encode(
@@ -287,7 +294,10 @@ def ivfpq_topk(
         q.crossJoin(F.broadcast(centroids))
         .select(
             "query_id", cell_col,
-            cosine(F.col("qv"), F.col("centroid")).alias("cell_sim"),
+            # 6dp round before ranking: near-tie cell similarities must
+            # resolve identically regardless of float fold order (Spark vs
+            # the DuckDB oracle), like every other float-ordered path here.
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"),
         )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= n_probe)

@@ -90,7 +90,9 @@ def ivf_topk(
     probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", cell_col, cosine(F.col("qv"), F.col("centroid")).alias("cell_sim"))
+        # 6dp round before ranking so near-tie cells resolve identically
+        # across float fold orders (Spark vs oracle) — see ivfpq_topk.
+        .select("query_id", "qv", cell_col, F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= n_probe)
         .select("query_id", "qv", cell_col)

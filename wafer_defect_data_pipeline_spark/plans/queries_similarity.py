@@ -80,7 +80,13 @@ def _neardup_pairs(spark, sf_dir):
     both = e.select("vec_id", as_double("embedding").alias("embedding")).unionByName(
         planted.select("vec_id", "embedding")
     )
-    return knn_join_pairs(both, threshold=0.9).orderBy("id_a", "id_b")
+    # Brute-force is INTENTIONAL here (this is the exact verifier the LSH
+    # variants are judged against); allow_quadratic skips the guard's eager
+    # count() and keeps the query from raising once embeddings outgrow the
+    # unblocked-row cap at larger SFs.
+    return knn_join_pairs(both, threshold=0.9, allow_quadratic=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 register(
@@ -174,9 +180,9 @@ register(
         SELECT q.query_id, q.qv, cent.label,
                row_number() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY list_sum(list_transform(list_zip(q.qv, cent.centroid), p -> p[1] * p[2]))
+                 ORDER BY round(list_sum(list_transform(list_zip(q.qv, cent.centroid), p -> p[1] * p[2]))
                           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) DESC,
+                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6) DESC,
                           cent.label ASC) AS probe_rank
         FROM q CROSS JOIN cent
       ) t WHERE probe_rank <= 3
@@ -611,9 +617,9 @@ register(
         SELECT q.query_id, cent.label,
                row_number() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY list_sum(list_transform(list_zip(q.qv, cent.centroid), p -> p[1] * p[2]))
+                 ORDER BY round(list_sum(list_transform(list_zip(q.qv, cent.centroid), p -> p[1] * p[2]))
                           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) DESC,
+                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6) DESC,
                           cent.label ASC) AS probe_rank
         FROM q CROSS JOIN cent
       ) t WHERE probe_rank <= 3
