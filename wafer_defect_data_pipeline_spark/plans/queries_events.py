@@ -188,24 +188,57 @@ register(
 )
 
 
-# --- Structured Streaming tumbling agg (rows-only; see streaming/events.py) -
+# --- Structured Streaming tumbling agg (EXACT oracle: complete mode drains
+# all window state, so the memory sink equals the batch aggregate) -----------
 def _streaming_tumbling(spark, sf_dir):
     from ..streaming.events import run_tumbling_stream_batch
 
     return run_tumbling_stream_batch(spark, sf_dir)
 
 
-register("events_streaming_tumbling", _streaming_tumbling, None)
+register(
+    "events_streaming_tumbling",
+    _streaming_tumbling,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
 
 
-# --- Structured Streaming session windows (rows-only) ----------------------
+# --- Structured Streaming session windows (EXACT oracle: complete mode; same
+# gap-merge SQL replay as events_session_window_native) ----------------------
 def _streaming_sessions(spark, sf_dir):
     from ..streaming.events import run_session_stream_batch
 
     return run_session_stream_batch(spark, sf_dir)
 
 
-register("events_streaming_sessions", _streaming_sessions, None)
+register(
+    "events_streaming_sessions",
+    _streaming_sessions,
+    """
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
+    """,
+)
 
 
 # --- as-of join: each click matched to the user's latest prior purchase ----
@@ -339,14 +372,23 @@ register(
 )
 
 
-# --- streaming exact dedup (dropDuplicatesWithinWatermark; rows-only) -------
+# --- streaming exact dedup (dropDuplicatesWithinWatermark; EXACT oracle:
+# both duplicate copies carry the same event time, so dedup-within-watermark
+# is guaranteed and the kept set equals the batch distinct) ------------------
 def _streaming_dedup(spark, sf_dir):
     from ..streaming.events import run_dedup_stream_batch
 
     return run_dedup_stream_batch(spark, sf_dir)
 
 
-register("events_streaming_dedup", _streaming_dedup, None)
+register(
+    "events_streaming_dedup",
+    _streaming_dedup,
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 
 
 # --- funnel: view -> click -> purchase conversion ---------------------------
@@ -404,14 +446,32 @@ register(
 )
 
 
-# --- Structured Streaming stream-stream interval join (rows-only) -----------
+# --- Structured Streaming stream-stream interval join (EXACT oracle: inner
+# joins emit matched rows eagerly — nothing is watermark-withheld — and both
+# single-file sides land in the first micro-batch, before any watermark) -----
 def _streaming_interval_join(spark, sf_dir):
     from ..streaming.events import run_interval_join_stream_batch
 
     return run_interval_join_stream_batch(spark, sf_dir)
 
 
-register("events_streaming_join", _streaming_interval_join, None)
+register(
+    "events_streaming_join",
+    _streaming_interval_join,
+    """
+    WITH v AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND v.view_ts <= c.click_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
 
 
 # --- cohort retention (first-seen week x week offset, distinct users) -------
@@ -602,18 +662,39 @@ register(
 )
 
 
-# --- streaming LEFT OUTER interval join (rows-only: watermark-withheld tail)
+# --- streaming LEFT OUTER interval join (EXACT oracle via sentinel flush) ----
 def _streaming_left_join(spark, sf_dir):
-    """Stream-stream left-outer interval join. Rows-only by NATURE: the
-    final watermark withholds unmatched clicks younger than the watermark
-    horizon, so the streaming output is a prefix of the batch left join —
-    not SQL-equal. The pytest asserts both halves of that contract."""
-    from ..streaming.events import run_interval_left_join_stream_batch
+    """Stream-stream left-outer interval join, drained to batch equality.
 
-    return run_interval_left_join_stream_batch(spark, sf_dir)
+    A plain bounded replay withholds unmatched clicks younger than the final
+    watermark (the prefix-of-batch contract still demonstrated by
+    run_interval_left_join_stream_batch + its pytest); this registered
+    variant appends far-future sentinel punctuation files so the watermark
+    passes every real click's horizon before stop — all null-padded rows
+    emit and the result hash-equals the batch LEFT JOIN."""
+    from ..streaming.events import run_interval_left_join_flushed_batch
+
+    return run_interval_left_join_flushed_batch(spark, sf_dir)
 
 
-register("events_streaming_left_join", _streaming_left_join, None)
+register(
+    "events_streaming_left_join",
+    _streaming_left_join,
+    """
+    WITH v AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, count(*) AS n_rows,
+           CAST(sum(CASE WHEN v.view_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+    FROM c LEFT JOIN v
+      ON c.user_id = v.user_id
+     AND v.view_ts <= c.click_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
 
 
 # --- stream-static broadcast enrichment (EXACT oracle) ----------------------

@@ -242,6 +242,78 @@ def run_foreachbatch_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id")
 
 
+def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, horizon_slack: str = "3 hours"):
+    """Copy the events parquet into a temp dir and append two single-row-pair
+    sentinel parquet files with far-future timestamps (``user_id = -1``).
+
+    The sentinels are watermark punctuation: once the stream ingests them,
+    the event-time watermark advances past every real row's join horizon, so
+    state that would otherwise be withheld at stream end (outer-join null
+    rows, expiring session state) is flushed while data batches are still
+    flowing — the second sentinel file guarantees the flush happens inside a
+    *data* micro-batch, which ``processAllAvailable`` is guaranteed to await
+    (a watermark-only empty batch is not). This is the standard "punctuation
+    event" pattern for draining watermarked state in a bounded replay.
+
+    Returns ``(staged_dir, cleanup_fn)``. Files get strictly increasing
+    mtimes so the file-stream source (oldest-first) replays them in order:
+    real data, sentinel A, sentinel B.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staged = f"/tmp/wdps_stage_{uuid.uuid4().hex[:8]}"
+    os.makedirs(staged)
+    src = f"{sf_dir}/events.parquet"
+    dst = f"{staged}/a_events.parquet"
+    shutil.copyfile(src, dst)
+
+    max_ts = (
+        spark.read.parquet(src).agg(F.max(F.col("ts").cast("timestamp")).alias("m")).collect()[0]["m"]
+    )
+    base_us = int(max_ts.timestamp() * 1_000_000)
+
+    def sentinel(path: str, offset_us: int) -> None:
+        ts = pa.array([base_us + offset_us] * 2, pa.timestamp("us"))
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["view", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # +3h / +4h: watermark delay (2h) + join horizon (10m) + slack
+    sentinel(f"{staged}/b_sentinel1.parquet", 3 * 3600 * 1_000_000)
+    sentinel(f"{staged}/c_sentinel2.parquet", 4 * 3600 * 1_000_000)
+    now = os.path.getmtime(dst)
+    os.utime(f"{staged}/b_sentinel1.parquet", (now + 1, now + 1))
+    os.utime(f"{staged}/c_sentinel2.parquet", (now + 2, now + 2))
+
+    def cleanup() -> None:
+        shutil.rmtree(staged, ignore_errors=True)
+
+    return staged, cleanup
+
+
+def read_staged_events_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """File stream over a staged directory (every parquet file, one per
+    micro-batch) — same schema/cast contract as :func:`read_events_stream`."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def interval_left_join_stream(
     views: DataFrame, clicks: DataFrame, horizon: str = "10 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -297,6 +369,37 @@ def run_interval_left_join_stream_batch(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("user_id")
     )
+
+
+def run_interval_left_join_flushed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join drained to batch-equality via sentinel
+    punctuation (see :func:`_stage_events_with_sentinels`).
+
+    Unlike :func:`run_interval_left_join_stream_batch` (which documents the
+    withheld-tail prefix semantics), this variant advances the watermark past
+    every real click's join horizon before stopping, so every unmatched
+    click's null-padded row IS emitted and the result hash-equals the batch
+    left join — giving the stream-stream outer join a full DuckDB oracle.
+    Sentinel rows (``user_id < 0``) are excluded from the summary.
+    """
+    staged, cleanup = _stage_events_with_sentinels(spark, sf_dir)
+    try:
+        pairs = interval_left_join_stream(
+            read_staged_events_stream(spark, staged),
+            read_staged_events_stream(spark, staged),
+        )
+        out = _run_to_memory(pairs, "append")
+        return (
+            out.filter(F.col("c_user") >= 0)
+            .groupBy(F.col("c_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("view_id").isNull().cast("long")).alias("n_unmatched"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        cleanup()
 
 
 def run_stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
