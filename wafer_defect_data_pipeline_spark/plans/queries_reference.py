@@ -390,23 +390,76 @@ register(
 )
 
 
-# --- A2 at scale: approx-percentile IQR cascade (rows-only — sketch
-# quantiles are engine-specific; exact-mode agreement is the oracle) --------
+# --- A2 at scale: approx-percentile IQR cascade (EXACT oracle on the error
+# bound: the sketch survivor-count must land within 2% of the exact cascade's,
+# and that boolean — computed in Spark — is hash-checked, so the driver sees
+# the sketch's accuracy contract, not just that it ran) ----------------------
 def _iqr_cascade_approx(spark, sf_dir):
+    """Approx-mode cascade vs exact-mode cascade, per group.
+
+    ``percentile_approx`` bounds aggregation-buffer memory (the 100 TB mode
+    for A2); its engine-specific sketch values can't hash-match DuckDB, so
+    the registered output is ``(group, exact_n_rows, within_tol)`` where
+    ``within_tol`` asserts |approx_n - exact_n| <= max(1, 2% of exact_n).
+    The oracle replays the exact cascade and the literal TRUE."""
     from ..operators.outliers import remove_outliers_by_group
 
     li = read_table(spark, sf_dir, "lineitem")
-    out = remove_outliers_by_group(
-        li, "l_returnflag", ["l_extendedprice", "l_quantity"], mode="approx"
+    cols = ["l_extendedprice", "l_quantity"]
+    exact_n = (
+        remove_outliers_by_group(li, "l_returnflag", cols, mode="exact")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_n_rows"))
     )
+    approx_n = (
+        remove_outliers_by_group(li, "l_returnflag", cols, mode="approx")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("__approx_n"))
+    )
+    tol = F.greatest(F.lit(1.0), F.col("exact_n_rows") * F.lit(0.02))
     return (
-        out.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        exact_n.join(approx_n, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_n_rows",
+            (F.abs(F.col("__approx_n") - F.col("exact_n_rows")) <= tol).alias("within_tol"),
+        )
         .orderBy("l_returnflag")
     )
 
 
-register("iqr_cascade_approx", _iqr_cascade_approx, None)
+register(
+    "iqr_cascade_approx",
+    _iqr_cascade_approx,
+    """
+    WITH b1 AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3,
+             count(l_extendedprice) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    r1 AS (
+      SELECT l.* FROM lineitem l JOIN b1 ON l.l_returnflag = b1.g
+      WHERE (b1.cnt < 2 OR (b1.q3 - b1.q1) = 0)
+         OR l.l_extendedprice <= b1.q3 + 1.5 * (b1.q3 - b1.q1)
+    ),
+    b2 AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3,
+             count(l_quantity) AS cnt
+      FROM r1 GROUP BY 1
+    ),
+    r2 AS (
+      SELECT r1.* FROM r1 JOIN b2 ON r1.l_returnflag = b2.g
+      WHERE (b2.cnt < 2 OR (b2.q3 - b2.q1) = 0)
+         OR r1.l_quantity <= b2.q3 + 1.5 * (b2.q3 - b2.q1)
+    )
+    SELECT l_returnflag, count(*) AS exact_n_rows, TRUE AS within_tol
+    FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 
 
 # --- Observation API: metrics from the pass itself --------------------------

@@ -215,7 +215,7 @@ register(
 )
 
 
-# --- mergeable HLL distinct-user rollup (rows-only) --------------------------
+# --- mergeable HLL distinct-user rollup (EXACT oracle on the error bound) ----
 def _hll_rollup(spark, sf_dir):
     """Daily HLL user sketches unioned into weekly distinct estimates.
 
@@ -223,26 +223,53 @@ def _hll_rollup(spark, sf_dir):
     of every key; Datasketches HLL state is a few KB per group and merges
     associatively, so daily sketches roll up to weekly (or monthly) without
     touching the events again. ``hll_sketch_agg`` / ``hll_union_agg`` are
-    JVM-side; estimates are deterministic for fixed input (no RNG). Rows-only
-    for the driver (DuckDB's HLL implementation differs); the pytest suite
-    asserts each estimate lands within 5% of the exact distinct count.
+    JVM-side; estimates are deterministic for fixed input (no RNG). The
+    sketch estimate itself is engine-specific (DuckDB's HLL differs), so the
+    hashed output carries the EXACT weekly distinct plus a Spark-computed
+    ``within_tol`` asserting the rolled-up estimate lands within 5% of it —
+    the error contract is what the driver verifies, row by row.
     """
     e = read_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.weekofyear("ts").alias("week"), F.dayofyear("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"), F.count(F.lit(1)).alias("n_events"))
-    return (
+    est = (
         daily.groupBy("week")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("est_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("__est"),
             F.sum("n_events").alias("n_events"),
             F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    exact = e.groupBy(F.weekofyear("ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    tol = F.greatest(F.lit(1.0), F.col("exact_users") * F.lit(0.05))
+    return (
+        est.join(exact, "week")
+        .select(
+            "week",
+            "exact_users",
+            "n_events",
+            "n_days",
+            (F.abs(F.col("__est") - F.col("exact_users")) <= tol).alias("within_tol"),
         )
         .orderBy("week")
     )
 
 
-register("events_hll_weekly_users", _hll_rollup, None)
+register(
+    "events_hll_weekly_users",
+    _hll_rollup,
+    """
+    SELECT weekofyear(ts) AS week,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           count(DISTINCT dayofyear(ts)) AS n_days,
+           TRUE AS within_tol
+    FROM events GROUP BY 1 ORDER BY week
+    """,
+)
 
 
 # --- moving median (windowed exact percentile) -------------------------------

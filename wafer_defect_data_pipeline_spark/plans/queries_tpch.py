@@ -597,29 +597,55 @@ register(
 )
 
 
-# --- approximate aggregates (sketches; rows-only — HLL/KLL families differ
-# per engine, so values can't hash-match an oracle) --------------------------
+# --- approximate aggregates (EXACT oracle on the error bounds: the HLL/KLL
+# sketch values are engine-specific and can't hash-match DuckDB, so the
+# hashed output carries the EXACT values plus Spark-computed booleans
+# asserting each sketch landed inside its documented tolerance) --------------
 def _approx_aggs(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=0.01) and percentile_approx
+    (KLL-ish Greenwald-Khanna, accuracy=10000) vs their exact twins in ONE
+    aggregation pass. Tolerances: 5% relative for the distinct count (5x the
+    configured rsd), 1% relative for each quantile (rank error 1e-4 at
+    these group sizes translates to far less). The oracle replays the exact
+    side and the TRUE literals — a sketch drifting out of tolerance flips a
+    hashed boolean and fails the driver gate."""
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-            F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_price_iqr"),
-        )
-        .select(
-            "l_returnflag",
-            "approx_parts",
-            F.round("approx_median_price", 4).alias("approx_median_price"),
-            F.round(F.col("approx_price_iqr")[0], 4).alias("approx_q1"),
-            F.round(F.col("approx_price_iqr")[1], 4).alias("approx_q3"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__ap"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000).alias("__aq"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("__eq"),
     )
 
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.round(F.col("__eq")[1], 4).alias("exact_median_price"),
+        F.round(F.col("__eq")[0], 4).alias("exact_q1"),
+        F.round(F.col("__eq")[2], 4).alias("exact_q3"),
+        (F.abs(F.col("__ap") - F.col("exact_parts")) <= F.col("exact_parts") * 0.05).alias("parts_within_tol"),
+        (F.abs(F.col("__aq")[1] - F.col("__eq")[1]) <= F.abs(F.col("__eq")[1]) * 0.01).alias("median_within_tol"),
+        (F.abs(F.col("__aq")[0] - F.col("__eq")[0]) <= F.abs(F.col("__eq")[0]) * 0.01).alias("q1_within_tol"),
+        (F.abs(F.col("__aq")[2] - F.col("__eq")[2]) <= F.abs(F.col("__eq")[2]) * 0.01).alias("q3_within_tol"),
+    ).orderBy("l_returnflag")
 
-register("approx_aggregates", _approx_aggs, None)
+
+register(
+    "approx_aggregates",
+    _approx_aggs,
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS exact_q1,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS exact_q3,
+           TRUE AS parts_within_tol,
+           TRUE AS median_within_tol,
+           TRUE AS q1_within_tol,
+           TRUE AS q3_within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 
 
 # --- skew tools: salted join + two-phase agg (identical result to plain
