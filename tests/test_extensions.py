@@ -2226,6 +2226,30 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, sf_small):
         assert {lmap[cid] for cid in g.corpus_id} <= probed
 
 
+def test_ivfpq_prebuilt_probe_equals_fresh_build(spark, sf_small, tmp_path):
+    """Persisted-index probe must be bit-equal to the in-session build, and
+    the probe plan must prune unprobed cell partitions at the file source."""
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        ivfpq_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_build_index(e, idx, dim=64, cb_k=32)
+    probe = ivfpq_probe_index(q, idx, dim=64, k_top=5, n_probe=3)
+    fresh = ivfpq_topk(e, q, dim=64, cb_k=32, k_top=5, n_probe=3)
+    a = probe.orderBy("query_id", "rank").toPandas()
+    b = fresh.orderBy("query_id", "rank").toPandas()
+    assert a.values.tolist() == b.values.tolist()
+    # codes table is partitionBy(cell): the probed-cell join key must appear
+    # as a partition filter, not a post-scan filter over all files
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
 def test_group_split_never_splits_a_source(spark, sf_small):
     from wafer_defect_data_pipeline_spark.operators.sampling import hash_split
 

@@ -200,19 +200,7 @@ def pq_adc_topk(codes: DataFrame, dtable: DataFrame, k_top: int = 5) -> DataFram
         .agg(F.sum("d").alias("adc_dist"))
         .filter(F.col("query_id") != F.col("id"))
     )
-    w1 = W.partitionBy("query_id", "__pid").orderBy("adc_dist", "id")
-    surv = (
-        scored.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k_top)
-        .drop("__pid", "__r1")
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "id")
-    return (
-        surv.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", "rank", F.col("id").alias("corpus_id"), "adc_dist")
-    )
+    return _two_level_topk(scored, "adc_dist", k_top)
 
 
 def exact_int_l2_topk(
@@ -242,19 +230,141 @@ def exact_int_l2_topk(
         .agg(F.sum(delta * delta).alias("l2_dist"))
         .filter(F.col("query_id") != F.col("id"))
     )
-    w1 = W.partitionBy("query_id", "__pid").orderBy("l2_dist", "id")
+    return _two_level_topk(scored, "l2_dist", k_top)
+
+
+def _two_level_topk(scored: DataFrame, dist_col: str, k_top: int) -> DataFrame:
+    """Top-k per query without a whole-corpus single-reducer sort: the k
+    smallest of a union are among the k smallest of each part, so a
+    partition-local rank keeps ``k_top`` per (query, physical partition)
+    and the global window ranks only the survivors."""
+    w1 = W.partitionBy("query_id", "__pid").orderBy(dist_col, "id")
     surv = (
         scored.withColumn("__pid", F.spark_partition_id())
         .withColumn("__r1", F.row_number().over(w1))
         .filter(F.col("__r1") <= k_top)
         .drop("__pid", "__r1")
     )
-    w = W.partitionBy("query_id").orderBy("l2_dist", "id")
+    w = W.partitionBy("query_id").orderBy(dist_col, "id")
     return (
         surv.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_top)
-        .select("query_id", "rank", F.col("id").alias("corpus_id"), "l2_dist")
+        .select("query_id", "rank", F.col("id").alias("corpus_id"), dist_col)
     )
+
+
+def _coarse_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Route each query to its ``n_probe`` most-cosine-similar cells.
+
+    Centroids are broadcast (one row per cell); similarity is rounded to
+    6dp before ranking so near-tie cells resolve identically regardless of
+    float fold order (Spark vs the DuckDB oracle)."""
+    from ..functions.arrays import as_double
+    from .similarity import cosine
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", cell_col,
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", cell_col)
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    m: int = 8,
+    cb_k: int = 32,
+    scale: int = 1000,
+) -> None:
+    """Train once, serve many: persist the IVF-PQ index as three parquet
+    tables under ``index_dir`` — the similarity twin of the prebuilt
+    MinHash-LSH index (operators/dedup.minhash_lsh_probe).
+
+    - ``centroids``: one row per coarse cell (cell id + mean vector) —
+      KBs, broadcast at probe time;
+    - ``codebook``: ``m * cb_k * d_sub`` integer rows — KBs, broadcast;
+    - ``codes``: the encoded corpus (``id, s, code``), written
+      ``partitionBy(cell)`` so a probe's cell filter becomes PARTITION
+      PRUNING at the parquet source — a 100 TB serving query reads only
+      ``n_probe`` cells' files, never the full index.
+
+    All content is deterministic (integer PQ arithmetic, mean centroids),
+    so probing a loaded index is bit-equal to a fresh in-session build —
+    asserted by pytest and by the ``similarity_ivfpq_probe_prebuilt``
+    driver oracle.
+    """
+    from .similarity import array_mean
+
+    array_mean(corpus, cell_col, vec_col).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    cb = pq_codebook(corpus, id_col, vec_col, dim, m, cb_k, scale)
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    codes = pq_encode(corpus, cb, id_col, vec_col, dim, m, scale).select("id", "s", "code")
+    cells = corpus.select(F.col(id_col).alias("id"), F.col(cell_col))
+    (
+        codes.join(cells, "id")
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def ivfpq_probe_index(
+    queries: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    m: int = 8,
+    scale: int = 1000,
+    k_top: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index WITHOUT retraining: load centroids +
+    codebook (broadcast-size), build the per-query ADC table, and rank only
+    inside probed cells. The cell membership join is against the
+    cell-partitioned codes table, so Catalyst prunes unprobed cells at the
+    file source. Output ``(query_id, rank, corpus_id, adc_dist)`` — same
+    contract as :func:`ivfpq_topk`."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    coded = spark.read.parquet(f"{index_dir}/codes")
+    # partition-column type normalization: partitionBy writes the cell id as
+    # a directory key; read-back inference must rejoin the centroid table's
+    # native type
+    cell_type = dict(centroids.dtypes)[cell_col]
+    coded = coded.withColumn(cell_col, F.col(cell_col).cast(cell_type))
+    probes = _coarse_probes(queries, centroids, id_col, vec_col, cell_col, n_probe)
+    dt = pq_distance_table(queries, cb, id_col, vec_col, dim, m, scale)
+    scored = (
+        coded.join(F.broadcast(probes), cell_col)
+        .join(F.broadcast(dt), ["query_id", "s", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("id"))
+    )
+    return _two_level_topk(scored, "adc_dist", k_top)
 
 
 def ivfpq_topk(
@@ -284,25 +394,10 @@ def ivfpq_topk(
     ``n_probe`` cells, not the corpus. Output
     ``(query_id, rank, corpus_id, adc_dist)``, integer distances.
     """
-    from ..functions.arrays import as_double
-    from .similarity import array_mean, cosine
+    from .similarity import array_mean
 
     centroids = array_mean(corpus, cell_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id", cell_col,
-            # 6dp round before ranking: near-tie cell similarities must
-            # resolve identically regardless of float fold order (Spark vs
-            # the DuckDB oracle), like every other float-ordered path here.
-            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"),
-        )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= n_probe)
-        .select("query_id", cell_col)
-    )
+    probes = _coarse_probes(queries, centroids, id_col, vec_col, cell_col, n_probe)
     cb = pq_codebook(corpus, id_col, vec_col, dim, m, cb_k, scale)
     codes = pq_encode(corpus, cb, id_col, vec_col, dim, m, scale).select(
         "id", "s", "code"
@@ -317,16 +412,4 @@ def ivfpq_topk(
         .agg(F.sum("d").alias("adc_dist"))
         .filter(F.col("query_id") != F.col("id"))
     )
-    w1 = W.partitionBy("query_id", "__pid").orderBy("adc_dist", "id")
-    surv = (
-        scored.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k_top)
-        .drop("__pid", "__r1")
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "id")
-    return (
-        surv.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", "rank", F.col("id").alias("corpus_id"), "adc_dist")
-    )
+    return _two_level_topk(scored, "adc_dist", k_top)

@@ -573,26 +573,9 @@ register(
 )
 
 
-# --- IVF-PQ composite index -------------------------------------------------
-def _ivfpq_topk(spark, sf_dir):
-    """Two-level ANN: coarse label-centroid probe (n_probe=3) gates the
-    candidate set, PQ ADC ranks inside probed cells — the FAISS-style
-    IVF_PQ layout from two already-oracle-verified parts. Deterministic
-    end to end, so the composed oracle hash-checks probes AND ranking."""
-    from ..operators.quantization import ivfpq_topk
-
-    e = read_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
-    return ivfpq_topk(e, q, dim=64, cb_k=32, k_top=5, n_probe=3).orderBy(
-        "query_id", "rank"
-    )
-
-
-register(
-    "similarity_ivfpq_topk",
-    _ivfpq_topk,
-    f"""
-    WITH {_PQ_CORE_SQL},
+# --- IVF-PQ persisted index: build once, probe without retraining -----------
+_IVFPQ_PROBE_SQL = """
+    WITH {core},
     dt AS (
       SELECT sub.vec_id AS query_id, sub.s, cb.code,
              sum((sub.iv - cb.cv) * (sub.iv - cb.cv)) AS d
@@ -639,5 +622,57 @@ register(
                                        ORDER BY adc, corpus_id) AS rank
           FROM scored) t
     WHERE rank <= 5 ORDER BY query_id, rank
-    """,
+"""
+
+
+def _ivfpq_probe_prebuilt(spark, sf_dir):
+    """The persisted-index serving path: ``ivfpq_build_index`` writes
+    centroids/codebook/cell-partitioned codes to parquet, then
+    ``ivfpq_probe_index`` answers the query batch from the LOADED index —
+    no retraining, and the probed-cell filter prunes index partitions at
+    the file source. Every index artifact is deterministic integer/mean
+    arithmetic, so probe-after-load is bit-equal to the fresh build and
+    the same composed DuckDB oracle hash-checks it (the mirror of
+    dedup_incremental_vs_index for the similarity surface)."""
+    import uuid as _uuid
+
+    from ..operators.quantization import ivfpq_build_index, ivfpq_probe_index
+
+    e = read_table(spark, sf_dir, "embeddings")
+    index_dir = f"/tmp/wdps_ivfpq_index_{_uuid.uuid4().hex[:8]}"
+    ivfpq_build_index(e, index_dir, dim=64, cb_k=32)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_probe_index(q, index_dir, dim=64, k_top=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+register(
+    "similarity_ivfpq_probe_prebuilt",
+    _ivfpq_probe_prebuilt,
+    _IVFPQ_PROBE_SQL.format(core=_PQ_CORE_SQL),
+)
+
+
+# --- IVF-PQ composite index -------------------------------------------------
+def _ivfpq_topk(spark, sf_dir):
+    """Two-level ANN: coarse label-centroid probe (n_probe=3) gates the
+    candidate set, PQ ADC ranks inside probed cells — the FAISS-style
+    IVF_PQ layout from two already-oracle-verified parts. Deterministic
+    end to end, so the composed oracle hash-checks probes AND ranking."""
+    from ..operators.quantization import ivfpq_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(e, q, dim=64, cb_k=32, k_top=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+register(
+    "similarity_ivfpq_topk",
+    _ivfpq_topk,
+    # same composed probe+ADC replay as the prebuilt-index twin: fresh build
+    # and loaded index are bit-equal by construction, so they share one oracle
+    _IVFPQ_PROBE_SQL.format(core=_PQ_CORE_SQL),
 )
