@@ -1674,6 +1674,28 @@ def test_star_cc_matches_propagation_and_survives_long_chain(spark):
         comp(connected_components, chain)  # default max_iter=25 < diameter
 
 
+def test_auto_cc_picks_right_algorithm_on_both_shapes(spark):
+    """auto = budgeted-propagation probe with star fallback: on a short-
+    diameter graph it must return propagation's map (probe converges); on a
+    64-node path (diameter 63 > probe budget) it must fall back to star and
+    still produce the correct components instead of raising."""
+    from wafer_defect_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    def comp(fn, edges, **kw):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r.id: r.component for r in fn(df, **kw).collect()}
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (30, 30)]
+    assert comp(connected_components_auto, edges) == comp(connected_components, edges)
+    chain = [(i, i + 1) for i in range(63)]
+    assert comp(connected_components_auto, chain, probe_rounds=4, max_iter=12) == {
+        i: 0 for i in range(64)
+    }
+
+
 def test_session2_ops_invariant_to_shuffle_partitions(spark, sf_small):
     """The session-2 operators (prefix join, covariance, sketches,
     triangles, DQ audit) must produce identical results under a different

@@ -89,11 +89,16 @@ def cluster_assignment(
     Rows not touched by any pair keep their own id as the component — the
     join against the (tiny) component map broadcasts, so the corpus never
     shuffles. ``algorithm="star"`` swaps in the O(log n)-round
-    large-star/small-star rewrite for adversarial-diameter graphs.
+    large-star/small-star rewrite for adversarial-diameter graphs;
+    ``algorithm="auto"`` probes with budgeted propagation and falls back
+    to star only when the diameter trips the budget.
     """
-    comp = (connected_components_star if algorithm == "star" else connected_components)(
-        pairs, src, dst
-    )
+    algos = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+        "auto": connected_components_auto,
+    }
+    comp = algos[algorithm](pairs, src, dst)
     return df.join(
         F.broadcast(comp.withColumnRenamed("id", id_col)), on=id_col, how="left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
@@ -306,6 +311,31 @@ def connected_components_star(
         nodes.join(comp, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+def connected_components_auto(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    probe_rounds: int = 4,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Pick propagation vs large-star/small-star automatically.
+
+    The diameter probe IS the cheap algorithm: run min-label propagation
+    with a ``probe_rounds`` budget — dedup graphs (short chains / near-
+    cliques) converge inside it and the probe's answer is returned with
+    zero extra work. Only when the budget trips (diameter > probe_rounds —
+    the adversarial long-chain shape) does the run restart on the star
+    rewrite, whose round count is O(log n) regardless of diameter. Worst
+    case cost is ``probe_rounds`` wasted propagation rounds — each one
+    join + one min-agg over (node, label) longs — before the star bound
+    takes over; the common case pays nothing over plain propagation.
+    """
+    try:
+        return connected_components(pairs, src, dst, max_iter=probe_rounds)
+    except RuntimeError:
+        return connected_components_star(pairs, src, dst, max_iter=max_iter)
 
 
 def k_core(

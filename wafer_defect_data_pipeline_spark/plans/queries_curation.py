@@ -1190,6 +1190,38 @@ def _cc_oracle() -> str:
 register("dedup_cluster_assignment_star", _cluster_assignment_star, _cc_oracle())
 
 
+# --- auto-selected clustering twin: budgeted-propagation probe, star
+# fallback (operators/graph.connected_components_auto). On this corpus the
+# dedup graph is short-diameter, so the probe converges and the answer is
+# propagation's — the long-diameter fallback path is pytest-covered on a
+# synthetic chain. Same oracle: all three algorithms must produce the
+# identical component map. ---------------------------------------------------
+def _cluster_assignment_auto(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    gen1 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    gen2 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
+    )
+    corpus = d.unionByName(gen1).unionByName(gen2)
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=16, n_bands=4, shingle_k=3, threshold=0.6
+    )
+    return (
+        cluster_assignment(corpus, "doc_id", pairs, algorithm="auto")
+        .select("doc_id", "component")
+        .orderBy("doc_id")
+    )
+
+
+register("dedup_cluster_assignment_auto", _cluster_assignment_auto, _cc_oracle())
+
+
 # --- k-anonymity audit (privacy governance) ---------------------------------
 def _k_anonymity(spark, sf_dir):
     """Quasi-identifier group-size audit: rows whose (lang, source,
