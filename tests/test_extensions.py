@@ -1674,6 +1674,33 @@ def test_star_cc_matches_propagation_and_survives_long_chain(spark):
         comp(connected_components, chain)  # default max_iter=25 < diameter
 
 
+def test_aqe_skew_join_split_fires_on_hot_key(spark):
+    """AQE's skew-join rule must actually split the hot partition on a
+    Zipf-shaped key when the detector thresholds are scaled to the data
+    (tools/bench_skew.py uses the same knobs at bench scale). Asserted on
+    the executed adaptive plan: the sort-merge join is marked skew=true."""
+    import pandas as pd
+
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    clone.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    clone.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    clone.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    n_hot, n_rest = 200_000, 100_000
+    fact = clone.createDataFrame(pd.DataFrame({
+        "key": [0] * n_hot + list(range(1, n_rest + 1)),
+        "v": [1.0] * (n_hot + n_rest),
+    }))
+    dim = clone.createDataFrame(pd.DataFrame({
+        "key": list(range(0, n_rest + 1)),
+        "cat": [f"c{k % 10}" for k in range(n_rest + 1)],
+    }))
+    joined = fact.join(dim, "key").groupBy("cat").sum("v")
+    assert joined.count() == 10
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
+
+
 def test_auto_cc_picks_right_algorithm_on_both_shapes(spark):
     """auto = budgeted-propagation probe with star fallback: on a short-
     diameter graph it must return propagation's map (probe converges); on a
