@@ -1674,6 +1674,34 @@ def test_star_cc_matches_propagation_and_survives_long_chain(spark):
         comp(connected_components, chain)  # default max_iter=25 < diameter
 
 
+def test_nsw_graph_ann_recall_vs_exact(spark, sf_small):
+    """Graph ANN must be a real approximation: recall@5 vs the exact
+    integer-L2 top-5 above a floor, and every reported neighbor distance
+    must be the true integer L2 (search re-scores candidates exactly, so
+    only the candidate SET is approximate)."""
+    from wafer_defect_data_pipeline_spark.operators.graph_ann import knn_graph, nsw_search
+    from wafer_defect_data_pipeline_spark.operators.quantization import exact_int_l2_topk
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    g = knn_graph(e, dim=64, k_build=8, n_probe=2)
+    approx = nsw_search(g, e, q, dim=64, beam_width=8, n_hops=3, k_top=5).toPandas()
+    exact = exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=5).toPandas()
+    exact_map = exact.groupby("query_id").apply(
+        lambda s: set(s.corpus_id), include_groups=False
+    )
+    hits = total = 0
+    for qid, s in approx.groupby("query_id"):
+        hits += len(set(s.corpus_id) & exact_map[qid])
+        total += len(exact_map[qid])
+    assert total > 0 and hits / total >= 0.5, f"recall {hits}/{total}"
+    # distances are exact for the ids reported
+    ed = {(r.query_id, r.corpus_id): r.l2_dist for r in exact.itertuples()}
+    for r in approx.itertuples():
+        if (r.query_id, r.corpus_id) in ed:
+            assert r.l2_dist == ed[(r.query_id, r.corpus_id)]
+
+
 def test_aqe_skew_join_split_fires_on_hot_key(spark):
     """AQE's skew-join rule must actually split the hot partition on a
     Zipf-shaped key when the detector thresholds are scaled to the data
@@ -1686,18 +1714,27 @@ def test_aqe_skew_join_split_fires_on_hot_key(spark):
     clone.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     clone.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
     clone.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    import numpy as np
+
     n_hot, n_rest = 200_000, 100_000
+    # v must be incompressible: AQE decides skew on COMPRESSED shuffle-block
+    # sizes, and a constant column deflates the hot partition below any
+    # threshold (the original form of this test never fired for that reason)
+    rng = np.random.default_rng(11)
     fact = clone.createDataFrame(pd.DataFrame({
         "key": [0] * n_hot + list(range(1, n_rest + 1)),
-        "v": [1.0] * (n_hot + n_rest),
+        "v": rng.uniform(0, 1, n_hot + n_rest),
     }))
     dim = clone.createDataFrame(pd.DataFrame({
         "key": list(range(0, n_rest + 1)),
         "cat": [f"c{k % 10}" for k in range(n_rest + 1)],
     }))
     joined = fact.join(dim, "key").groupBy("cat").sum("v")
-    assert joined.count() == 10
+    # execute THIS DataFrame's own QueryExecution so the adaptive plan we
+    # inspect is the final one (count() would plan a separate query)
+    assert len(joined.collect()) == 10
     plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
     assert "skew=true" in plan, plan[:2000]
 
 

@@ -676,3 +676,124 @@ register(
     # and loaded index are bit-equal by construction, so they share one oracle
     _IVFPQ_PROBE_SQL.format(core=_PQ_CORE_SQL),
 )
+
+
+# --- graph ANN: k-NN graph + fixed-hop beam search (NSW-style) ---------------
+def _nsw_sql() -> str:
+    """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
+    chain one (candidates -> score -> beam) CTE triple per hop. Integer
+    distances end to end, so the replay is bit-exact."""
+    hops = 3
+    score = (
+        "SELECT c.query_id, c.node,"
+        " sum((s.iv - q.qv) * (s.iv - q.qv)) AS dist"
+        " FROM {cand} c JOIN sub s ON s.node = c.node"
+        " JOIN qsub q ON q.query_id = c.query_id AND q.j = s.j"
+        " GROUP BY 1, 2"
+    )
+    beam = (
+        "SELECT query_id, node, dist FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY dist, node) AS r FROM {scored}) t WHERE r <= 8"
+    )
+    parts = [f"""
+    ex AS (
+      SELECT vec_id, u.pos - 1 AS pos,
+             CAST(round(CAST(u.val AS DOUBLE) * 1000) AS BIGINT) AS iv
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ),
+    sub AS (SELECT vec_id AS node, pos AS j, iv FROM ex),
+    exl AS (
+      SELECT label, u.pos - 1 AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ), per_dim AS (
+      SELECT label, pos, avg(val) AS avg_val FROM exl GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+    ), alln AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+    ), bprobes AS (
+      SELECT query_id, label FROM (
+        SELECT alln.query_id, cent.label,
+               row_number() OVER (
+                 PARTITION BY alln.query_id
+                 ORDER BY round(list_sum(list_transform(list_zip(alln.qv, cent.centroid), p -> p[1] * p[2]))
+                          / (sqrt(list_sum(list_transform(alln.qv, x -> x * x)))
+                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6) DESC,
+                          cent.label ASC) AS probe_rank
+        FROM alln CROSS JOIN cent
+      ) t WHERE probe_rank <= 2
+    ), cand AS (
+      SELECT b.query_id AS src, c.vec_id AS cand
+      FROM bprobes b JOIN embeddings c ON c.label = b.label
+      WHERE c.vec_id <> b.query_id
+    ), bdist AS (
+      SELECT cand.src, cand.cand, sum((a.iv - b.iv) * (a.iv - b.iv)) AS dist
+      FROM cand
+      JOIN sub a ON a.node = cand.src
+      JOIN sub b ON b.node = cand.cand AND b.j = a.j
+      GROUP BY 1, 2
+    ), edges0 AS (
+      SELECT src, cand AS dst, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist, cand) AS r
+        FROM bdist) t WHERE r <= 8
+    ), edges AS (
+      SELECT src, dst, min(dist) AS dist FROM (
+        SELECT src, dst, dist FROM edges0
+        UNION ALL SELECT dst, src, dist FROM edges0) t GROUP BY 1, 2
+    ), qs AS (
+      SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0
+    ), qsub AS (
+      SELECT vec_id AS query_id, pos AS j, iv AS qv FROM ex WHERE vec_id % 50 = 0
+    ), entries AS (
+      SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 4
+    ), beam0c AS (
+      SELECT q.query_id, e.node FROM qs q CROSS JOIN entries e
+      WHERE e.node <> q.query_id
+    ), beam0s AS ({score.format(cand='beam0c')}
+    ), beam0 AS ({beam.format(scored='beam0s')}
+    )"""]
+    for h in range(1, hops + 1):
+        prev = f"beam{h - 1}"
+        parts.append(f""", hop{h}c AS (
+      SELECT query_id, node FROM {prev}
+      UNION
+      SELECT b.query_id, e.dst AS node
+      FROM {prev} b JOIN edges e ON e.src = b.node
+      WHERE e.dst <> b.query_id
+    ), hop{h}s AS ({score.format(cand=f'hop{h}c')}
+    ), beam{h} AS ({beam.format(scored=f'hop{h}s')}
+    )""")
+    parts.append(f"""
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
+           CAST(dist AS BIGINT) AS l2_dist
+    FROM (SELECT query_id, node AS corpus_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, node) AS rank
+          FROM beam{hops}) t
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """)
+    return "WITH " + "".join(parts)
+
+
+def _nsw_topk(spark, sf_dir):
+    """NSW-style graph ANN (operators/graph_ann.py): IVF-bounded k-NN graph
+    (k_build=8, n_probe=2), then 3-hop beam-8 search from the 4 lowest-id
+    entry points. Integer L2 end to end — the unrolled SQL oracle replays
+    build AND search bit-exactly. Completes the ANN family matrix
+    (IVF / PQ / IVF-PQ / LSH / graph)."""
+    from ..operators.graph_ann import knn_graph, nsw_search
+
+    e = read_table(spark, sf_dir, "embeddings")
+    g = knn_graph(e, dim=64, k_build=8, n_probe=2)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return nsw_search(
+        g, e, q, dim=64, beam_width=8, n_hops=3, k_top=5, n_entry=4
+    ).orderBy("query_id", "rank")
+
+
+register("similarity_nsw_topk", _nsw_topk, _nsw_sql())

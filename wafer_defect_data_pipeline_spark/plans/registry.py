@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     # (b) new this round
     "similarity_ivfpq_probe_prebuilt",  # persisted parquet index, no retrain
     "dedup_cluster_assignment_auto",  # budgeted-propagation probe + star fallback
+    "similarity_nsw_topk",  # graph ANN: kNN-graph build + fixed-hop beam search
     # (c) implementation changed after the last green driver row
     "embedding_pq_codes",  # pq_codebook k-lowest-ids seed (r5-end hardening)
     "embedding_pq_adc_topk",  # + shared _two_level_topk tail (this round)
