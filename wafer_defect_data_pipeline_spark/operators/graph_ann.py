@@ -12,13 +12,12 @@ arithmetic (the PQ family's trick: quantize once to ``round(v*scale)``
 longs, distances are integer sums of squared diffs), so the whole pipeline
 is deterministic and bit-exactly replayable by a DuckDB oracle:
 
-- **build** (:func:`knn_graph`): candidate pairs come from shared IVF
-  cells (each node probes its ``n_probe`` nearest cell centroids — the
-  already-verified coarse quantizer), distances rank candidates, each node
-  keeps its ``k_build`` nearest, and edges are symmetrized. Candidate
-  generation is cell-bounded — O(N * cell_size * n_probe) pairs, never
-  O(N^2); at 100 TB the cells are the same partition key the IVF index
-  already maintains.
+- **build** (:func:`knn_graph`): candidate pairs come from shared coarse
+  cells (a seed-centroid quantizer with ``n_cells`` cells — sized ~sqrt(N)
+  so candidate volume is O(N^1.5), never O(N^2)); distances rank
+  candidates, each node keeps its ``k_build`` nearest, and edges are
+  symmetrized. At 100 TB the cell id is the partition key, so the
+  per-cell distance joins are co-located.
 - **search** (:func:`nsw_search`): classic beam search unrolled to a FIXED
   ``n_hops`` rounds (fixed, not convergence-tested, for the same reason
   :func:`~wafer_defect_data_pipeline_spark.operators.graph.pagerank` is
@@ -41,47 +40,159 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .quantization import _coarse_probes, _subvectors, _two_level_topk
+from .quantization import _subvectors, _two_level_topk
 
 
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cell_col: str = "label",
     dim: int = 64,
     scale: int = 1000,
     k_build: int = 8,
     n_probe: int = 2,
+    n_cells: int = 16,
+    lloyd_steps: int = 2,
 ) -> DataFrame:
-    """Symmetrized k-NN graph ``(src, dst, dist)`` from IVF-bounded
-    candidates: each node ranks the members of its ``n_probe`` nearest
-    cells by integer squared L2 and keeps ``k_build``; edges are then
-    mirrored (undirected navigability), so degree is bounded by
-    ``2 * k_build``."""
-    from .similarity import array_mean
+    """Symmetrized k-NN graph ``(src, dst, dist)`` from coarse-cell-bounded
+    candidates: a seed-centroid quantizer (the ``n_cells`` lowest-id
+    vectors — :func:`~.quantization.pq_codebook`'s deterministic seeding
+    with ``m=1`` — Lloyd-refined, assigned by integer L2 in a
+    broadcast-centroid numpy kernel) buckets the corpus; each node ranks
+    the members of its
+    ``n_probe`` nearest cells and keeps ``k_build``; edges are mirrored
+    (undirected navigability), so degree is bounded by ``2 * k_build``.
 
-    centroids = array_mean(corpus, cell_col, vec_col)
-    probes = _coarse_probes(corpus, centroids, id_col, vec_col, cell_col, n_probe)
-    cells = corpus.select(F.col(id_col).alias("cand"), F.col(cell_col))
-    cand = (
-        probes.join(cells, cell_col)
-        .select(F.col("query_id").alias("src"), "cand")
-        .filter(F.col("src") != F.col("cand"))
+    Candidate volume is ``N * n_probe * N / n_cells`` — size ``n_cells``
+    to ~sqrt(N) (the IVF convention) and the build is O(N^1.5), never
+    O(N^2). The registered oracle query fixes ``n_cells=16`` (the replay
+    must pin parameters); a scale run passes ``n_cells ~ sqrt(N)``."""
+    import numpy as np
+    import pandas as pd
+
+    from .quantization import _subvectors, pq_codebook
+
+    qarr_col = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"),
     )
-    sub = _subvectors(corpus, id_col, vec_col, dim, scale).select("id", "j", "iv")
-    a = sub.select(F.col("id").alias("src"), "j", F.col("iv").alias("av"))
-    b = sub.select(F.col("id").alias("cand"), "j", F.col("iv").alias("bv"))
-    delta = F.col("av") - F.col("bv")
-    dists = (
-        cand.join(a, "src")
-        .join(b, ["cand", "j"])
-        .groupBy("src", "cand")
-        .agg(F.sum(delta * delta).alias("dist"))
+
+    def collect_cb(cb_df) -> np.ndarray:
+        """Centroid matrix readout — n_cells x dim rows, bounded by contract
+        (the same d^2-scale readout decomposition.py documents)."""
+        C = np.zeros((n_cells, dim), np.float64)
+        for r in cb_df.collect():
+            C[r["code"], r["j"]] = float(r["cv"])
+        return C
+
+    def assign_topn(C: np.ndarray, n_top: int) -> DataFrame:
+        """Per-vector nearest ``n_top`` centroids by integer squared L2 —
+        numpy kernel over Arrow batches with the (tiny) centroid matrix in
+        the closure; no N x n_cells x dim exploded join (the earlier
+        relational formulation fanned out 180M rows at sf1). Quantized
+        values are integer-valued float64 far below 2^53, so results equal
+        the integer SQL replay exactly; ties break (d, code) via lexsort."""
+        nt = min(n_top, n_cells)
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                ids = pdf["id"].to_numpy()
+                out_id, out_code, out_rank = [], [], []
+                for i in range(len(ids)):
+                    d = ((C - X[i]) ** 2).sum(axis=1)
+                    order = np.lexsort((np.arange(n_cells), d))[:nt]
+                    out_id.extend([ids[i]] * len(order))
+                    out_code.extend(order)
+                    out_rank.extend(range(1, len(order) + 1))
+                yield pd.DataFrame(
+                    {"id": out_id, "code": out_code, "rank": out_rank}
+                ).astype({"id": "int64", "code": "int32", "rank": "int32"})
+
+        return corpus.select(F.col(id_col).alias("id"), qarr_col.alias("qv")).mapInPandas(
+            kernel, "id long, code int, rank int"
+        )
+
+    # seed centroids: the n_cells lowest-id vectors (pq_codebook's
+    # deterministic seeding, m=1), then Lloyd-refine — raw seeds are a poor
+    # quantizer (measured recall@5 0.40 raw vs 0.60 after two steps at
+    # sf0.001). Each step: kernel assignment + one integer-rounded mean agg
+    # over the (N x dim)-row exploded frame — no per-centroid fan-out.
+    C = collect_cb(pq_codebook(corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale))
+    sub_full = _subvectors(corpus, id_col, vec_col, dim, scale).select("id", "j", "iv")
+    for _ in range(lloyd_steps):
+        assign = assign_topn(C, 1).select("id", "code")
+        means = (
+            sub_full.join(assign, "id")
+            .groupBy("code", "j")
+            .agg(F.round(F.avg("iv"), 0).cast("long").alias("cv"))
+        )
+        Cn = C.copy()  # centroids with no assignment keep their value
+        for r in means.collect():
+            Cn[r["code"], r["j"]] = float(r["cv"])
+        C = Cn
+    ranked = assign_topn(C, n_probe)
+    cells = ranked.filter(F.col("rank") == 1).select(
+        F.col("id").alias("cand"), F.col("code").alias("cell")
+    )
+    probes = ranked.filter(F.col("rank") <= n_probe).select(
+        F.col("id").alias("src"), F.col("code").alias("cell")
+    )
+    # Distance kernel: cogroup probers vs members PER CELL and run a numpy
+    # row-block kernel inside Arrow batches — the shuffle carries each
+    # vector once per probed cell (N * n_probe quantized arrays), never the
+    # exploded (pairs x dim) rows (an earlier exploded-join formulation
+    # shuffled pairs*64 rows — 364M at sf1 — and dominated the build).
+    # Exactness: quantized values are integer-valued float64 and every
+    # squared-diff sum stays far below 2^53, so numpy arithmetic equals the
+    # integer SQL replay bit-for-bit. Per-src results are capped at k_build
+    # inside the cell (the global top-k of a union is within the per-cell
+    # top-ks), so kernel output is N * n_probe * k_build rows, bounded.
+    # two independent projections of the vector column (distinct aliases:
+    # both sides derive from `corpus`, and a shared column name trips the
+    # ambiguous-self-join analyzer check)
+    probers = probes.join(
+        corpus.select(F.col(id_col).alias("src"), qarr_col.alias("pqv")), "src"
+    ).select("cell", "src", F.col("pqv").alias("qv"))
+    members = cells.join(
+        corpus.select(F.col(id_col).alias("cand"), qarr_col.alias("mqv")), "cand"
+    ).select("cell", "cand", F.col("mqv").alias("qv"))
+
+    def cell_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"src": [], "cand": [], "dist": []}).astype(
+                {"src": "int64", "cand": "int64", "dist": "int64"}
+            )
+        A = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        B = np.stack(right["qv"].to_numpy()).astype(np.float64)
+        cand_ids = right["cand"].to_numpy()
+        out_src, out_cand, out_dist = [], [], []
+        for i, src in enumerate(left["src"].to_numpy()):
+            d = ((B - A[i]) ** 2).sum(axis=1)
+            keep = cand_ids != src
+            di, ci = d[keep], cand_ids[keep]
+            if not len(di):
+                continue
+            k = min(k_build, len(di))
+            # exact (dist, cand) tie-break, matching the SQL row_number
+            idx = np.lexsort((ci, di))[:k]
+            out_src.extend([src] * k)
+            out_cand.extend(ci[idx])
+            out_dist.extend(di[idx].astype(np.int64))
+        return pd.DataFrame({"src": out_src, "cand": out_cand, "dist": out_dist}).astype(
+            {"src": "int64", "cand": "int64", "dist": "int64"}
+        )
+
+    percell = (
+        probers.groupBy("cell")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(lambda l, r: cell_knn(l, r), "src long, cand long, dist long")
     )
     w = W.partitionBy("src").orderBy("dist", "cand")
     directed = (
-        dists.withColumn("__r", F.row_number().over(w))
+        percell.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k_build)
         .select("src", F.col("cand").alias("dst"), "dist")
     )
@@ -102,8 +213,8 @@ def nsw_search(
     vec_col: str = "embedding",
     dim: int = 64,
     scale: int = 1000,
-    beam_width: int = 8,
-    n_hops: int = 3,
+    beam_width: int = 12,
+    n_hops: int = 4,
     k_top: int = 5,
     n_entry: int = 4,
 ) -> DataFrame:
@@ -111,6 +222,12 @@ def nsw_search(
     corpus_id, l2_dist)``. Self-hits are excluded (a query that exists in
     the corpus never reports itself), matching
     :func:`~.quantization.exact_int_l2_topk`."""
+    # Pin the graph: every hop joins against it, and an unpinned lineage
+    # would re-run the whole kNN build once per hop (the star-CC lesson —
+    # a lazily-checkpointed frame feeding a loop must be materialized by a
+    # cheap action before the rounds). Edges are N * 2k rows — small.
+    graph = graph.localCheckpoint(eager=False)
+    graph.count()  # materialize before the hop loop
     sub = _subvectors(corpus, id_col, vec_col, dim, scale).select(
         F.col("id").alias("node"), "j", F.col("iv").alias("cv")
     )

@@ -683,7 +683,7 @@ def _nsw_sql() -> str:
     """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
     chain one (candidates -> score -> beam) CTE triple per hop. Integer
     distances end to end, so the replay is bit-exact."""
-    hops = 3
+    hops = 4
     score = (
         "SELECT c.query_id, c.node,"
         " sum((s.iv - q.qv) * (s.iv - q.qv)) AS dist"
@@ -694,7 +694,7 @@ def _nsw_sql() -> str:
     beam = (
         "SELECT query_id, node, dist FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id"
-        " ORDER BY dist, node) AS r FROM {scored}) t WHERE r <= 8"
+        " ORDER BY dist, node) AS r FROM {scored}) t WHERE r <= 12"
     )
     parts = [f"""
     ex AS (
@@ -705,32 +705,57 @@ def _nsw_sql() -> str:
                            generate_subscripts(embedding, 1) AS pos) u
     ),
     sub AS (SELECT vec_id AS node, pos AS j, iv FROM ex),
-    exl AS (
-      SELECT label, u.pos - 1 AS pos, u.val
-      FROM embeddings,
-           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
-                           generate_subscripts(embedding, 1) AS pos) u
-    ), per_dim AS (
-      SELECT label, pos, avg(val) AS avg_val FROM exl GROUP BY label, pos
-    ), cent AS (
-      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
-    ), alln AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+    cbids AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16
+    ), cb0 AS (
+      SELECT s.node AS code, s.j, s.iv AS cv
+      FROM sub s JOIN cbids ON s.node = cbids.vec_id
+    ),
+    ad0 AS (
+      SELECT sub.node, c.code, sum((sub.iv - c.cv) * (sub.iv - c.cv)) AS d
+      FROM sub JOIN cb0 c ON c.j = sub.j GROUP BY 1, 2
+    ), asg0 AS (
+      SELECT node, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY node ORDER BY d, code) AS r
+        FROM ad0) t WHERE r = 1
+    ), mn0 AS (
+      SELECT a.code, s.j, CAST(round(avg(s.iv)) AS BIGINT) AS nv
+      FROM asg0 a JOIN sub s ON s.node = a.node GROUP BY 1, 2
+    ), cb1 AS (
+      SELECT c.code, c.j, coalesce(m.nv, c.cv) AS cv
+      FROM cb0 c LEFT JOIN mn0 m ON m.code = c.code AND m.j = c.j
+    ),
+    ad1 AS (
+      SELECT sub.node, c.code, sum((sub.iv - c.cv) * (sub.iv - c.cv)) AS d
+      FROM sub JOIN cb1 c ON c.j = sub.j GROUP BY 1, 2
+    ), asg1 AS (
+      SELECT node, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY node ORDER BY d, code) AS r
+        FROM ad1) t WHERE r = 1
+    ), mn1 AS (
+      SELECT a.code, s.j, CAST(round(avg(s.iv)) AS BIGINT) AS nv
+      FROM asg1 a JOIN sub s ON s.node = a.node GROUP BY 1, 2
+    ), cb2 AS (
+      SELECT c.code, c.j, coalesce(m.nv, c.cv) AS cv
+      FROM cb1 c LEFT JOIN mn1 m ON m.code = c.code AND m.j = c.j
+    ),
+    celld AS (
+      SELECT sub.node AS query_id, cb2.code,
+             sum((sub.iv - cb2.cv) * (sub.iv - cb2.cv)) AS d
+      FROM sub JOIN cb2 ON cb2.j = sub.j
+      GROUP BY 1, 2
+    ), cellr AS (
+      SELECT query_id, code,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, code) AS r
+      FROM celld
+    ), cells AS (
+      SELECT query_id AS cand, code AS cell FROM cellr WHERE r = 1
     ), bprobes AS (
-      SELECT query_id, label FROM (
-        SELECT alln.query_id, cent.label,
-               row_number() OVER (
-                 PARTITION BY alln.query_id
-                 ORDER BY round(list_sum(list_transform(list_zip(alln.qv, cent.centroid), p -> p[1] * p[2]))
-                          / (sqrt(list_sum(list_transform(alln.qv, x -> x * x)))
-                             * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6) DESC,
-                          cent.label ASC) AS probe_rank
-        FROM alln CROSS JOIN cent
-      ) t WHERE probe_rank <= 2
+      SELECT query_id AS src, code AS cell FROM cellr WHERE r <= 2
     ), cand AS (
-      SELECT b.query_id AS src, c.vec_id AS cand
-      FROM bprobes b JOIN embeddings c ON c.label = b.label
-      WHERE c.vec_id <> b.query_id
+      SELECT b.src, c.cand
+      FROM bprobes b JOIN cells c ON c.cell = b.cell
+      WHERE c.cand <> b.src
     ), bdist AS (
       SELECT cand.src, cand.cand, sum((a.iv - b.iv) * (a.iv - b.iv)) AS dist
       FROM cand
@@ -781,18 +806,19 @@ def _nsw_sql() -> str:
 
 
 def _nsw_topk(spark, sf_dir):
-    """NSW-style graph ANN (operators/graph_ann.py): IVF-bounded k-NN graph
-    (k_build=8, n_probe=2), then 3-hop beam-8 search from the 4 lowest-id
-    entry points. Integer L2 end to end — the unrolled SQL oracle replays
+    """NSW-style graph ANN (operators/graph_ann.py): coarse-cell-bounded
+    k-NN graph (16 seed-centroid cells, k_build=8, n_probe=2), then 4-hop
+    beam-12 search from the 4 lowest-id entry points (recall@5 = 0.8 vs
+    exact integer-L2 at sf0.001, pytest-asserted >= 0.5). Integer L2 end to end — the unrolled SQL oracle replays
     build AND search bit-exactly. Completes the ANN family matrix
     (IVF / PQ / IVF-PQ / LSH / graph)."""
     from ..operators.graph_ann import knn_graph, nsw_search
 
     e = read_table(spark, sf_dir, "embeddings")
-    g = knn_graph(e, dim=64, k_build=8, n_probe=2)
+    g = knn_graph(e, dim=64, k_build=8, n_probe=2, n_cells=16)
     q = e.filter(F.col("vec_id") % 50 == 0)
     return nsw_search(
-        g, e, q, dim=64, beam_width=8, n_hops=3, k_top=5, n_entry=4
+        g, e, q, dim=64, beam_width=12, n_hops=4, k_top=5, n_entry=4
     ).orderBy("query_id", "rank")
 
 
