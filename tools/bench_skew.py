@@ -20,7 +20,7 @@ Each variant runs twice (cold/warm) in an isolated cloned session so confs
 never leak. Prints one JSON line; run with an idle machine for stable
 numbers (host variance is 10-30%).
 
-Data (seed 7, regenerated if absent): fact 6M rows — 30% key 0, 10% key 1,
+Data (seed 7, regenerated if absent): fact 24M rows — 30% key 0, 10% key 1,
 60% uniform over 50k keys; dim = all 50k keys with a 10-way category.
 """
 
@@ -43,7 +43,7 @@ import pyarrow.parquet as pq
 from wafer_defect_data_pipeline_spark.session import get_spark
 
 DATA_DIR = os.path.join(_REPO_ROOT, "localdata", "skew")
-N_FACT = 6_000_000
+N_FACT = 24_000_000
 N_KEYS = 50_000
 
 
