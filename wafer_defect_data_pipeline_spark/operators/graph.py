@@ -358,10 +358,12 @@ def k_core(
     reaches the same fixpoint), so the output is partition-invariant.
 
     Returns ``(id, core_degree)`` for surviving nodes — degree counted
-    within the k-core. Empty output when no k-core exists. Rows-only by
-    nature for the oracle (the data-dependent round count has no bounded
-    SQL unrolling; recursive CTEs disallow aggregates in the recursive
-    term); correctness is pinned by pytest on known graphs.
+    within the k-core. Empty output when no k-core exists. Although the
+    round count is data-dependent, the fixpoint is idempotent (peeling a
+    converged graph removes nothing), so a DuckDB oracle that unrolls a
+    FIXED number of rounds with margin over the observed depth replays it
+    exactly (see queries_timeseries._kcore_oracle); pytest additionally
+    pins exact outputs on known graphs.
     """
     e0 = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")

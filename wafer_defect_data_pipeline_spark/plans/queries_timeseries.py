@@ -601,15 +601,22 @@ register(
 )
 
 
-# --- k-core of the co-supply graph (rows-only: data-dependent peeling) ------
+# --- k-core of the co-supply graph (unrolled-peeling exact oracle) ----------
 def _graph_kcore(spark, sf_dir):
     """3-core survivors of the high-quantity co-supply graph (same edge
-    set as graph_triangle_count): the dense seller communities. Rows-only
-    by nature — see operators/graph.k_core; pytest pins exact outputs on
-    known graphs (clique + pendant chain)."""
+    shape as graph_triangle_count, thinned to quantity > 48 so the peel
+    actually iterates: 1/4/9 rounds at sf0.001/0.01/0.1): the dense
+    seller communities. The k-core fixpoint is unique and
+    order-independent, so a DuckDB oracle that unrolls MORE peel rounds
+    than the data needs reproduces it exactly — once converged, further
+    rounds delete nothing. The oracle unrolls 16 chained CTE rounds
+    (margin over the 9 observed at sf0.1); the Spark side raises past
+    max_iter=50 long before the margin could be violated silently, and
+    pytest additionally pins exact outputs on known graphs (clique +
+    pendant chain)."""
     from ..operators.graph import k_core
 
-    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
     edges = (
@@ -621,4 +628,39 @@ def _graph_kcore(spark, sf_dir):
     return k_core(edges, k=3).orderBy("id")
 
 
-register("graph_kcore_suppliers", _graph_kcore, None)
+def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled peeling: round i computes degrees of e{i} and keeps only
+    edges whose BOTH endpoints have degree >= k. Extra rounds past the
+    fixpoint are no-ops, so a fixed unroll with margin is exact."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity > 48 AND b.l_quantity > 48
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+      ) GROUP BY v
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN d{i} da ON da.v = e.a AND da.d >= {k}
+      JOIN d{i} db ON db.v = e.b AND db.d >= {k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS id, d AS core_degree FROM (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e{rounds} UNION ALL SELECT b AS v FROM e{rounds}
+      ) GROUP BY v
+    ) WHERE d >= {k} ORDER BY id"""
+    )
+    return "".join(parts)
+
+
+register("graph_kcore_suppliers", _graph_kcore, _kcore_oracle())

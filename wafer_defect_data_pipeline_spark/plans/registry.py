@@ -79,6 +79,8 @@ def _load_all() -> None:
 # follow in registration order; a listed name missing from the registry is
 # a hard error (catches renames).
 _PRIORITY: list[str] = [
+    # (a0) round-6 session-2: new queries + rows-only promotions
+    "graph_kcore_suppliers",  # unrolled-peeling oracle (was rows-only)
     # (a) promoted from rows-only to exact-oracle this round
     "events_streaming_tumbling",
     "events_streaming_sessions",
@@ -113,7 +115,6 @@ _PRIORITY: list[str] = [
     "text_bpe_token_stats",
     "text_bpe_learned_merges",
     "events_stateful_profile",
-    "graph_kcore_suppliers",
     "wafer_pipeline_on_lineitem",
     # (e) known-green sentinels, one per family, fill the ~50-query window
     "flagship_iqr_summary",
