@@ -550,3 +550,104 @@ def minhash_lsh_probe(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "index_id", "est_jaccard")
     )
+
+
+# --- substring-span dedup ----------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_span: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Character-level duplicated-span detection — the substring analogue
+    of document dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — public literature). Their
+    suffix-array ExactSubstr pass finds repeated substrings >= L chars
+    anywhere in the corpus; this is the standard practical k-gram
+    re-expression of it as dataflow:
+
+    1. explode each doc into all character k-gram start positions
+       (``sequence(0, length-k)``) — |corpus chars| narrow rows;
+    2. hash each k-gram (md5 60-bit, the repo-wide deterministic hash) and
+       keep positions whose gram occurs >= ``min_count`` times corpus-wide
+       (one shuffle on the gram hash, map-side combinable count);
+    3. merge surviving positions per doc into maximal runs
+       (gaps-and-islands: equal-length intervals [pos, pos+k) merge iff
+       pos <= prev_pos + k, so one lag-compare + running-sum window per
+       doc) and keep runs spanning >= ``min_span`` chars.
+
+    Exact semantics (modulo 60-bit hash collisions, identical on both
+    engines): every repeated substring of length >= k has all its k-grams
+    repeated, so its span is fully covered; runs can additionally chain
+    through positions whose duplicate partners differ — the standard
+    over-approximation every k-gram implementation of ExactSubstr accepts
+    in exchange for never materializing suffix arrays.
+
+    Scale shape at 100 TB: step 1 is a projection (no shuffle, output
+    linear in corpus chars); step 2 is ONE hash-partitioned count plus a
+    semi-join of positions against the duplicated-gram set; step 3
+    windows per doc (shuffle on doc id, each partition sorted by pos).
+    Nothing is quadratic and no text leaves the scan — only (id, pos,
+    60-bit hash) triples shuffle.
+
+    Returns ``(id, span_start, span_end, span_len)`` with ``span_end``
+    exclusive.
+    """
+    pos = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - F.lit(k))
+            ).alias("pos"),
+            F.col(text_col).alias("__text"),
+        )
+        .select(
+            "__id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(__text, pos + 1, {k})")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    dup_grams = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gh")
+    )
+    covered = pos.join(dup_grams, "gh", "left_semi").select("__id", "pos")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__id").orderBy("pos")
+    runs = (
+        covered.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        runs.groupBy("__id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start"))
+        .filter(F.col("span_len") >= min_span)
+        .select(
+            F.col("__id").alias(id_col), "span_start", "span_end", "span_len"
+        )
+    )
