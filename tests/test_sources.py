@@ -57,6 +57,26 @@ def test_csv_single_file_sink(spark, wafer_csv, tmp_path):
     assert len(parts) == 1  # reference-parity single file
 
 
+def test_csv_single_file_sink_utf8_sig_parity(spark, wafer_csv, tmp_path):
+    """Reference sink parity: main.py:110 writes encoding='utf-8-sig' so
+    Excel detects UTF-8 via the BOM. bom=True must produce byte-identical
+    framing: BOM prefix + plain UTF-8 body, round-trippable by pandas with
+    encoding='utf-8-sig' (which strips the BOM like the reference's own
+    read path would)."""
+    import pandas as pd
+
+    df = load_wafer_csv(spark, wafer_csv)
+    out = tmp_path / "single_bom"
+    write_csv_single(df.select("Class").orderBy("Class"), str(out), bom=True)
+    [part] = [p for p in out.iterdir() if p.name.endswith(".csv")]
+    raw = part.read_bytes()
+    assert raw.startswith(b"\xef\xbb\xbf")
+    assert raw.count(b"\xef\xbb\xbf") == 1  # BOM once, at the front only
+    back = pd.read_csv(part, encoding="utf-8-sig")
+    assert list(back.columns) == ["Class"]
+    assert len(back) == 200
+
+
 def test_partitioned_parquet_write(spark, wafer_csv, tmp_path):
     df = load_wafer_csv(spark, wafer_csv)
     out = tmp_path / "part_parquet"

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -46,7 +47,10 @@ VOCAB = (
 
 
 def _rng(seed: int, table: str) -> np.random.Generator:
-    return np.random.default_rng([seed, hash(table) & 0x7FFFFFFF])
+    # zlib.crc32, NOT hash(): str hash is salted per process (PYTHONHASHSEED)
+    # so hash(table) would make "byte-stable reruns" silently false across
+    # runs/machines — every cross-run bench comparison depends on this.
+    return np.random.default_rng([seed, zlib.crc32(table.encode()) & 0x7FFFFFFF])
 
 
 def _dates_us(rng, n, start_days, span_days):

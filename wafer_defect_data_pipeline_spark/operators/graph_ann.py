@@ -120,6 +120,25 @@ def knn_graph(
     # quantizer (measured recall@5 0.40 raw vs 0.60 after two steps at
     # sf0.001). Each step: kernel assignment + one integer-rounded mean agg
     # over the (N x dim)-row exploded frame — no per-centroid fan-out.
+    #
+    # PRECONDITION (checked, n_cells-row readout): pq_codebook's seed codes
+    # are the raw seed ids, and collect_cb/assign_topn index C[code] with
+    # them, so the n_cells lowest ids MUST be exactly 0..n_cells-1 (true for
+    # the testdata tables and the oracle replay, which shares the
+    # assumption). A sparse-id corpus must be remapped by the caller first.
+    seed_ids = [
+        r["id"]
+        for r in corpus.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(n_cells)
+        .collect()
+    ]
+    if seed_ids != list(range(n_cells)):
+        raise ValueError(
+            f"knn_graph requires the {n_cells} lowest {id_col} values to be "
+            f"exactly 0..{n_cells - 1} (got {seed_ids[:5]}...); remap ids to "
+            "a dense 0-based range first (e.g. row_number() - 1)."
+        )
     C = collect_cb(pq_codebook(corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale))
     sub_full = _subvectors(corpus, id_col, vec_col, dim, scale).select("id", "j", "iv")
     for _ in range(lloyd_steps):

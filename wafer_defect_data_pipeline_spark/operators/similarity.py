@@ -168,6 +168,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow batches + numpy matmul — the dense-math
     scale path.
@@ -187,7 +188,16 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(id_col, vec_col).toPandas()  # query batch is small by contract
+    # The query batch is broadcast whole to every executor, so "small" is a
+    # hard requirement, not a comment (r6 verdict): enforce it with a
+    # limit-probe (reads at most max_query_rows + 1 rows, never the corpus).
+    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(q_pdf) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_arrow query batch exceeds {max_query_rows} "
+            "rows; broadcasting it would swamp executors — raise "
+            "max_query_rows explicitly or bucket the queries (IVF/LSH)."
+        )
     q_ids = q_pdf[id_col].to_numpy()
     qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)

@@ -285,7 +285,7 @@ def _mllib_minhash(spark, sf_dir):
     )
 
 
-register("dedup_mllib_minhash_lsh", _mllib_minhash, None)
+register("dedup_mllib_minhash_lsh", _mllib_minhash, None, exact_twin="dedup_minhash_lsh_pairs")
 
 
 # --- deterministic hash split (train/val/test) ------------------------------

@@ -334,7 +334,7 @@ def _stateful_profile(spark, sf_dir):
     return run_stateful_profile_batch(spark, sf_dir)
 
 
-register("events_stateful_profile", _stateful_profile, None)
+register("events_stateful_profile", _stateful_profile, None, exact_twin="events_stateful_profile_exact")
 
 
 # --- exact-cents stateful profile (full oracle) -----------------------------

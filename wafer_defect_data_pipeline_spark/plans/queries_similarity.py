@@ -214,7 +214,7 @@ def _bf_topk_arrow(spark, sf_dir):
     return brute_force_topk_arrow(emb, q, k=5).orderBy("query_id", "rank")
 
 
-register("similarity_bruteforce_topk_arrow", _bf_topk_arrow, None)
+register("similarity_bruteforce_topk_arrow", _bf_topk_arrow, None, exact_twin="similarity_bruteforce_topk")
 
 
 # --- embedding near-dup via hyperplane LSH (rows-only; recall + exactness
@@ -233,7 +233,7 @@ def _lsh_pairs(spark, sf_dir):
     return cosine_lsh_pairs(both, threshold=0.95).orderBy("id_a", "id_b")
 
 
-register("similarity_lsh_pairs", _lsh_pairs, None)
+register("similarity_lsh_pairs", _lsh_pairs, None, exact_twin="similarity_neardup_pairs")
 
 
 # --- covariance matrix (distributed BLAS partial outer products) -----------
@@ -276,7 +276,7 @@ def _pca_projection(spark, sf_dir):
     return pca_project(emb, "vec_id", "embedding", dim=64, k=4).orderBy("vec_id")
 
 
-register("embedding_pca_projection", _pca_projection, None)
+register("embedding_pca_projection", _pca_projection, None, exact_twin="embedding_covariance")
 
 
 # --- ZCA whitening (rows-only: eigendecomposition not SQL-expressible;
@@ -291,7 +291,7 @@ def _zca_whiten(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-register("embedding_zca_whiten", _zca_whiten, None)
+register("embedding_zca_whiten", _zca_whiten, None, exact_twin="embedding_zca_identity_check")
 
 
 # --- ZCA identity check (EXACT oracle) --------------------------------------

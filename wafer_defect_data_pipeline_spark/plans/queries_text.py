@@ -419,7 +419,7 @@ def _bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(d, "doc_id", "text", _BPE_MERGES).orderBy("doc_id")
 
 
-register("text_bpe_token_stats", _bpe_token_stats, None)
+register("text_bpe_token_stats", _bpe_token_stats, None, exact_twin="text_bpe_fixture_stats")
 
 
 # --- BPE merge-table learning (rows-only: iterative argmax + imperative
@@ -433,7 +433,7 @@ def _bpe_learned_merges(spark, sf_dir):
     return spark.createDataFrame(rows, "rank int, left string, right string, pair_count long")
 
 
-register("text_bpe_learned_merges", _bpe_learned_merges, None)
+register("text_bpe_learned_merges", _bpe_learned_merges, None, exact_twin="text_bpe_fixture_merges")
 
 
 # --- BPE fixture roundtrip (EXACT oracles) ----------------------------------

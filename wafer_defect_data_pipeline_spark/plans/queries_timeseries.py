@@ -609,11 +609,14 @@ def _graph_kcore(spark, sf_dir):
     seller communities. The k-core fixpoint is unique and
     order-independent, so a DuckDB oracle that unrolls MORE peel rounds
     than the data needs reproduces it exactly — once converged, further
-    rounds delete nothing. The oracle unrolls 16 chained CTE rounds
-    (margin over the 9 observed at sf0.1); the Spark side raises past
-    max_iter=50 long before the margin could be violated silently, and
-    pytest additionally pins exact outputs on known graphs (clique +
-    pendant chain)."""
+    rounds delete nothing. The oracle unrolls 24 chained CTE rounds
+    (margin over the 9 observed at sf0.1) and guards its own sufficiency:
+    if the last two rounds still differ (data needing >23 rounds — which
+    Spark's max_iter=50 would peel fine, so the mismatch would otherwise
+    be silently misattributed to the engine) the oracle emits a sentinel
+    ``(-1, -1)`` row, forcing a loud rows-mismatch that points at the
+    unroll margin instead. pytest additionally pins exact outputs on
+    known graphs (clique + pendant chain)."""
     from ..operators.graph import k_core
 
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
@@ -628,10 +631,12 @@ def _graph_kcore(spark, sf_dir):
     return k_core(edges, k=3).orderBy("id")
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
+def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
     """Unrolled peeling: round i computes degrees of e{i} and keeps only
     edges whose BOTH endpoints have degree >= k. Extra rounds past the
-    fixpoint are no-ops, so a fixed unroll with margin is exact."""
+    fixpoint are no-ops, so a fixed unroll with margin is exact — and the
+    sentinel UNION ALL branch makes an insufficient margin self-reporting
+    (extra row => rows mismatch) instead of a silent wrong answer."""
     parts = [
         """WITH e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
@@ -658,7 +663,11 @@ def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
       SELECT v, count(*) AS d FROM (
         SELECT a AS v FROM e{rounds} UNION ALL SELECT b AS v FROM e{rounds}
       ) GROUP BY v
-    ) WHERE d >= {k} ORDER BY id"""
+    ) WHERE d >= {k}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS core_degree
+    WHERE (SELECT count(*) FROM e{rounds}) <> (SELECT count(*) FROM e{rounds - 1})
+    ORDER BY id"""
     )
     return "".join(parts)
 

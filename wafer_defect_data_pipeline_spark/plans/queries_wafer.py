@@ -56,4 +56,4 @@ def _wafer_pipeline_on_lineitem(spark, sf_dir):
     )
 
 
-register("wafer_pipeline_on_lineitem", _wafer_pipeline_on_lineitem, None)
+register("wafer_pipeline_on_lineitem", _wafer_pipeline_on_lineitem, None, exact_twin="pytest:tests/test_wafer_pipeline.py")

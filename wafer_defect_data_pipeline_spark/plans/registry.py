@@ -21,15 +21,26 @@ class RegisteredQuery:
     name: str
     fn: QueryFn
     oracle: str | None  # None -> driver does rows-only check
+    # Machine-checked evidence pointer for oracle-less queries: either the
+    # name of an oracle-backed registry entry exercising the same logic with
+    # deterministic arithmetic, or "pytest:<path>" naming the golden test
+    # that pins the values. Required whenever oracle is None (structural
+    # pytest in tests/test_registry_contract.py enforces both directions).
+    exact_twin: str | None = None
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+def register(
+    name: str,
+    fn: QueryFn,
+    oracle: str | None = None,
+    exact_twin: str | None = None,
+) -> None:
     if name in _REGISTRY:
         raise ValueError(f"duplicate query name: {name}")
-    _REGISTRY[name] = RegisteredQuery(name, fn, oracle)
+    _REGISTRY[name] = RegisteredQuery(name, fn, oracle, exact_twin)
 
 
 def query(name: str, oracle: str | None = None):

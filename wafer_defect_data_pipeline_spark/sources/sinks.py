@@ -24,9 +24,33 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", encoding: str =
     df.write.mode(mode).option("header", True).option("encoding", encoding).csv(path)
 
 
-def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite", encoding: str = "UTF-8") -> None:
-    """Single-file CSV, parity with the reference sink. Small outputs only."""
+def write_csv_single(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    encoding: str = "UTF-8",
+    bom: bool = False,
+) -> None:
+    """Single-file CSV, parity with the reference sink. Small outputs only.
+
+    ``bom=True`` reproduces the reference's ``encoding="utf-8-sig"``
+    (``main.py:110`` — Excel-friendly BOM prefix). The JVM has no
+    "UTF-8-SIG" charset, so the BOM is prepended driver-side to the one
+    part file — valid exactly because this sink is single-file by contract.
+    """
     df.coalesce(1).write.mode(mode).option("header", True).option("encoding", encoding).csv(path)
+    if bom:
+        import os
+
+        [part] = [
+            f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".csv")
+        ]
+        fp = os.path.join(path, part)
+        with open(fp, "rb") as fh:
+            data = fh.read()
+        if not data.startswith(b"\xef\xbb\xbf"):
+            with open(fp, "wb") as fh:
+                fh.write(b"\xef\xbb\xbf" + data)
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -242,7 +242,13 @@ def run_foreachbatch_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id")
 
 
-def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, horizon_slack: str = "3 hours"):
+def _stage_events_with_sentinels(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark_s: int = 2 * 3600,
+    horizon_s: int = 600,
+    slack_s: int = 3000,
+):
     """Copy the events parquet into a temp dir and append two single-row-pair
     sentinel parquet files with far-future timestamps (``user_id = -1``).
 
@@ -290,9 +296,17 @@ def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, horizon_slack
         )
         pq.write_table(tbl, path)
 
-    # +3h / +4h: watermark delay (2h) + join horizon (10m) + slack
-    sentinel(f"{staged}/b_sentinel1.parquet", 3 * 3600 * 1_000_000)
-    sentinel(f"{staged}/c_sentinel2.parquet", 4 * 3600 * 1_000_000)
+    # Offsets DERIVED from the stream's watermark/horizon so a call site
+    # changing either can't silently break the drain guarantee (the r6
+    # advisor caught the previous hardcoded +3h/+4h): sentinel A must sit
+    # past max_ts + watermark + horizon for the watermark to clear every
+    # real row's join window; sentinel B lands a later *data* batch after
+    # the advance so processAllAvailable is guaranteed to await the flush.
+    # Defaults (2h + 10m + 50m slack = +3h, then +1h) equal the old values.
+    off1_us = (watermark_s + horizon_s + slack_s) * 1_000_000
+    off2_us = off1_us + max(watermark_s // 2, 1) * 1_000_000
+    sentinel(f"{staged}/b_sentinel1.parquet", off1_us)
+    sentinel(f"{staged}/c_sentinel2.parquet", off2_us)
     now = os.path.getmtime(dst)
     os.utime(f"{staged}/b_sentinel1.parquet", (now + 1, now + 1))
     os.utime(f"{staged}/c_sentinel2.parquet", (now + 2, now + 2))
