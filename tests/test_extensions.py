@@ -2349,3 +2349,35 @@ def test_group_split_never_splits_a_source(spark, sf_small):
     assert (spans.n_splits == 1).all()
     # and the split is exhaustive: every doc is in exactly one split
     assert s.count() == d.count()
+
+
+def test_duplicated_spans_planted_and_bounded(spark):
+    """duplicated_spans (ExactSubstr k-gram pass): a 60-char span shared by
+    two docs — surrounded by never-repeating filler drawn from disjoint
+    alphabets — must be reported at exactly the k-gram-coverable offsets
+    [len(filler), len(filler)+60), and a fully unique doc must report
+    nothing."""
+    import string
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog once more today!"[:60]
+    assert len(shared) == 60
+    # each filler is a sequence of characters used NOWHERE else in the
+    # corpus, so no 20-gram outside the shared span can ever repeat
+    fill_a = string.ascii_uppercase + string.digits + "#$%&()*+,-./"  # 48 chars
+    fill_b = string.ascii_lowercase + "[]^_{|}~;<=>?@!:"  # 42 chars
+    fill_c = "".join(chr(0xA1 + i) for i in range(40))  # latin-1 suppl., 40 chars
+    df = spark.createDataFrame(
+        [
+            (1, fill_a + shared),
+            (2, fill_b + shared),
+            (3, fill_c),  # fully unique — must report nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(df, "doc_id", "text", k=20, min_span=40, min_count=2)
+    rows = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"]) for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == (len(fill_a), len(fill_a) + 60, 60)
+    assert rows[2] == (len(fill_b), len(fill_b) + 60, 60)

@@ -622,3 +622,68 @@ register(
     ) t GROUP BY split ORDER BY split
     """,
 )
+
+
+# --- duplicated substring spans (ExactSubstr k-gram pass; EXACT oracle) -----
+def _duplicated_spans(spark, sf_dir):
+    """Corpus-wide duplicated character spans (operators/dedup.duplicated_spans
+    — the Lee et al. ExactSubstr pass re-expressed as k-gram dataflow; see
+    that docstring for the scale shape). The corpus unions each document
+    with a suffix copy (``substring(text, 31)`` under a shifted id) so
+    cross-document *partial* overlaps are guaranteed and the gaps-and-islands
+    merge is exercised on offsets, not just whole-text duplicates. Every
+    stage is deterministic (md5 grams), so start/end/len are value-hashed
+    against the oracle."""
+    from ..operators.dedup import duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = d.select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    corpus = d.unionByName(tail)
+    return duplicated_spans(
+        corpus, "doc_id", "text", k=20, min_span=40, min_count=2
+    ).orderBy("doc_id", "span_start")
+
+
+# Mirrors duplicated_spans stage by stage. The Spark side buckets grams by
+# conv(hex_prefix_15, 16, 10) — injective on 15 hex chars — so grouping on
+# the hex prefix itself yields identical equivalence classes. range() is
+# end-exclusive where sequence() is inclusive: range(0, len-19) == 0..len-20.
+register(
+    "dedup_duplicated_spans",
+    _duplicated_spans,
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, substring(text, 31) FROM documents
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(md5(substring(c.text, CAST(t.p AS INTEGER) + 1, 20)), 1, 15) AS gh
+      FROM corpus c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), dup AS (
+      SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 20 - min(pos) >= 40
+    ORDER BY doc_id, span_start
+    """,
+)

@@ -90,6 +90,8 @@ def _load_all() -> None:
 # follow in registration order; a listed name missing from the registry is
 # a hard error (catches renames).
 _PRIORITY: list[str] = [
+    # (r7) new queries this round — must front the ~50-query driver window
+    "dedup_duplicated_spans",  # ExactSubstr k-gram span dedup (was orphan code)
     # (a0) round-6 session-2: new queries + rows-only promotions
     "graph_kcore_suppliers",  # unrolled-peeling oracle (was rows-only)
     # (a) promoted from rows-only to exact-oracle this round
