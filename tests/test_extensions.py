@@ -2381,3 +2381,39 @@ def test_duplicated_spans_planted_and_bounded(spark):
     assert set(rows) == {1, 2}
     assert rows[1] == (len(fill_a), len(fill_a) + 60, 60)
     assert rows[2] == (len(fill_b), len(fill_b) + 60, 60)
+
+
+def test_jaccard_pairs_auto_both_paths_match_exact(spark, sf_small):
+    """jaccard_pairs_auto must return the exact-join answer on BOTH sides of
+    the density probe: budget_factor=0 forces the LSH+verify fallback, the
+    default budget selects the exact AllPairs path — and on this planted
+    corpus (near-dups at j~0.98, threshold 0.8) the two must agree
+    pair-for-pair with the unconditional exact join."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_auto,
+        prefix_filter_jaccard_pairs,
+    )
+    from wafer_defect_data_pipeline_spark.sources import read_table
+
+    d = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    planted = (
+        d.filter((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" plantedtoken")))
+    )
+    both = d.unionByName(planted)
+    exact = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(both, "doc_id", "text", 0.8).collect())
+    )
+    assert exact, "fixture must produce pairs"
+    via_exact = sorted(map(tuple, jaccard_pairs_auto(both, "doc_id", "text", 0.8).collect()))
+    via_lsh = sorted(
+        map(
+            tuple,
+            jaccard_pairs_auto(both, "doc_id", "text", 0.8, budget_factor=0).collect(),
+        )
+    )
+    assert via_exact == exact
+    assert via_lsh == exact

@@ -318,44 +318,18 @@ def lsh_verified_pairs(
 
 # --- prefix-filtered exact set-similarity join -----------------------------
 
-def prefix_filter_jaccard_pairs(
+def _prefix_frames(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.4,
-    shingle_k: int = 3,
-) -> DataFrame:
-    """EXACT Jaccard similarity join over distinct token shingles,
-    accelerated by frequency-ordered prefix filtering (the AllPairs/PPJoin
-    family — Bayardo et al. WWW'07, Xiao et al. WWW'08; public literature).
-
-    ``shingle_k=1`` compares word-token sets; the default 3-token shingles
-    match the MinHash path's set representation and are far more
-    discriminative on templated corpora (single-word vocabularies overlap
-    heavily across near-unrelated documents).
-
-    Unlike the MinHash/SimHash paths this is not approximate: every pair
-    with Jaccard >= ``threshold`` is returned, none missed. The trick is
-    the candidate generation bound: order each document's tokens by global
-    document frequency (rarest first, ties by token), keep only the first
-    ``s - ceil(t*s) + 1`` tokens (the *prefix*), and join prefixes on token
-    equality. Any pair with Jaccard >= t must share a token in both
-    prefixes (pigeonhole on the minimum overlap ``o >= ceil(t*s)``), so
-    non-candidates are provably safe to skip. Because prefixes hold the
-    RAREST tokens, prefix buckets are small — the join never degenerates
-    into the head-token O(n²) blowup a naive token join has.
-
-    Shuffle discipline at 100 TB: the doc-frequency join shuffles
-    (doc, token) rows once on token; the per-doc ordering shuffles them
-    once on doc; the candidate join shuffles only PREFIX tokens; the exact
-    verify ships each doc's token set once per candidate side via two
-    narrow id joins. A length filter (``t*sa <= sb <= sa/t``) prunes
-    cross-size candidates before the distinct.
-
-    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``,
-    ``jaccard >= threshold`` (rounded to 6). Blank documents are excluded
-    (they have no token set to compare).
-    """
+    threshold: float,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared build for the AllPairs prefix machinery: returns the pinned
+    ``(tok, prefix)`` frames — (doc, shingle) rows, and the frequency-ordered
+    prefix subset whose self-join generates candidates. Factored out so
+    :func:`jaccard_pairs_auto` can price the candidate join from the SAME
+    prefix frame it would hand to the exact path (no duplicate build)."""
     from pyspark.sql import Window as W
 
     base = df.filter(F.trim(F.col(text_col)) != "").select(
@@ -391,6 +365,49 @@ def prefix_filter_jaccard_pairs(
         F.col("__pos")
         <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - 1e-9) + 1
     ).localCheckpoint(eager=False)
+    return tok, prefix
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    shingle_k: int = 3,
+    _frames: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT Jaccard similarity join over distinct token shingles,
+    accelerated by frequency-ordered prefix filtering (the AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08; public literature).
+
+    ``shingle_k=1`` compares word-token sets; the default 3-token shingles
+    match the MinHash path's set representation and are far more
+    discriminative on templated corpora (single-word vocabularies overlap
+    heavily across near-unrelated documents).
+
+    Unlike the MinHash/SimHash paths this is not approximate: every pair
+    with Jaccard >= ``threshold`` is returned, none missed. The trick is
+    the candidate generation bound: order each document's tokens by global
+    document frequency (rarest first, ties by token), keep only the first
+    ``s - ceil(t*s) + 1`` tokens (the *prefix*), and join prefixes on token
+    equality. Any pair with Jaccard >= t must share a token in both
+    prefixes (pigeonhole on the minimum overlap ``o >= ceil(t*s)``), so
+    non-candidates are provably safe to skip. Because prefixes hold the
+    RAREST tokens, prefix buckets are small — the join never degenerates
+    into the head-token O(n²) blowup a naive token join has.
+
+    Shuffle discipline at 100 TB: the doc-frequency join shuffles
+    (doc, token) rows once on token; the per-doc ordering shuffles them
+    once on doc; the candidate join shuffles only PREFIX tokens; the exact
+    verify ships each doc's token set once per candidate side via two
+    narrow id joins. A length filter (``t*sa <= sb <= sa/t``) prunes
+    cross-size candidates before the distinct.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``,
+    ``jaccard >= threshold`` (rounded to 6). Blank documents are excluded
+    (they have no token set to compare).
+    """
+    tok, prefix = _frames or _prefix_frames(df, id_col, text_col, threshold, shingle_k)
     a = prefix.select(
         F.col("__id").alias("id_a"),
         "__tok",
@@ -458,6 +475,71 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    shingle_k: int = 3,
+    budget_factor: int = 32,
+    n_hashes: int = 32,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Density-adaptive set-similarity join: exact AllPairs/PPJoin when the
+    candidate join is affordable, MinHash-LSH + exact-verify when corpus
+    density would make it superlinear.
+
+    :func:`prefix_filter_jaccard_pairs` is exact but data-dependent: on
+    dense low-entropy corpora prefix buckets fatten and the candidate join
+    output grows ~quadratically (measured 8.7x at 3x data on the templated
+    sf3 corpus — BASELINE.md). The banded-LSH path is flat at scale but
+    probabilistic in RECALL of candidates (the verify stage is still exact
+    Jaccard, so no false positives either way). This wrapper prices the
+    exact path BEFORE running it, the same budgeted-probe shape as
+    ``connected_components_auto`` (graph.py):
+
+    1. build the (tok, prefix) frames once (linear work, two shuffles);
+    2. one aggregation over prefix-bucket sizes gives the EXACT upper
+       bound on candidate-join output: sum over tokens of n*(n-1)/2 —
+       a bounded driver readout (one row);
+    3. if the bound <= ``budget_factor * n_docs`` run the exact path ON
+       THE SAME pinned frames (probe cost is not paid twice), else fall
+       back to :func:`lsh_verified_pairs` with a high-resolution banding
+       (default 32 hashes / 16 bands of width 2: candidate-miss
+       probability at j=threshold=0.8 is (1-0.8^2)^16 ~ 8e-8, and pairs
+       far above threshold — the ones dedup acts on — are effectively
+       never missed).
+
+    At 100 TB the probe is what makes the exact path *safe to offer at
+    all*: the quadratic blowup is detected for the price of one agg
+    instead of discovered as a dead executor.
+    """
+    tok, prefix = _prefix_frames(df, id_col, text_col, threshold, shingle_k)
+    probe = (
+        prefix.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("est_cand"),
+        )
+        .collect()[0]
+    )
+    est_cand = int(probe["est_cand"] or 0)
+    n_docs = tok.select("__id").distinct().count()
+    if est_cand <= budget_factor * max(n_docs, 1):
+        return prefix_filter_jaccard_pairs(
+            df, id_col, text_col, threshold, shingle_k, _frames=(tok, prefix)
+        )
+    return lsh_verified_pairs(
+        df,
+        id_col,
+        text_col,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
     )
 
 

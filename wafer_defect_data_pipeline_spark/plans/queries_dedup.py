@@ -382,10 +382,7 @@ def _prefix_jaccard(spark, sf_dir):
     )
 
 
-register(
-    "dedup_prefix_jaccard_pairs",
-    _prefix_jaccard,
-    rf"""
+_PREFIX_JACCARD_ORACLE = rf"""
     WITH docs AS (
       SELECT doc_id, text FROM documents WHERE trim(text) <> ''
       UNION ALL
@@ -413,8 +410,33 @@ register(
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(o * 1.0 / (sa.sz + sb.sz - o), 6) >= 0.8
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+register("dedup_prefix_jaccard_pairs", _prefix_jaccard, _PREFIX_JACCARD_ORACLE)
+
+
+def _jaccard_auto(spark, sf_dir):
+    """Density-adaptive twin of dedup_prefix_jaccard_pairs: identical
+    corpus, identical EXACT oracle. At sf0.01/sf0.1 the candidate-budget
+    probe (est 1.0x / 25x of n_docs, budget 32x) selects the exact
+    AllPairs path; on the dense sf3 corpus — where the exact path measured
+    8.7x superlinear (BASELINE.md) — it falls back to 32-hash/16-band
+    LSH + exact verify. See operators/dedup.jaccard_pairs_auto."""
+    from ..operators.dedup import jaccard_pairs_auto
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        d.filter((F.col("doc_id") % 20 == 0) & (F.trim("text") != ""))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" plantedtoken")))
+    )
+    both = d.unionByName(planted)
+    return jaccard_pairs_auto(both, "doc_id", "text", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+register("dedup_jaccard_pairs_auto", _jaccard_auto, _PREFIX_JACCARD_ORACLE)
 
 
 # --- incremental dedup: new batch vs prebuilt signature index ---------------
