@@ -204,17 +204,62 @@ register(
 )
 
 
-# --- Arrow/numpy brute-force (rows-only; equivalence test vs the HOF
-# variant covers values — float ulps differ between BLAS and fold order) ----
+# --- Arrow/numpy brute-force (EXACT oracle via the within_tol pattern:
+# BLAS float ulps can't hash-match a SQL fold directly, so the registered
+# output is the HOF top-k — oracle-replayable — plus a per-row boolean
+# asserting the Arrow kernel returned the same neighbor at the same rank
+# with the same 6dp cosine; the oracle replays the exact top-k and literal
+# TRUE. This is the evidence backing brute_force_topk's size-gated
+# delegation to the Arrow kernel.) -------------------------------------------
 def _bf_topk_arrow(spark, sf_dir):
-    from ..operators.similarity import brute_force_topk_arrow
+    from ..operators.similarity import brute_force_topk, brute_force_topk_arrow
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    return brute_force_topk_arrow(emb, q, k=5).orderBy("query_id", "rank")
+    hof = brute_force_topk(emb, q, k=5, arrow_threshold_pairs=None)
+    arrow = brute_force_topk_arrow(emb, q, k=5).select(
+        "query_id",
+        "rank",
+        F.col("corpus_id").alias("__a_id"),
+        F.col("cos_sim").alias("__a_cos"),
+    )
+    return (
+        hof.join(arrow, ["query_id", "rank"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "corpus_id",
+            "cos_sim",
+            (
+                (F.col("__a_id") == F.col("corpus_id"))
+                & (F.abs(F.col("__a_cos") - F.col("cos_sim")) <= F.lit(2e-6))
+            ).alias("within_tol"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
-register("similarity_bruteforce_topk_arrow", _bf_topk_arrow, None, exact_twin="similarity_bruteforce_topk")
+register(
+    "similarity_bruteforce_topk_arrow",
+    _bf_topk_arrow,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rank, corpus_id, cos_sim, TRUE AS within_tol FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 
 
 # --- embedding near-dup via hyperplane LSH (rows-only; recall + exactness

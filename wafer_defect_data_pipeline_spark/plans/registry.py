@@ -92,6 +92,9 @@ def _load_all() -> None:
 _PRIORITY: list[str] = [
     # (r7) new queries this round — must front the ~50-query driver window
     "dedup_duplicated_spans",  # ExactSubstr k-gram span dedup (was orphan code)
+    "dedup_jaccard_pairs_auto",  # density-probe exact/LSH dispatch
+    "similarity_bruteforce_topk_arrow",  # within_tol oracle (was rows-only)
+    "similarity_bruteforce_topk",  # size-gated arrow delegation added
     # (a0) round-6 session-2: new queries + rows-only promotions
     "graph_kcore_suppliers",  # unrolled-peeling oracle (was rows-only)
     # (a) promoted from rows-only to exact-oracle this round
@@ -121,7 +124,6 @@ _PRIORITY: list[str] = [
     "dedup_cluster_assignment_star",
     # (d) rows-only refresh (weaker rows — keep them recent anyway)
     "dedup_mllib_minhash_lsh",
-    "similarity_bruteforce_topk_arrow",
     "similarity_lsh_pairs",
     "embedding_pca_projection",
     "embedding_zca_whiten",
@@ -135,7 +137,6 @@ _PRIORITY: list[str] = [
     "csv_roundtrip",
     "dedup_exact",
     "dedup_prefix_jaccard_pairs",
-    "similarity_bruteforce_topk",
     "text_quality_scores",
     "events_tumbling_window",
     "events_session_window_native",
