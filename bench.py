@@ -75,6 +75,10 @@ HEADLINE = [
     # path whose constant factors BENCH should track alongside the
     # short-chain propagation variant above
     "dedup_cluster_assignment_star",
+    # round-7 additions: duplicated-span detection (ExactSubstr k-gram pass)
+    # and the density-adaptive exact/LSH set-similarity dispatch
+    "dedup_duplicated_spans",
+    "dedup_jaccard_pairs_auto",
 ]
 
 

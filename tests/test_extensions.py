@@ -2417,3 +2417,35 @@ def test_jaccard_pairs_auto_both_paths_match_exact(spark, sf_small):
     )
     assert via_exact == exact
     assert via_lsh == exact
+
+
+def test_strip_duplicated_spans_semantics(spark):
+    """strip_duplicated_spans: the planted shared span is cut from both
+    docs (filler survives verbatim), a doc whose text is ENTIRELY a
+    duplicated span becomes the empty string (not a silent fallback to the
+    original), and a unique doc passes through untouched with zero stats."""
+    import string
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import strip_duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog once more today!"[:60]
+    fill_a = string.ascii_uppercase + string.digits + "#$%&()*+,-./"  # 48 chars
+    fill_b = string.ascii_lowercase + "[]^_{|}~;<=>?@!:"  # 42 chars
+    uniq = "".join(chr(0xA1 + i) for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, fill_a + shared),
+            (2, fill_b + shared),
+            (3, uniq),  # unique: untouched
+            (4, shared),  # entirely duplicated: must become ""
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+        for r in strip_duplicated_spans(df, "doc_id", "text", k=20, min_span=40).collect()
+    }
+    assert out[1] == (fill_a, 1, 60)
+    assert out[2] == (fill_b, 1, 60)
+    assert out[3] == (uniq, 0, 0)
+    assert out[4] == ("", 1, 60)

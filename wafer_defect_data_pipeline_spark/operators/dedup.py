@@ -701,6 +701,11 @@ def duplicated_spans(
             .alias("gh"),
         )
     )
+    # pinned: pos feeds BOTH the duplicated-gram count and the semi-join
+    # probe side — unpinned, the explode + per-position md5 (the dominant
+    # cost: |corpus chars| hashes) runs twice (measured 12.2 s -> 5.6 s warm
+    # at sf0.1)
+    pos = pos.localCheckpoint(eager=False)
     dup_grams = (
         pos.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -731,5 +736,96 @@ def duplicated_spans(
         .filter(F.col("span_len") >= min_span)
         .select(
             F.col("__id").alias(id_col), "span_start", "span_end", "span_len"
+        )
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_span: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every corpus-duplicated span out of every document — the action
+    step that follows :func:`duplicated_spans` in an ExactSubstr dedup pass
+    (Lee et al. 2022 remove the repeated substring from all but one
+    occurrence; the cut-everywhere policy here is the conservative variant
+    several open training-data pipelines use, and keeps the operator a pure
+    function of the detection output).
+
+    Relational reconstruction (no UDF): each doc's kept text is the set of
+    COMPLEMENT segments between its detected spans. Spans within a doc are
+    disjoint by construction (islands merge anything within ``k``), so one
+    ``lag(span_end)`` window per doc yields segment starts, a final
+    segment covers tail text, and ``concat_ws`` over the
+    position-sorted segments rebuilds the cleaned string. One extra
+    shuffle on the doc id beyond the detection pass; segments are
+    substring expressions evaluated JVM-side against the (already
+    co-located) text column.
+
+    Returns ``(id, clean_text, n_spans, n_removed)``; documents with no
+    duplicated span pass through unchanged with zeros.
+    """
+    from pyspark.sql import Window as W
+
+    spans = duplicated_spans(df, id_col, text_col, k, min_span, min_count)
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    # pinned: the narrow span list feeds THREE consumers (gap segments,
+    # tail segments, per-doc stats) — unpinned, the whole detection
+    # pipeline above it would run three times
+    sp = (
+        spans.select(F.col(id_col).alias("__id"), "span_start", "span_end")
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("__id").orderBy("span_start")
+    # complement segments: (lag(end) default 0, next span start) per span,
+    # plus the tail segment (last end, doc length) emitted per doc
+    gaps = sp.withColumn("seg_start", F.lag("span_end", 1, 0).over(w)).select(
+        "__id", "seg_start", F.col("span_start").alias("seg_end")
+    )
+    tails = sp.groupBy("__id").agg(F.max("span_end").alias("seg_start"))
+    segs = gaps.unionByName(
+        tails.join(base, "__id").select(
+            "__id", "seg_start", F.length("__text").alias("seg_end")
+        )
+    )
+    rebuilt = (
+        segs.filter(F.col("seg_end") > F.col("seg_start"))
+        .join(base, "__id")
+        .select(
+            "__id",
+            F.struct(
+                "seg_start",
+                F.col("__text").substr(
+                    F.col("seg_start") + 1, F.col("seg_end") - F.col("seg_start")
+                ).alias("piece"),
+            ).alias("__seg"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("__seg")), lambda s: s.getField("piece"))
+            ).alias("__clean")
+        )
+    )
+    stats = sp.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("n_removed"),
+    )
+    # a doc whose spans cover ALL text has no non-empty segment and drops
+    # out of `rebuilt` — it must become "", not fall back to the original,
+    # so the fallback keys on "had spans at all" (stats), not on rebuilt
+    return (
+        base.join(rebuilt, "__id", "left")
+        .join(stats, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("n_spans").isNull(), F.col("__text"))
+            .otherwise(F.coalesce("__clean", F.lit("")))
+            .alias("clean_text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )

@@ -709,3 +709,97 @@ register(
     ORDER BY doc_id, span_start
     """,
 )
+
+
+# --- strip duplicated spans (the action step after detection; EXACT oracle) -
+def _strip_spans(spark, sf_dir):
+    """Cut every detected duplicated span out of the same corpus that
+    dedup_duplicated_spans analyzes (documents + shifted-id suffix copies)
+    and emit per-doc evidence: cleaned length, span count, removed chars,
+    and md5(clean_text) so the reconstructed string itself is value-hashed
+    without shipping full text through the compare."""
+    from ..operators.dedup import strip_duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = d.select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    corpus = d.unionByName(tail)
+    out = strip_duplicated_spans(corpus, "doc_id", "text", k=20, min_span=40, min_count=2)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").alias("clean_len"),
+        "n_spans",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+register(
+    "dedup_strip_spans",
+    _strip_spans,
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, substring(text, 31) FROM documents
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(md5(substring(c.text, CAST(t.p AS INTEGER) + 1, 20)), 1, 15) AS gh
+      FROM corpus c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), dup AS (
+      SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end
+      FROM isl GROUP BY doc_id, island
+      HAVING max(pos) + 20 - min(pos) >= 40
+    ), tails AS (
+      SELECT doc_id, max(span_end) AS seg_start FROM spans GROUP BY doc_id
+    ), segs AS (
+      SELECT doc_id,
+             lag(span_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY span_start) AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT t.doc_id, t.seg_start, length(c.text)
+      FROM tails t JOIN corpus c ON c.doc_id = t.doc_id
+    ), rebuilt AS (
+      SELECT s.doc_id,
+             string_agg(substring(c.text, CAST(s.seg_start AS INTEGER) + 1,
+                                  CAST(s.seg_end - s.seg_start AS INTEGER)),
+                        '' ORDER BY s.seg_start) AS clean
+      FROM segs s JOIN corpus c ON c.doc_id = s.doc_id
+      WHERE s.seg_end > s.seg_start
+      GROUP BY s.doc_id
+    ), stats AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(span_end - span_start) AS n_removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(length(CASE WHEN st.doc_id IS NULL THEN c.text
+                            ELSE coalesce(r.clean, '') END) AS BIGINT) AS clean_len,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(CASE WHEN st.doc_id IS NULL THEN c.text
+                    ELSE coalesce(r.clean, '') END) AS clean_md5
+    FROM corpus c
+    LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+    LEFT JOIN stats st ON st.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
