@@ -654,8 +654,11 @@ def _duplicated_spans(spark, sf_dir):
     with a suffix copy (``substring(text, 31)`` under a shifted id) so
     cross-document *partial* overlaps are guaranteed and the gaps-and-islands
     merge is exercised on offsets, not just whole-text duplicates. Every
-    stage is deterministic (md5 grams), so start/end/len are value-hashed
-    against the oracle."""
+    stage is deterministic, so start/end/len are value-hashed against the
+    oracle — which groups grams by RAW substring equality, making it
+    STRICTER than the engine's xxhash64 bucketing (a Spark-side collision
+    would surface as a driver hash mismatch; see the operator docstring
+    for the ~2e-7 birthday bound)."""
     from ..operators.dedup import duplicated_spans
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -669,9 +672,10 @@ def _duplicated_spans(spark, sf_dir):
     ).orderBy("doc_id", "span_start")
 
 
-# Mirrors duplicated_spans stage by stage. The Spark side buckets grams by
-# conv(hex_prefix_15, 16, 10) — injective on 15 hex chars — so grouping on
-# the hex prefix itself yields identical equivalence classes. range() is
+# Mirrors duplicated_spans stage by stage, EXCEPT the gram key: Spark
+# buckets by xxhash64 (8-byte shuffle rows), the oracle by the raw k-gram
+# substring — exact equality, strictly finer-or-equal partitioning, so any
+# engine-side collision shows up as a value-hash mismatch. range() is
 # end-exclusive where sequence() is inclusive: range(0, len-19) == 0..len-20.
 register(
     "dedup_duplicated_spans",
@@ -683,7 +687,7 @@ register(
       SELECT doc_id + 2000000, substring(text, 31) FROM documents
     ), pos AS (
       SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
-             substring(md5(substring(c.text, CAST(t.p AS INTEGER) + 1, 20)), 1, 15) AS gh
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
       FROM corpus c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
       WHERE length(c.text) >= 20
     ), dup AS (
@@ -746,7 +750,7 @@ register(
       SELECT doc_id + 2000000, substring(text, 31) FROM documents
     ), pos AS (
       SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
-             substring(md5(substring(c.text, CAST(t.p AS INTEGER) + 1, 20)), 1, 15) AS gh
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
       FROM corpus c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
       WHERE length(c.text) >= 20
     ), dup AS (
