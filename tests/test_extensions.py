@@ -2351,12 +2351,14 @@ def test_group_split_never_splits_a_source(spark, sf_small):
     assert s.count() == d.count()
 
 
-def test_duplicated_spans_planted_and_bounded(spark):
+@pytest.mark.parametrize("strategy", ["window", "combine"])
+def test_duplicated_spans_planted_and_bounded(spark, strategy):
     """duplicated_spans (ExactSubstr k-gram pass): a 60-char span shared by
     two docs — surrounded by never-repeating filler drawn from disjoint
     alphabets — must be reported at exactly the k-gram-coverable offsets
     [len(filler), len(filler)+60), and a fully unique doc must report
-    nothing."""
+    nothing. Both physical shapes of the duplicated-gram filter (single
+    window pass vs partial-agg + semi-join) must agree exactly."""
     import string
 
     from wafer_defect_data_pipeline_spark.operators.dedup import duplicated_spans
@@ -2376,7 +2378,9 @@ def test_duplicated_spans_planted_and_bounded(spark):
         ],
         "doc_id long, text string",
     )
-    out = duplicated_spans(df, "doc_id", "text", k=20, min_span=40, min_count=2)
+    out = duplicated_spans(
+        df, "doc_id", "text", k=20, min_span=40, min_count=2, strategy=strategy
+    )
     rows = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"]) for r in out.collect()}
     assert set(rows) == {1, 2}
     assert rows[1] == (len(fill_a), len(fill_a) + 60, 60)
