@@ -75,10 +75,12 @@ HEADLINE = [
     # path whose constant factors BENCH should track alongside the
     # short-chain propagation variant above
     "dedup_cluster_assignment_star",
-    # round-7 additions: duplicated-span detection (ExactSubstr k-gram pass)
-    # and the density-adaptive exact/LSH set-similarity dispatch
+    # round-7 additions: duplicated-span detection (ExactSubstr k-gram pass),
+    # the density-adaptive exact/LSH set-similarity dispatch, and
+    # decontaminate-by-surgery (broadcast bench grams + span cut)
     "dedup_duplicated_spans",
     "dedup_jaccard_pairs_auto",
+    "text_decontaminate_strip",
 ]
 
 

@@ -2453,3 +2453,43 @@ def test_strip_duplicated_spans_semantics(spark):
     assert out[2] == (fill_b, 1, 60)
     assert out[3] == (uniq, 0, 0)
     assert out[4] == ("", 1, 60)
+
+
+def test_contaminated_spans_and_strip_semantics(spark):
+    """Span-level decontamination: only the quoted benchmark region of a
+    train doc is reported/cut (doc-unique filler survives verbatim), a
+    train doc that IS a benchmark doc verbatim becomes the empty string,
+    and an untainted doc passes through with zero stats. Detection is
+    asymmetric: one bench occurrence taints (no min_count), and bench
+    docs themselves are never scanned for spans."""
+    import string
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        contaminated_spans,
+        strip_contaminated_spans,
+    )
+
+    quote = "what is the airspeed velocity of an unladen swallow tell me!"[:60]
+    fill_a = string.ascii_uppercase + string.digits + "#$%&()*+,-./"  # 48 chars
+    uniq = "".join(chr(0xA1 + i) for i in range(40))
+    bench = spark.createDataFrame([(900, quote)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, fill_a + quote),  # partial quote: only the quote is cut
+            (2, uniq),  # untainted: untouched, zero stats
+            (3, quote),  # verbatim benchmark doc: becomes ""
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in contaminated_spans(train, bench, "doc_id", "text", k=20, min_span=40).collect()
+    }
+    assert spans == {1: (len(fill_a), len(fill_a) + 60, 60), 3: (0, 60, 60)}
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+        for r in strip_contaminated_spans(train, bench, "doc_id", "text", k=20, min_span=40).collect()
+    }
+    assert out[1] == (fill_a, 1, 60)
+    assert out[2] == (uniq, 0, 0)
+    assert out[3] == ("", 1, 60)

@@ -702,21 +702,7 @@ def duplicated_spans(
 
     if strategy not in ("window", "combine"):
         raise ValueError(f"strategy must be 'window' or 'combine', got {strategy!r}")
-    pos = (
-        df.filter(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.sequence(F.lit(0), F.length(text_col) - F.lit(k))
-            ).alias("pos"),
-            F.col(text_col).alias("__text"),
-        )
-        .select(
-            "__id",
-            "pos",
-            F.xxhash64(F.expr(f"substring(__text, pos + 1, {k})")).alias("gh"),
-        )
-    )
+    pos = _gram_positions(df, id_col, text_col, k)
     if strategy == "window":
         covered = (
             pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("gh")))
@@ -736,6 +722,42 @@ def duplicated_spans(
             .select("gh")
         )
         covered = pos.join(dup_grams, "gh", "left_semi").select("__id", "pos")
+
+    return _merge_covered_spans(covered, id_col, k, min_span)
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Explode each doc into ``(__id, pos, gh)`` — one row per character
+    k-gram start position, gh = xxhash64 of the gram. A pure projection:
+    no shuffle, output linear in corpus chars, text never leaves the
+    scan stage."""
+    return (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - F.lit(k))
+            ).alias("pos"),
+            F.col(text_col).alias("__text"),
+        )
+        .select(
+            "__id",
+            "pos",
+            F.xxhash64(F.expr(f"substring(__text, pos + 1, {k})")).alias("gh"),
+        )
+    )
+
+
+def _merge_covered_spans(
+    covered: DataFrame, id_col: str, k: int, min_span: int
+) -> DataFrame:
+    """Gaps-and-islands merge of covered k-gram start positions into
+    maximal spans: equal-length intervals [pos, pos+k) merge iff
+    pos <= prev_pos + k (one lag-compare + running-sum window per doc),
+    keep runs spanning >= ``min_span`` chars."""
+    from pyspark.sql import Window as W
 
     w = W.partitionBy("__id").orderBy("pos")
     runs = (
@@ -791,9 +813,21 @@ def strip_duplicated_spans(
     Returns ``(id, clean_text, n_spans, n_removed)``; documents with no
     duplicated span pass through unchanged with zeros.
     """
+    spans = duplicated_spans(df, id_col, text_col, k, min_span, min_count, strategy)
+    return _strip_by_spans(df, spans, id_col, text_col)
+
+
+def _strip_by_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each doc's text with every span in ``spans`` cut out —
+    shared action step behind :func:`strip_duplicated_spans` and
+    :func:`strip_contaminated_spans`. ``spans`` must carry
+    ``(id_col, span_start, span_end)`` with per-doc disjoint spans (the
+    islands merge guarantees this). Returns
+    ``(id, clean_text, n_spans, n_removed)``."""
     from pyspark.sql import Window as W
 
-    spans = duplicated_spans(df, id_col, text_col, k, min_span, min_count, strategy)
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     # pinned: the narrow span list feeds THREE consumers (gap segments,
     # tail segments, per-doc stats) — unpinned, the whole detection
@@ -852,3 +886,60 @@ def strip_duplicated_spans(
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def contaminated_spans(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_span: int = 40,
+) -> DataFrame:
+    """Span-level benchmark decontamination: find every span of a
+    TRAINING document that appears verbatim (at k-gram resolution) in a
+    BENCHMARK/eval corpus — the check every training run owes its eval
+    numbers (the doc-level variant is ``text_benchmark_contamination``;
+    this one localizes the overlap so the fix can be a cut instead of a
+    drop, the span analogue of the n-gram decontamination passes
+    published for GPT-3/PaLM-class training sets).
+
+    Asymmetric by design: a single occurrence in the benchmark taints a
+    train position (no ``min_count`` — the benchmark is the forbidden
+    set), and benchmark docs are never scanned for spans themselves.
+
+    Scale shape at 100 TB of TRAIN: the benchmark gram set is tiny (eval
+    suites are MBs) — distinct-hash it and BROADCAST it, so the train
+    side is scan -> explode -> broadcast-semi-join with NO train-side
+    shuffle at all until the per-doc islands window, which only sees the
+    (rare) tainted positions. Train text never leaves its scan stage.
+
+    Returns ``(id, span_start, span_end, span_len)`` over train ids,
+    ``span_end`` exclusive.
+    """
+    bench_grams = (
+        _gram_positions(bench_df, id_col, text_col, k).select("gh").distinct()
+    )
+    pos = _gram_positions(train_df, id_col, text_col, k)
+    covered = pos.join(F.broadcast(bench_grams), "gh", "left_semi").select(
+        "__id", "pos"
+    )
+    return _merge_covered_spans(covered, id_col, k, min_span)
+
+
+def strip_contaminated_spans(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_span: int = 40,
+) -> DataFrame:
+    """Cut every benchmark-contaminated span (see
+    :func:`contaminated_spans`) out of every training document —
+    decontaminate-by-surgery instead of dropping whole documents, so a
+    10k-char doc quoting one eval question keeps its other 9.9k chars.
+    Returns ``(id, clean_text, n_spans, n_removed)``; untainted docs pass
+    through unchanged with zeros."""
+    spans = contaminated_spans(train_df, bench_df, id_col, text_col, k, min_span)
+    return _strip_by_spans(train_df, spans, id_col, text_col)

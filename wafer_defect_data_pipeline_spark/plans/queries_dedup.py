@@ -807,3 +807,183 @@ register(
     ORDER BY c.doc_id
     """,
 )
+
+
+# --- span-level benchmark decontamination (EXACT oracle) --------------------
+def _contamination_spans(spark, sf_dir):
+    """Span-level decontamination (operators/dedup.contaminated_spans): the
+    documents table is split into a ~1% "benchmark" slice (doc_id % 97 == 0)
+    and the training remainder, which is augmented with planted leaks —
+    one synthetic train doc per bench doc (shifted id) that quotes the
+    bench text verbatim from char 16 and appends a doc-unique tail, so the
+    detector must report exactly the quoted region and nothing else
+    (natural cross-doc 20-char-gram collisions don't occur in this
+    corpus — the un-augmented remainder doubles as the negative case).
+    The bench gram set is distinct-hashed and broadcast, so the train side
+    runs with no shuffle until the islands window over tainted positions
+    only."""
+    from ..operators.dedup import contaminated_spans
+
+    bench, train = _decontam_corpus(spark, sf_dir)
+    return contaminated_spans(train, bench, "doc_id", "text", k=20, min_span=40).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _decontam_corpus(spark, sf_dir):
+    """Shared bench/train split for the decontamination queries: bench =
+    doc_id % 97 == 0; train = the remainder plus, per bench doc, a planted
+    leak under id+3000000 quoting the bench text from char 16 with a
+    doc-unique tail appended."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    leaks = bench.select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 16)"), F.lit(" q"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).unionByName(leaks)
+    return bench, train
+
+
+# The oracle mirrors stage by stage with RAW 20-char grams (exact string
+# equality — stricter than the engine's xxhash64 bucketing, same contract as
+# dedup_duplicated_spans).
+register(
+    "text_contamination_spans",
+    _contamination_spans,
+    r"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000,
+             substring(text, 16) || ' q' || CAST(doc_id AS VARCHAR)
+      FROM bench
+    ), bgrams AS (
+      SELECT DISTINCT substring(b.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM bench b, unnest(range(0, CAST(length(b.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(b.text) >= 20
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM train c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM bgrams)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 20 - min(pos) >= 40
+    ORDER BY doc_id, span_start
+    """,
+)
+
+
+def _decontaminate_strip(spark, sf_dir):
+    """Decontaminate-by-surgery (operators/dedup.strip_contaminated_spans):
+    cut every benchmark-contaminated span out of the training slice (the
+    same bench/train+planted-leaks corpus as text_contamination_spans, so
+    the cut actually fires) and emit per-doc evidence — cleaned length,
+    span count, removed chars, and md5(clean_text) so the rebuilt string
+    is value-hashed without shipping full text through the compare."""
+    from ..operators.dedup import strip_contaminated_spans
+
+    bench, train = _decontam_corpus(spark, sf_dir)
+    out = strip_contaminated_spans(train, bench, "doc_id", "text", k=20, min_span=40)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").alias("clean_len"),
+        "n_spans",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+register(
+    "text_decontaminate_strip",
+    _decontaminate_strip,
+    r"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), bgrams AS (
+      SELECT DISTINCT substring(b.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM bench b, unnest(range(0, CAST(length(b.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(b.text) >= 20
+    ), train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000,
+             substring(text, 16) || ' q' || CAST(doc_id AS VARCHAR)
+      FROM bench
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM train c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM bgrams)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end
+      FROM isl GROUP BY doc_id, island
+      HAVING max(pos) + 20 - min(pos) >= 40
+    ), tails AS (
+      SELECT doc_id, max(span_end) AS seg_start FROM spans GROUP BY doc_id
+    ), segs AS (
+      SELECT doc_id,
+             lag(span_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY span_start) AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT t.doc_id, t.seg_start, length(c.text)
+      FROM tails t JOIN train c ON c.doc_id = t.doc_id
+    ), rebuilt AS (
+      SELECT s.doc_id,
+             string_agg(substring(c.text, CAST(s.seg_start AS INTEGER) + 1,
+                                  CAST(s.seg_end - s.seg_start AS INTEGER)),
+                        '' ORDER BY s.seg_start) AS clean
+      FROM segs s JOIN train c ON c.doc_id = s.doc_id
+      WHERE s.seg_end > s.seg_start
+      GROUP BY s.doc_id
+    ), stats AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(span_end - span_start) AS n_removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(length(CASE WHEN st.doc_id IS NULL THEN c.text
+                            ELSE coalesce(r.clean, '') END) AS BIGINT) AS clean_len,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(CASE WHEN st.doc_id IS NULL THEN c.text
+                    ELSE coalesce(r.clean, '') END) AS clean_md5
+    FROM train c
+    LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+    LEFT JOIN stats st ON st.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """,
+)

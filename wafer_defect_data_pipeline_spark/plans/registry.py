@@ -94,6 +94,8 @@ _PRIORITY: list[str] = [
     "dedup_duplicated_spans",  # ExactSubstr k-gram span dedup (was orphan code)
     "dedup_jaccard_pairs_auto",  # density-probe exact/LSH dispatch
     "dedup_strip_spans",  # span-removal action step over the spans output
+    "text_contamination_spans",  # span-level benchmark decontamination
+    "text_decontaminate_strip",  # decontaminate-by-surgery action step
     "similarity_bruteforce_topk_arrow",  # within_tol oracle (was rows-only)
     "similarity_bruteforce_topk",  # size-gated arrow delegation added
     # (a0) round-6 session-2: new queries + rows-only promotions
