@@ -2493,3 +2493,40 @@ def test_contaminated_spans_and_strip_semantics(spark):
     assert out[1] == (fill_a, 1, 60)
     assert out[2] == (uniq, 0, 0)
     assert out[3] == ("", 1, 60)
+
+
+def test_incremental_duplicated_spans_batch_vs_index(spark):
+    """incremental_duplicated_spans: a batch doc quoting an indexed doc
+    verbatim is reported as one span over exactly the quoted region, a
+    novel batch doc reports nothing, and min_index_count=2 requires the
+    gram to have occurred twice in HISTORY (a once-seen gram no longer
+    taints)."""
+    import string
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        gram_index,
+        incremental_duplicated_spans,
+    )
+
+    quoted = "pack my box with five dozen liquor jugs for the judge now!"[:58]
+    fill = string.ascii_uppercase + string.digits + "#$%&()*+,-./"  # 48 chars
+    uniq = "".join(chr(0xA1 + i) for i in range(40))
+    history = spark.createDataFrame(
+        [(1, quoted + " " + fill)], "doc_id long, text string"
+    )
+    idx = gram_index(history, "doc_id", "text", k=20)
+    batch = spark.createDataFrame(
+        [(100, uniq + quoted), (101, uniq)], "doc_id long, text string"
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in incremental_duplicated_spans(
+            batch, idx, "doc_id", "text", k=20, min_span=40
+        ).collect()
+    }
+    assert spans == {100: (len(uniq), len(uniq) + len(quoted), len(quoted))}
+    # history contains every gram exactly once -> min_index_count=2 finds nothing
+    none = incremental_duplicated_spans(
+        batch, idx, "doc_id", "text", k=20, min_span=40, min_index_count=2
+    ).count()
+    assert none == 0

@@ -943,3 +943,57 @@ def strip_contaminated_spans(
     through unchanged with zeros."""
     spans = contaminated_spans(train_df, bench_df, id_col, text_col, k, min_span)
     return _strip_by_spans(train_df, spans, id_col, text_col)
+
+
+def gram_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Build the historical gram index for :func:`incremental_duplicated_spans`:
+    ``(gh, n)`` — one row per distinct k-gram hash with its corpus-wide
+    occurrence count. groupBy combines map-side, so the shuffle carries one
+    row per DISTINCT gram, and the result is the narrow admit-once artifact
+    a daily-crawl pipeline persists to parquet/Delta and re-reads per batch
+    (the historical TEXT is never re-exploded — same contract as the
+    MinHash signature index in :func:`minhash_lsh_probe`)."""
+    return (
+        _gram_positions(df, id_col, text_col, k)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def incremental_duplicated_spans(
+    batch_df: DataFrame,
+    index_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_span: int = 40,
+    min_index_count: int = 1,
+) -> DataFrame:
+    """Daily-crawl span dedup: which spans of a NEW batch already exist in
+    the historical corpus? Probes the batch's k-gram positions against a
+    prebuilt :func:`gram_index` — only the batch pays the explode+hash
+    cost, and the join is an equi-semi-join on the 8-byte gram hash.
+
+    ``min_index_count`` is the historical-occurrence threshold (default 1:
+    any prior occurrence makes a batch position duplicated — history is
+    the authority, mirroring :func:`contaminated_spans` semantics with the
+    index side persisted instead of broadcast).
+
+    Scale shape: batch explode is a projection; the index side is already
+    the narrow (gh, n) table, orders of magnitude smaller than the corpus
+    text; the semi-join shuffles batch triples + index rows on gh (AQE
+    picks broadcast automatically when the filtered index fits); the
+    islands window sees only covered batch positions. A 1 M-doc crawl
+    probing a 100 TB-corpus index never touches historical text.
+
+    Returns ``(id, span_start, span_end, span_len)`` over batch ids.
+    """
+    pos = _gram_positions(batch_df, id_col, text_col, k)
+    hot = index_grams.filter(F.col("n") >= min_index_count).select("gh")
+    covered = pos.join(hot, "gh", "left_semi").select("__id", "pos")
+    return _merge_covered_spans(covered, id_col, k, min_span)

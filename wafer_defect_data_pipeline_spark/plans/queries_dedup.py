@@ -987,3 +987,75 @@ register(
     ORDER BY c.doc_id
     """,
 )
+
+
+# --- incremental span dedup: new batch vs prebuilt gram index ---------------
+def _incremental_spans(spark, sf_dir):
+    """Daily-crawl span dedup (operators/dedup.incremental_duplicated_spans):
+    the historical corpus' prebuilt (gh, n) gram index is probed by a new
+    batch of 1/20th suffix copies (verbatim history from char 31, spans
+    expected) plus 1/20th novel docs (doc-unique text, no spans). Only the
+    batch is exploded; history text is never re-scanned."""
+    from ..operators.dedup import gram_index, incremental_duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = gram_index(d, "doc_id", "text", k=20)
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    novel = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel crawl doc "), F.col("doc_id").cast("string"), F.lit(" zzz")
+        ).alias("text"),
+    )
+    batch = near.unionByName(novel)
+    return incremental_duplicated_spans(
+        batch, idx, "doc_id", "text", k=20, min_span=40
+    ).orderBy("doc_id", "span_start")
+
+
+# Raw-gram index in the oracle (same stricter-than-xxhash64 contract as the
+# other span queries).
+register(
+    "dedup_incremental_spans",
+    _incremental_spans,
+    r"""
+    WITH idx AS (
+      SELECT DISTINCT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM documents c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), batch AS (
+      SELECT doc_id + 2000000 AS doc_id, substring(text, 31) AS text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'novel crawl doc ' || CAST(doc_id AS VARCHAR) || ' zzz'
+      FROM documents WHERE doc_id % 20 = 10
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM batch c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM idx)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 20 - min(pos) >= 40
+    ORDER BY doc_id, span_start
+    """,
+)

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "dedup_strip_spans",  # span-removal action step over the spans output
     "text_contamination_spans",  # span-level benchmark decontamination
     "text_decontaminate_strip",  # decontaminate-by-surgery action step
+    "dedup_incremental_spans",  # new-batch spans vs prebuilt gram index
     "similarity_bruteforce_topk_arrow",  # within_tol oracle (was rows-only)
     "similarity_bruteforce_topk",  # size-gated arrow delegation added
     # (a0) round-6 session-2: new queries + rows-only promotions
