@@ -1018,10 +1018,7 @@ def _incremental_spans(spark, sf_dir):
 
 # Raw-gram index in the oracle (same stricter-than-xxhash64 contract as the
 # other span queries).
-register(
-    "dedup_incremental_spans",
-    _incremental_spans,
-    r"""
+_INCR_SPANS_SQL = r"""
     WITH idx AS (
       SELECT DISTINCT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
       FROM documents c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
@@ -1057,5 +1054,46 @@ register(
     FROM isl GROUP BY doc_id, island
     HAVING max(pos) + 20 - min(pos) >= 40
     ORDER BY doc_id, span_start
-    """,
+    """
+
+register("dedup_incremental_spans", _incremental_spans, _INCR_SPANS_SQL)
+
+
+def _incremental_spans_persisted(spark, sf_dir):
+    """The admit-once serving path: gram_index is WRITTEN to parquet and
+    the probe answers from the LOADED index — the artifact a daily-crawl
+    pipeline builds when a batch is admitted and re-reads per new batch,
+    never re-exploding historical text (mirror of
+    similarity_ivfpq_probe_prebuilt / dedup_incremental_vs_index for the
+    span surface). The index is deterministic (distinct gram hash +
+    count), so probe-after-load is bit-equal to the fresh build and the
+    SAME oracle hash-checks it."""
+    import uuid as _uuid
+
+    from ..operators.dedup import gram_index, incremental_duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = f"/tmp/wdps_gram_index_{_uuid.uuid4().hex[:8]}"
+    gram_index(d, "doc_id", "text", k=20).write.mode("overwrite").parquet(index_dir)
+    loaded = spark.read.parquet(index_dir)
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    novel = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel crawl doc "), F.col("doc_id").cast("string"), F.lit(" zzz")
+        ).alias("text"),
+    )
+    batch = near.unionByName(novel)
+    return incremental_duplicated_spans(
+        batch, loaded, "doc_id", "text", k=20, min_span=40
+    ).orderBy("doc_id", "span_start")
+
+
+register(
+    "dedup_incremental_spans_persisted",
+    _incremental_spans_persisted,
+    _INCR_SPANS_SQL,
 )
