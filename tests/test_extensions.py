@@ -2530,3 +2530,31 @@ def test_incremental_duplicated_spans_batch_vs_index(spark):
         batch, idx, "doc_id", "text", k=20, min_span=40, min_index_count=2
     ).count()
     assert none == 0
+
+
+def test_span_stats_partition(spark):
+    """The duplication report splits per-doc duplicated chars correctly:
+    a doc pair sharing a 60-char span is majority-dup only when the span
+    is more than half the doc (doc B: 60 of 102 chars -> majority; doc A:
+    60 of 130 -> not), and a unique doc contributes zeros."""
+    import string
+
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    shared = "sixty shared characters exactly fill this sentence herexx"[:57] + "!!!"
+    assert len(shared) == 60
+    fill_a = "".join(chr(0x410 + i) for i in range(70))  # 70 distinct Cyrillic
+    fill_b = string.ascii_lowercase + "[]^_{|}~;<=>?@!:"  # 42
+    uniq = "".join(chr(0xA1 + i) for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "s1", fill_a + shared), (2, "s1", fill_b + shared), (3, "s2", uniq)],
+        "doc_id long, source string, text string",
+    )
+    spans = duplicated_spans(df, "doc_id", "text", k=20, min_span=40)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup"))
+    rows = {r["doc_id"]: r["dup"] for r in per_doc.collect()}
+    assert rows == {1: 60, 2: 60}
+    # majority-dup policy input: 60*2 > 102 (doc 2) but not > 108 (doc 1)
+    assert 60 * 2 > len(fill_b + shared) and not 60 * 2 > len(fill_a + shared)

@@ -1097,3 +1097,95 @@ register(
     _incremental_spans_persisted,
     _INCR_SPANS_SQL,
 )
+
+
+# --- corpus duplication report (datacard rollup of the span output) ---------
+def _span_stats(spark, sf_dir):
+    """Per-source duplication report — the datacard line a training-data
+    pipeline publishes from the ExactSubstr pass: how many docs carry
+    duplicated spans, what fraction of characters is duplicated, and how
+    many docs are majority-duplicate (the drop-vs-strip policy input).
+    Runs on the same suffix-copy corpus as dedup_duplicated_spans (source
+    carried through the union) so the report exercises real spans."""
+    from ..operators.dedup import duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tail = d.select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        "source",
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    corpus = d.unionByName(tail)
+    spans = duplicated_spans(corpus, "doc_id", "text", k=20, min_span=40, min_count=2)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_chars"))
+    docs = corpus.select("doc_id", "source", F.length("text").alias("n_chars"))
+    joined = docs.join(per_doc, "doc_id", "left").select(
+        "source",
+        "n_chars",
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dup_chars") > 0).cast("long")).alias("docs_with_spans"),
+            F.sum(
+                ((F.col("dup_chars") * 2) > F.col("n_chars")).cast("long")
+            ).alias("docs_majority_dup"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("dup_chars").alias("dup_chars"),
+            F.round(F.sum("dup_chars") / F.sum("n_chars"), 6).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "dedup_span_stats",
+    _span_stats,
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, source, substring(text, 31) FROM documents
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM corpus c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), dup AS (
+      SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end
+      FROM isl GROUP BY doc_id, island
+      HAVING max(pos) + 20 - min(pos) >= 40
+    ), per_doc AS (
+      SELECT doc_id, sum(span_end - span_start) AS dup_chars
+      FROM spans GROUP BY doc_id
+    ), joined AS (
+      SELECT c.source, length(c.text) AS n_chars,
+             coalesce(p.dup_chars, 0) AS dup_chars
+      FROM corpus c LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spans,
+           CAST(sum(CASE WHEN dup_chars * 2 > n_chars THEN 1 ELSE 0 END) AS BIGINT) AS docs_majority_dup,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(dup_chars) AS BIGINT) AS dup_chars,
+           round(CAST(sum(dup_chars) AS DOUBLE) / sum(n_chars), 6) + 0.0 AS dup_ratio
+    FROM joined GROUP BY source ORDER BY source
+    """,
+)

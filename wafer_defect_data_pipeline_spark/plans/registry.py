@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "text_decontaminate_strip",  # decontaminate-by-surgery action step
     "dedup_incremental_spans",  # new-batch spans vs prebuilt gram index
     "dedup_incremental_spans_persisted",  # same probe from the parquet-loaded index
+    "dedup_span_stats",  # per-source duplication datacard rollup
     "similarity_bruteforce_topk_arrow",  # within_tol oracle (was rows-only)
     "similarity_bruteforce_topk",  # size-gated arrow delegation added
     # (a0) round-6 session-2: new queries + rows-only promotions
