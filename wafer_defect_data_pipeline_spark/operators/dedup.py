@@ -527,7 +527,10 @@ def jaccard_pairs_auto(
         .collect()[0]
     )
     est_cand = int(probe["est_cand"] or 0)
-    n_docs = tok.select("__id").distinct().count()
+    # doc count from the raw frame, not distinct(__id) over the exploded
+    # shingle frame: same value (both apply the non-empty-text gate), but a
+    # narrow scan+count instead of a shuffle over |corpus shingles| rows
+    n_docs = df.filter(F.trim(F.col(text_col)) != "").count()
     if est_cand <= budget_factor * max(n_docs, 1):
         return prefix_filter_jaccard_pairs(
             df, id_col, text_col, threshold, shingle_k, _frames=(tok, prefix)
