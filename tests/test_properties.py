@@ -254,3 +254,55 @@ def test_zonemap_pruned_read_equals_full_filter(spark, tmp_path_factory, vals, l
     expect = sorted(v for v in vals if lo <= v <= hi)
     assert sorted(r.x for r in pruned.collect()) == expect
     assert 0 <= kept <= total
+
+
+# --- span-family invariants (round 7) ---------------------------------------
+
+span_doc = st.text(alphabet="ab ", min_size=0, max_size=80)
+
+
+@given(docs=st.lists(span_doc, min_size=1, max_size=5))
+@settings(**PROP_SETTINGS)
+def test_span_family_structural_invariants(spark, docs):
+    """Invariants the DuckDB oracle can't state: on ANY corpus (tiny
+    alphabet forces heavy gram duplication), detected spans are per-doc
+    disjoint, in-bounds, and >= min_span; strip conserves characters
+    exactly (len(clean) == len(text) - n_removed with n_removed == the
+    doc's span-length sum); docs without spans pass through byte-equal."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    k, min_span = 4, 6
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}), "doc_id long, text string")
+    spans = (
+        duplicated_spans(df, "doc_id", "text", k=k, min_span=min_span)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    )
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        text = docs[r["doc_id"]]
+        assert 0 <= r["span_start"] < r["span_end"] <= len(text)
+        assert r["span_len"] == r["span_end"] - r["span_start"] >= min_span
+        prev = per_doc.setdefault(r["doc_id"], [])
+        if prev:
+            assert r["span_start"] > prev[-1][1], "spans overlap or touch unsorted"
+        prev.append((r["span_start"], r["span_end"]))
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicated_spans(
+            df, "doc_id", "text", k=k, min_span=min_span
+        ).collect()
+    }
+    assert set(out) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        r = out[i]
+        expected_removed = sum(e - s for s, e in per_doc.get(i, []))
+        assert r["n_removed"] == expected_removed
+        assert r["n_spans"] == len(per_doc.get(i, []))
+        assert len(r["clean_text"]) == len(text) - expected_removed
+        if not per_doc.get(i):
+            assert r["clean_text"] == text
