@@ -152,7 +152,32 @@ def main() -> None:
         errors["__testdata_canary"] = canary
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Full record (warm + cold + errors, 3-decimal) goes to a file; stdout
+    # gets ONE COMPACT line. The driver archives only the last ~2000 chars
+    # of stdout, so the full dict printed inline front-truncates and the
+    # official record loses its head (BENCH_r02/r04-r07 all have
+    # "parsed": null). Compact = totals first, warm-only, 2-decimal — ~1.3k
+    # chars for the 34-query headline set, safely under the capture window.
+    with open(os.path.join(_REPO_ROOT, "BENCH_local.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(sf_dir),
+        "queries": {
+            n: (round(v, 2) if v is not None else None) for n, v in warm.items()
+        },
+        "full": "BENCH_local.json",
+    }
+    if errors:
+        compact["errors_n"] = len(errors)
+        compact["errors"] = "; ".join(sorted(errors))[:200]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+        compact["queries"] = {n.split("_")[-1][:8] + str(i): v for i, (n, v) in enumerate(compact["queries"].items())}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -254,6 +254,41 @@ def test_arrow_bruteforce_matches_hof(spark, sf_small):
     assert (abs(jvm.cos_sim - arrow.cos_sim) <= 1e-5).all()
 
 
+def test_arrow_delegation_hash_equal(spark, sf_small):
+    """The DELEGATED branch of brute_force_topk (size gate trips -> BLAS
+    kernel) must be row-for-row HASH-EQUAL to the HOF branch, including 6dp
+    tie boundaries — the r7 advice gap: the registered exact-oracle query
+    had only exercised the HOF branch, so the arrow kernel's tie handling
+    (round-before-prune + lowest-corpus-id wins) was asserted, not
+    evidenced. Forcing the gate on the same input closes it."""
+    emb = read_table(spark, sf_small, "embeddings")
+    q = emb.limit(20)
+    hof = (
+        brute_force_topk(emb, q, k=5, arrow_threshold_pairs=None)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    delegated = (
+        brute_force_topk(emb, q, k=5, arrow_threshold_pairs=0)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert hof.columns.tolist() == delegated.columns.tolist()
+    assert len(hof) == len(delegated)
+    for c in hof.columns:  # exact equality, not within-tol
+        assert (hof[c] == delegated[c]).all(), c
+
+
+def test_arrow_delegation_respects_query_bound(spark, sf_small):
+    """A many-queries/small-corpus workload above the arrow kernel's
+    broadcast bound must stay on the HOF path (and complete) instead of
+    delegating into the kernel's max_query_rows ValueError (r7 advice)."""
+    emb = read_table(spark, sf_small, "embeddings")
+    q = emb.limit(20)
+    out = brute_force_topk(
+        emb, q, k=3, arrow_threshold_pairs=0, arrow_max_query_rows=5
+    )
+    assert out.count() == 20 * 3
+
+
 def test_iqr_approx_mode_close_to_exact(spark, sf_small):
     from wafer_defect_data_pipeline_spark.operators.outliers import remove_outliers_by_group
 
@@ -2351,7 +2386,7 @@ def test_group_split_never_splits_a_source(spark, sf_small):
     assert s.count() == d.count()
 
 
-@pytest.mark.parametrize("strategy", ["window", "combine"])
+@pytest.mark.parametrize("strategy", ["window", "combine", "auto"])
 def test_duplicated_spans_planted_and_bounded(spark, strategy):
     """duplicated_spans (ExactSubstr k-gram pass): a 60-char span shared by
     two docs — surrounded by never-repeating filler drawn from disjoint
@@ -2385,6 +2420,50 @@ def test_duplicated_spans_planted_and_bounded(spark, strategy):
     assert set(rows) == {1, 2}
     assert rows[1] == (len(fill_a), len(fill_a) + 60, 60)
     assert rows[2] == (len(fill_b), len(fill_b) + 60, 60)
+
+
+def test_span_strategy_auto_switches_on_flood_grams(spark):
+    """choose_span_strategy (r7 verdict item 1): the probe must pick the
+    skew-proof 'combine' shape on a flood-gram corpus — every doc is a long
+    single-character run, so ONE 20-gram owns ~90% of all positions and the
+    window shape would sort them on one reducer — and must keep the 1.9x
+    'window' shape on a healthy corpus whose grams are all unique. On the
+    flood corpus strategy='auto' must still produce output identical to
+    both explicit shapes."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        choose_span_strategy,
+        duplicated_spans,
+    )
+
+    # flood: 200 docs x 500-char 'a' run + short unique tail -> the gram
+    # "a"*20 covers ~481/509 of each doc's positions corpus-wide
+    flood = spark.createDataFrame(
+        [(i, "a" * 500 + f" tail{i:04d}x") for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert choose_span_strategy(flood, "doc_id", "text", k=20) == "combine"
+
+    # healthy: per-doc-unique text (id-salted words) -> max gram frequency
+    # ~1, orders of magnitude below any reducer budget
+    healthy = spark.createDataFrame(
+        [(i, " ".join(f"w{i:04d}t{j:03d}" for j in range(40))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert choose_span_strategy(healthy, "doc_id", "text", k=20) == "window"
+
+    outs = {
+        s: sorted(
+            map(
+                tuple,
+                duplicated_spans(
+                    flood, "doc_id", "text", k=20, min_span=40, strategy=s
+                ).collect(),
+            )
+        )
+        for s in ("window", "combine", "auto")
+    }
+    assert outs["auto"], "flood corpus must report spans"
+    assert outs["auto"] == outs["window"] == outs["combine"]
 
 
 def test_jaccard_pairs_auto_both_paths_match_exact(spark, sf_small):
@@ -2530,6 +2609,46 @@ def test_incremental_duplicated_spans_batch_vs_index(spark):
         batch, idx, "doc_id", "text", k=20, min_span=40, min_index_count=2
     ).count()
     assert none == 0
+
+
+def test_merge_gram_index_equals_rebuild(spark):
+    """merge_gram_index: folding a batch into a prebuilt index must be
+    bit-equal to rebuilding the index over history ∪ batch — including a
+    gram that occurs in BOTH sides (counts add) — and the merged index must
+    make a next-day probe find spans that only the batch introduced."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        gram_index,
+        incremental_duplicated_spans,
+        merge_gram_index,
+    )
+
+    overlap = "this exact sentence lives in both history and the new batch"
+    history = spark.createDataFrame(
+        [(1, overlap + " old tail one"), (2, "completely unrelated historical doc x")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, overlap + " new tail two"), (11, "a fresh never-seen batch document!!")],
+        "doc_id long, text string",
+    )
+    merged = merge_gram_index(
+        gram_index(history, "doc_id", "text", k=20),
+        gram_index(batch, "doc_id", "text", k=20),
+    )
+    rebuilt = gram_index(history.unionByName(batch), "doc_id", "text", k=20)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+    # day-2 probe: a copy of batch doc 11's text is only a span via the merge
+    day2 = spark.createDataFrame(
+        [(100, "a fresh never-seen batch document!!")], "doc_id long, text string"
+    )
+    unmerged_hits = incremental_duplicated_spans(
+        day2, gram_index(history, "doc_id", "text", k=20), "doc_id", "text",
+        k=20, min_span=20,
+    ).count()
+    merged_hits = incremental_duplicated_spans(
+        day2, merged, "doc_id", "text", k=20, min_span=20
+    ).count()
+    assert unmerged_hits == 0 and merged_hits == 1
 
 
 def test_span_stats_partition(spark):

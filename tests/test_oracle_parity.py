@@ -29,6 +29,28 @@ def test_oracle_parity_medium(spark, sf_medium, name):
     assert not errs, f"{name}: " + "; ".join(errs)
 
 
+def test_jaccard_auto_lsh_branch_matches_oracle(spark, sf_medium):
+    """The LSH+verify FALLBACK branch of dedup_jaccard_pairs_auto against
+    the registered EXACT all-pairs oracle, at the driver's sf0.01 scale.
+
+    budget_factor=0 makes the probe declare every corpus too dense, so the
+    dispatcher takes the 32-hash/16-band LSH + exact-verify path — the
+    branch the sf3 fallback uses in production but which no driver
+    correctness row had exercised (r7 advice). Candidate recall is
+    probabilistic in theory ((1-t^2)^16 ~ 8e-8 at t=0.8), but on this
+    corpus the planted pairs sit far above threshold, so the branch must
+    reproduce the exact output bit-for-bit."""
+    from wafer_defect_data_pipeline_spark.plans.queries_dedup import _jaccard_auto
+
+    errs = run_pair(
+        spark,
+        sf_medium,
+        lambda s, d: _jaccard_auto(s, d, budget_factor=0),
+        ORACLES["dedup_jaccard_pairs_auto"],
+    )
+    assert not errs, "; ".join(errs)
+
+
 def test_every_query_runs_small(spark, sf_small):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_small)

@@ -77,6 +77,25 @@ def test_csv_single_file_sink_utf8_sig_parity(spark, wafer_csv, tmp_path):
     assert len(back) == 200
 
 
+def test_csv_single_bom_guards_nonlocal_and_append(spark, wafer_csv, tmp_path):
+    """bom=True is a driver-side local-file rewrite: a non-local URI or an
+    append must fail UP FRONT with a clear error, not after Spark wrote
+    data (r7 advice — os.listdir on s3a:// would FileNotFoundError and the
+    single-element unpack would ValueError on leftover part files)."""
+    import pytest as _pytest
+
+    df = load_wafer_csv(spark, wafer_csv).select("Class")
+    with _pytest.raises(ValueError, match="scheme"):
+        write_csv_single(df, "s3a://bucket/out", bom=True)
+    with _pytest.raises(ValueError, match="overwrite"):
+        write_csv_single(df, str(tmp_path / "x"), mode="append", bom=True)
+    # file:// local scheme is accepted and works end to end
+    out = tmp_path / "single_bom_scheme"
+    write_csv_single(df, f"file://{out}", bom=True)
+    [part] = [p for p in out.iterdir() if p.name.endswith(".csv")]
+    assert part.read_bytes().startswith(b"\xef\xbb\xbf")
+
+
 def test_partitioned_parquet_write(spark, wafer_csv, tmp_path):
     df = load_wafer_csv(spark, wafer_csv)
     out = tmp_path / "part_parquet"

@@ -32,6 +32,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     arrow_threshold_pairs: int = 2_000_000,
+    arrow_max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) for each query row.
 
@@ -40,16 +41,25 @@ def brute_force_topk(
     ``arrow_threshold_pairs`` corpus x query pairs the same contract is
     served by :func:`brute_force_topk_arrow` — BLAS matmul over Arrow
     batches, ~4x faster at sf1 (102 s -> ~25 s) and the only sane shape
-    at 100 TB. The two kernels agree to float ulps; the registered
-    ``similarity_bruteforce_topk_arrow`` query hash-checks that agreement
-    (within_tol booleans vs the exact oracle), so the delegation is
-    evidence-backed, not asserted. The two count() probes pricing the
+    at 100 TB. The delegated kernel reproduces the HOF contract EXACTLY
+    (it rounds to 6dp before its per-batch prune and breaks ties by
+    lowest corpus id — see :func:`brute_force_topk_arrow`), verified by
+    a hash-equality pytest forcing both paths on the same input
+    (tests/test_extensions.py::test_arrow_delegation_hash_equal) and by
+    the registered ``similarity_bruteforce_topk_arrow`` within_tol
+    oracle. Delegation only fires when the query batch also fits the
+    arrow kernel's broadcast bound (``max_query_rows=10_000``) — a
+    many-queries/small-corpus workload stays on the HOF path instead of
+    tripping the kernel's guard. The two count() probes pricing the
     delegation are narrow single-column scans.
     """
     if arrow_threshold_pairs is not None:
-        n_pairs = corpus.count() * queries.count()
-        if n_pairs > arrow_threshold_pairs:
-            return brute_force_topk_arrow(corpus, queries, id_col, vec_col, k)
+        n_q = queries.count()
+        n_pairs = corpus.count() * n_q
+        if n_pairs > arrow_threshold_pairs and n_q <= arrow_max_query_rows:
+            return brute_force_topk_arrow(
+                corpus, queries, id_col, vec_col, k, max_query_rows=arrow_max_query_rows
+            )
     c = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     scored = (
@@ -195,12 +205,20 @@ def brute_force_topk_arrow(
     at scale wants BLAS. Here the (small) normalized query matrix is
     broadcast to executors, each corpus partition streams through
     ``mapInPandas`` as Arrow batches, one ``C @ Q.T`` scores the whole batch,
-    and ``argpartition`` keeps the per-batch top-k per query, so at most
-    |queries|·k rows per batch reach the final global top-k window. The
-    corpus never shuffles.
+    and a per-batch top-(k+1) prune keeps at most |queries|·(k+1) rows per
+    batch for the final global top-k window. The corpus never shuffles.
 
-    Same contract as :func:`brute_force_topk` (self-matches excluded, ties
-    broken by corpus id); results verified equivalent in tests.
+    EXACTLY the :func:`brute_force_topk` contract, including at 6dp-tie
+    boundaries: sims are rounded to 6dp BEFORE the prune (the HOF path
+    ranks rounded values, so pruning on raw floats could keep a raw-larger
+    but rounded-equal row over the tie winner), and the prune key breaks
+    rounded ties by lowest corpus id via an infinitesimal per-batch rank
+    perturbation (< half the 1e-6 rounding quantum, so it can never cross
+    distinct rounded values). Keeping k+1 rows per batch is sufficient:
+    any row in the global top-k by (rounded sim desc, corpus_id asc) after
+    excluding one possible self-match is by definition in its own batch's
+    top-(k+1) by the same total order. Hash-equality with the HOF path is
+    pinned by tests/test_extensions.py::test_arrow_delegation_hash_equal.
     """
     import numpy as np
     import pandas as pd
@@ -227,10 +245,19 @@ def brute_force_topk_arrow(
                 continue
             c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-            sims = c @ q.T  # (batch, n_queries)
+            # round BEFORE the prune — the downstream ranking (and the HOF
+            # twin) orders 6dp-rounded sims, so the prune must use the same
+            # equivalence classes or a boundary tie's winner can be dropped
+            sims = np.round(c @ q.T, 6)  # (batch, n_queries)
             c_ids = pdf[id_col].to_numpy()
             kk = min(k + 1, len(c_ids))  # +1 headroom for a self-match
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_queries)
+            # tie-aware prune key: subtract an id-rank perturbation bounded
+            # by 1e-7 (< half the rounding quantum), so within a rounded-tie
+            # group the LOWEST corpus id wins and distinct sims never cross
+            rank = np.empty(len(c_ids), dtype=np.float64)
+            rank[np.argsort(c_ids, kind="stable")] = np.arange(len(c_ids))
+            key = sims - (rank / max(len(c_ids), 1) * 1e-7)[:, None]
+            top = np.argpartition(-key, kk - 1, axis=0)[:kk]  # (kk, n_queries)
             rows = {
                 "query_id": np.repeat(ids, kk),
                 "corpus_id": c_ids[top].T.ravel(),

@@ -415,13 +415,20 @@ _PREFIX_JACCARD_ORACLE = rf"""
 register("dedup_prefix_jaccard_pairs", _prefix_jaccard, _PREFIX_JACCARD_ORACLE)
 
 
-def _jaccard_auto(spark, sf_dir):
+def _jaccard_auto(spark, sf_dir, budget_factor: int = 32):
     """Density-adaptive twin of dedup_prefix_jaccard_pairs: identical
     corpus, identical EXACT oracle. At sf0.01/sf0.1 the candidate-budget
     probe (est 1.0x / 25x of n_docs, budget 32x) selects the exact
     AllPairs path; on the dense sf3 corpus — where the exact path measured
     8.7x superlinear (BASELINE.md) — it falls back to 32-hash/16-band
-    LSH + exact verify. See operators/dedup.jaccard_pairs_auto."""
+    LSH + exact verify. See operators/dedup.jaccard_pairs_auto.
+
+    ``budget_factor`` is exposed so the LSH fallback BRANCH of this same
+    registered query can be pinned against the same exact oracle:
+    tests/test_oracle_parity.py::test_jaccard_auto_lsh_branch_matches_oracle
+    forces ``budget_factor=0`` (every corpus is "too dense") and requires
+    hash-equality with the all-pairs SQL — the r7 advice gap where only
+    the exact branch of the dispatcher had driver evidence."""
     from ..operators.dedup import jaccard_pairs_auto
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -431,9 +438,9 @@ def _jaccard_auto(spark, sf_dir):
         .withColumn("text", F.concat(F.col("text"), F.lit(" plantedtoken")))
     )
     both = d.unionByName(planted)
-    return jaccard_pairs_auto(both, "doc_id", "text", threshold=0.8).orderBy(
-        "id_a", "id_b"
-    )
+    return jaccard_pairs_auto(
+        both, "doc_id", "text", threshold=0.8, budget_factor=budget_factor
+    ).orderBy("id_a", "id_b")
 
 
 register("dedup_jaccard_pairs_auto", _jaccard_auto, _PREFIX_JACCARD_ORACLE)
@@ -1096,6 +1103,112 @@ register(
     "dedup_incremental_spans_persisted",
     _incremental_spans_persisted,
     _INCR_SPANS_SQL,
+)
+
+
+def _incremental_spans_merged(spark, sf_dir):
+    """Day-two of the daily-crawl story (operators/dedup.merge_gram_index):
+    day 1 admits a batch of NOVEL docs (per-id text that appears nowhere in
+    history) and folds its grams into the persisted index WITHOUT a corpus
+    rescan; day 2's batch contains verbatim copies of day 1's novel text
+    (full-doc spans expected — detectable ONLY through the merge), suffix
+    copies of original history (spans via the day-0 index), and genuinely
+    novel docs (no spans). The probe answers from the LOADED merged parquet,
+    written repartition(gh)-aligned."""
+    import uuid as _uuid
+
+    from ..operators.dedup import (
+        gram_index,
+        incremental_duplicated_spans,
+        merge_gram_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    day1 = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("batchone novel payload number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" padding alpha beta gamma delta epsilon"),
+        ).alias("text"),
+    )
+    index_dir = f"/tmp/wdps_gram_index_merged_{_uuid.uuid4().hex[:8]}"
+    merged = merge_gram_index(
+        gram_index(d, "doc_id", "text", k=20),
+        gram_index(day1, "doc_id", "text", k=20),
+    )
+    merged.repartition(8, "gh").write.mode("overwrite").parquet(index_dir)
+    loaded = spark.read.parquet(index_dir)
+
+    copies = day1.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    suffix = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    novel = d.filter(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("daytwo novel doc "), F.col("doc_id").cast("string"), F.lit(" qqz")
+        ).alias("text"),
+    )
+    day2 = copies.unionByName(suffix).unionByName(novel)
+    return incremental_duplicated_spans(
+        day2, loaded, "doc_id", "text", k=20, min_span=40
+    ).orderBy("doc_id", "span_start")
+
+
+register(
+    "dedup_incremental_spans_merged",
+    _incremental_spans_merged,
+    r"""
+    WITH day1 AS (
+      -- alias new_id (not doc_id): DuckDB lateral-alias shadowing would
+      -- otherwise rebind the CAST in the text expression to the offset id
+      SELECT doc_id + 3000000 AS new_id,
+             'batchone novel payload number ' || CAST(doc_id AS VARCHAR)
+               || ' padding alpha beta gamma delta epsilon' AS text
+      FROM documents WHERE doc_id % 20 = 10
+    ), idx AS (
+      SELECT DISTINCT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM (SELECT text FROM documents UNION ALL SELECT text FROM day1) c,
+           unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), day2 AS (
+      SELECT new_id + 1000000 AS doc_id, text FROM day1
+      UNION ALL
+      SELECT doc_id + 5000000, substring(text, 31)
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 5000000,
+             'daytwo novel doc ' || CAST(doc_id AS VARCHAR) || ' qqz'
+      FROM documents WHERE doc_id % 20 = 5
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM day2 c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM idx)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 20 - min(pos) >= 40
+    ORDER BY doc_id, span_start
+    """,
 )
 
 

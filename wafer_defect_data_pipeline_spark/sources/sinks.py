@@ -37,11 +37,31 @@ def write_csv_single(
     (``main.py:110`` — Excel-friendly BOM prefix). The JVM has no
     "UTF-8-SIG" charset, so the BOM is prepended driver-side to the one
     part file — valid exactly because this sink is single-file by contract.
+    The driver-side rewrite uses local-filesystem I/O, so ``bom=True``
+    additionally requires a LOCAL path and ``mode="overwrite"`` (an
+    ``append`` leaves earlier part files in the directory, making "the one
+    part file" ambiguous); both are checked up front so a bad combination
+    fails before any data is written, not after.
     """
+    if bom:
+        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if scheme != "file":
+            raise ValueError(
+                f"write_csv_single(bom=True) prepends the BOM via local-file "
+                f"I/O and cannot reach scheme {scheme!r} ({path!r}); write "
+                "without bom and post-process, or use a local path."
+            )
+        if mode != "overwrite":
+            raise ValueError(
+                "write_csv_single(bom=True) requires mode='overwrite': with "
+                f"mode={mode!r} earlier part files may remain and the single "
+                "part file to prefix is ambiguous."
+            )
     df.coalesce(1).write.mode(mode).option("header", True).option("encoding", encoding).csv(path)
     if bom:
         import os
 
+        path = path.removeprefix("file://")
         [part] = [
             f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".csv")
         ]
