@@ -2611,6 +2611,32 @@ def test_incremental_duplicated_spans_batch_vs_index(spark):
     assert none == 0
 
 
+def test_span_stats_no_text_through_joins(spark, sf_small):
+    """dedup_span_stats joins per-doc duplicated-char sums back to the
+    corpus; the corpus side must be projected to length(text) BEFORE that
+    join — at sf3+ carrying full document text through a join is the
+    difference between shuffling bytes and shuffling the corpus (r7
+    verdict item 8). Pin it structurally: no Join node in the optimized
+    plan may output a text column."""
+    from wafer_defect_data_pipeline_spark.plans.queries_dedup import _span_stats
+
+    df = _span_stats(spark, sf_small)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    joins = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "Join" in node.nodeName():
+            joins.append(
+                [node.output().apply(i).name() for i in range(node.output().size())]
+            )
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    assert joins, "span_stats plan must contain the stats join"
+    for attrs in joins:
+        assert not any("text" in a.lower() for a in attrs), attrs
+
+
 def test_merge_gram_index_equals_rebuild(spark):
     """merge_gram_index: folding a batch into a prebuilt index must be
     bit-equal to rebuilding the index over history ∪ batch — including a

@@ -162,6 +162,7 @@ def pca_project(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 4,
+    precomputed: tuple[list[float], list[list[float]]] | None = None,
 ) -> DataFrame:
     """Project each vector onto the top-``k`` principal axes.
 
@@ -169,8 +170,16 @@ def pca_project(
     ``dot(v, comp) - dot(mean, comp)`` — the mean-centering collapses to a
     per-component scalar, so the per-row work is k codegen'd dot products
     and the corpus never shuffles and never crosses into Python.
+
+    ``precomputed=(mean, components)`` skips the internal
+    :func:`pca_components` fit — pass it when the caller already holds the
+    axes (evidence queries, serving a persisted model) so the corpus is
+    scanned once, not twice.
     """
-    mean, comps, _ = pca_components(df, vec_col, dim, k)
+    if precomputed is not None:
+        mean, comps = precomputed[0], precomputed[1][:k]
+    else:
+        mean, comps, _ = pca_components(df, vec_col, dim, k)
     v = as_double(vec_col)
     cols = []
     for c_idx, comp in enumerate(comps, start=1):

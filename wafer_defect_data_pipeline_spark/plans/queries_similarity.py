@@ -311,17 +311,90 @@ register(
 )
 
 
-# --- PCA projection (rows-only: eigendecomposition is not SQL-expressible;
-# the covariance input is the oracle-checked exact twin above, and pytest
-# checks component orthonormality + variance == eigenvalue) -----------------
+# --- PCA projection, promoted to an exact oracle (r7 verdict item 4) -------
 def _pca_projection(spark, sf_dir):
-    from ..operators.decomposition import pca_project
+    """Projection + evidence, the iqr_cascade_approx pattern: the per-vector
+    pc values themselves are eigensolver outputs no SQL replays, so the
+    registered output is the per-component EVIDENCE that pins the whole
+    pipeline — booleans the oracle replays as TRUE plus the covariance
+    trace both engines compute independently:
+
+    - ``var_explained_ok``: the population variance of the ACTUAL projected
+      scores (a Spark aggregate over :func:`pca_project` output — the real
+      dataflow, not the eigensolver's claim) equals the component's
+      eigenvalue within 1e-5 (absorbs the 6dp score rounding). A wrong
+      eigh, a wrong sign fix, or a wrong projection expression flips this.
+    - ``mean_centered_ok``: projected scores average to ~0 (the centering
+      offset actually applied).
+    - ``ortho_ok``: max |V·Vᵀ − I| ≤ 1e-6 over the top-k components.
+    - ``trace``: sum of ALL 64 eigenvalues == total variance == sum of
+      per-dimension population variances, which DuckDB computes from the
+      raw vectors with no eigensolver — the genuinely shared exact value
+      (round 4dp + 0.0 against fold-order ulps).
+
+    Previously rows-only with exact_twin=embedding_covariance, which pinned
+    the covariance input but not the projection; this output is hash-exact
+    and the per-vector values stay pinned by the orthonormality/variance
+    property pytest (tests/test_extensions.py) and served by
+    ``operators.decomposition.pca_project``."""
+    import numpy as np
+
+    from ..operators.decomposition import pca_components, pca_project
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return pca_project(emb, "vec_id", "embedding", dim=64, k=4).orderBy("vec_id")
+    k = 4
+    mean, comps, eigs = pca_components(emb, "embedding", dim=64, k=64)
+    v = np.asarray(comps[:k])
+    ortho_ok = bool(np.abs(v @ v.T - np.eye(k)).max() <= 1e-6)
+    trace = float(np.round(sum(eigs), 4) + 0.0)
+    proj = pca_project(
+        emb, "vec_id", "embedding", dim=64, k=k, precomputed=(mean, comps)
+    )
+    aggs = []
+    for c in range(1, k + 1):
+        pc = F.col(f"pc{c}")
+        aggs.append(F.avg(pc).alias(f"m{c}"))
+        aggs.append(F.avg(pc * pc).alias(f"s{c}"))
+    row = proj.agg(*aggs).collect()[0]
+    out = []
+    for c in range(1, k + 1):
+        m, s = row[f"m{c}"], row[f"s{c}"]
+        out.append(
+            (
+                c,
+                bool(abs((s - m * m) - eigs[c - 1]) <= 1e-5),
+                bool(abs(m) <= 1e-5),
+                ortho_ok,
+                trace,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component int, var_explained_ok boolean, mean_centered_ok boolean, "
+        "ortho_ok boolean, trace double",
+    ).orderBy("component")
 
 
-register("embedding_pca_projection", _pca_projection, None, exact_twin="embedding_covariance")
+register(
+    "embedding_pca_projection",
+    _pca_projection,
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+    pervar AS (
+      SELECT avg(v[dims.i] * v[dims.i]) - avg(v[dims.i]) * avg(v[dims.i]) AS vv
+      FROM e CROSS JOIN dims GROUP BY dims.i
+    ),
+    tr AS (SELECT round(sum(vv), 4) + 0.0 AS trace FROM pervar)
+    SELECT CAST(t.c AS INTEGER) AS component,
+           TRUE AS var_explained_ok,
+           TRUE AS mean_centered_ok,
+           TRUE AS ortho_ok,
+           tr.trace AS trace
+    FROM range(1, 5) t(c) CROSS JOIN tr
+    ORDER BY component
+    """,
+)
 
 
 # --- ZCA whitening (rows-only: eigendecomposition not SQL-expressible;
