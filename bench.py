@@ -81,6 +81,9 @@ HEADLINE = [
     "dedup_duplicated_spans",
     "dedup_jaccard_pairs_auto",
     "text_decontaminate_strip",
+    # round-8 addition: gram-index merge + day-2 probe (the daily-crawl
+    # admit loop — index build, batch explode, merge, probe in one query)
+    "dedup_incremental_spans_merged",
 ]
 
 

@@ -1212,6 +1212,81 @@ register(
 )
 
 
+def _streaming_incremental_spans(spark, sf_dir):
+    """Structured-Streaming twin of the daily-crawl triad
+    (streaming/dedup.run_streaming_span_dedup): two staged document files
+    replayed oldest-first, each micro-batch probed against the gram index
+    AS OF the previous batch, then folded in via merge_gram_index. Batch 2
+    contains verbatim copies of batch 1's novel text — spans detectable
+    only because the stream admitted batch 1 — plus suffix copies of
+    history (day-0 index) and novel docs (no spans). The oracle replays
+    both probes in one chain: batch-1 positions against grams(history),
+    batch-2 positions against grams(history ∪ batch 1)."""
+    from ..streaming.dedup import run_streaming_span_dedup
+
+    return run_streaming_span_dedup(spark, sf_dir, k=20, min_span=40)
+
+
+register(
+    "dedup_streaming_incremental_spans",
+    _streaming_incremental_spans,
+    r"""
+    WITH day1nov AS (
+      SELECT doc_id + 3000000 AS new_id,
+             'batchone novel payload number ' || CAST(doc_id AS VARCHAR)
+               || ' padding alpha beta gamma delta epsilon' AS text
+      FROM documents WHERE doc_id % 20 = 10
+    ), b1 AS (
+      SELECT new_id AS doc_id, text, 1 AS b FROM day1nov
+      UNION ALL
+      SELECT doc_id + 6000000, substring(text, 31), 1
+      FROM documents WHERE doc_id % 20 = 0
+    ), b2 AS (
+      SELECT new_id + 1000000 AS doc_id, text, 2 AS b FROM day1nov
+      UNION ALL
+      SELECT doc_id + 5000000,
+             'daytwo novel doc ' || CAST(doc_id AS VARCHAR) || ' qqz', 2
+      FROM documents WHERE doc_id % 20 = 5
+    ), batches AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    ), idx0 AS (
+      SELECT DISTINCT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM documents c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), idx1extra AS (
+      SELECT DISTINCT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM b1 c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), pos AS (
+      SELECT c.doc_id, c.b, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM batches c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), cov AS (
+      SELECT doc_id, pos FROM pos
+      WHERE gh IN (SELECT gh FROM idx0)
+         OR (b = 2 AND gh IN (SELECT gh FROM idx1extra))
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 20 - min(pos) >= 40
+    ORDER BY doc_id, span_start
+    """,
+)
+
+
 # --- corpus duplication report (datacard rollup of the span output) ---------
 def _span_stats(spark, sf_dir):
     """Per-source duplication report — the datacard line a training-data

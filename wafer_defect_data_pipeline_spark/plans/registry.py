@@ -76,92 +76,85 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 6 front-loads:
-# (a) the 8 rows-only queries promoted to exact oracles this round (5
-# streaming drains, 3 approx-error-bound reworks), (b) the queries added
-# this round (persisted IVF-PQ probe, auto-CC), (c) every query whose
-# implementation changed AFTER its round-5 green row — the end-of-round-5
-# hardening commit touched pq_codebook (all PQ/IVF-PQ consumers), the ivf
-# cell-sim rounding, the LSH divisibility guard (all MinHash-LSH consumers)
-# and the neardup quadratic call site, and this round folded the top-k tails
-# into shared helpers, (d) the remaining rows-only queries so each keeps a
-# fresh executes-cleanly row, then (e) known-green sentinels spanning
-# families so a systemic regression is still visible. Names not listed
-# follow in registration order; a listed name missing from the registry is
-# a hard error (catches renames).
+# row ever predates the implementation it vouches for. Round 8 front-loads:
+# (a) queries NEW or CHANGED this round — the gram-index merge probe, the
+# PCA promotion off rows-only, the span family (its default strategy became
+# the priced auto probe), the jaccard dispatcher (budget_factor exposed),
+# the brute-force top-k (delegation gate reworked) and the CSV sink's BOM
+# guard; (b) the 7 remaining rows-only queries so each keeps a fresh
+# executes-cleanly row; (c) REPRESENTATIVES OF EVERY FAMILY whose last
+# driver row is r5 or older (the r7 verdict's union-freshness item):
+# multimodal video/audio, curation SCD2/merge, search BM25/inverted-index,
+# timeseries, TPC-H, reference ops, text, embeddings, sampling/packing,
+# graph, privacy, sketches, streaming-static joins, dq — so the 212-oracle
+# matrix doesn't age. Names not listed follow in registration order; a
+# listed name missing from the registry is a hard error (catches renames).
 _PRIORITY: list[str] = [
-    # (r7) new queries this round — must front the ~50-query driver window
-    "dedup_duplicated_spans",  # ExactSubstr k-gram span dedup (was orphan code)
-    "dedup_jaccard_pairs_auto",  # density-probe exact/LSH dispatch
-    "dedup_strip_spans",  # span-removal action step over the spans output
-    "text_contamination_spans",  # span-level benchmark decontamination
-    "text_decontaminate_strip",  # decontaminate-by-surgery action step
-    "dedup_incremental_spans",  # new-batch spans vs prebuilt gram index
-    "dedup_incremental_spans_persisted",  # same probe from the parquet-loaded index
-    "dedup_span_stats",  # per-source duplication datacard rollup
-    "similarity_bruteforce_topk_arrow",  # within_tol oracle (was rows-only)
-    "similarity_bruteforce_topk",  # size-gated arrow delegation added
-    # (a0) round-6 session-2: new queries + rows-only promotions
-    "graph_kcore_suppliers",  # unrolled-peeling oracle (was rows-only)
-    # (a) promoted from rows-only to exact-oracle this round
-    "events_streaming_tumbling",
-    "events_streaming_sessions",
-    "events_streaming_dedup",
-    "events_streaming_join",
-    "events_streaming_left_join",  # sentinel-punctuation watermark flush
-    "iqr_cascade_approx",  # within_tol boolean vs exact cascade
-    "approx_aggregates",  # within_tol booleans vs exact aggs
-    "events_hll_weekly_users",  # within_tol boolean vs exact distinct
-    # (b) new this round
-    "similarity_ivfpq_probe_prebuilt",  # persisted parquet index, no retrain
-    "dedup_cluster_assignment_auto",  # budgeted-propagation probe + star fallback
-    "similarity_nsw_topk",  # graph ANN: kNN-graph build + fixed-hop beam search
-    # (c) implementation changed after the last green driver row
-    "embedding_pq_codes",  # pq_codebook k-lowest-ids seed (r5-end hardening)
-    "embedding_pq_adc_topk",  # + shared _two_level_topk tail (this round)
-    "embedding_pq_recall_at5",
-    "embedding_pq_train_step",
-    "similarity_ivfpq_topk",  # probe helper + shared top-k tail
-    "similarity_ivf_topk",  # 6dp cell-sim rounding before probe ranking
-    "dedup_minhash_lsh_pairs",  # n_hashes % n_bands guard
-    "dedup_incremental_vs_index",  # same guard in minhash_lsh_probe
-    "similarity_neardup_pairs",  # allow_quadratic at the intentional call site
-    "dedup_cluster_assignment",  # cluster_assignment algorithm dispatch dict
-    "dedup_cluster_assignment_star",
-    # (d) rows-only refresh (weaker rows — keep them recent anyway)
+    # (a) new or changed this round
+    "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
+    "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
+    "embedding_pca_projection",  # PROMOTED: evidence oracle (was rows-only)
+    "dedup_duplicated_spans",  # default strategy now auto (priced probe)
+    "dedup_strip_spans",
+    "dedup_span_stats",
+    "dedup_jaccard_pairs_auto",  # budget_factor exposed for LSH-branch pin
+    "similarity_bruteforce_topk",  # delegation gate: query-bound + tie-exact kernel
+    "similarity_bruteforce_topk_arrow",
+    "csv_roundtrip",  # sink module touched (BOM guard)
+    "text_contamination_spans",  # span family siblings (shared helpers)
+    "text_decontaminate_strip",
+    "dedup_incremental_spans",
+    "dedup_incremental_spans_persisted",
+    # (b) rows-only refresh (weaker rows — keep them recent anyway)
     "dedup_mllib_minhash_lsh",
     "similarity_lsh_pairs",
-    "embedding_pca_projection",
     "embedding_zca_whiten",
     "text_bpe_token_stats",
     "text_bpe_learned_merges",
     "events_stateful_profile",
     "wafer_pipeline_on_lineitem",
-    # (e) known-green sentinels, one per family, fill the ~50-query window
-    "flagship_iqr_summary",
-    "filter_project",
-    "csv_roundtrip",
-    "dedup_exact",
-    "dedup_prefix_jaccard_pairs",
-    "text_quality_scores",
-    "events_tumbling_window",
-    "events_session_window_native",
-    "events_streaming_mv_q1",
-    "events_streaming_foreachbatch_upsert",
+    # (c) stale-family representatives (last driver row r5 or older)
+    "multimodal_video_frame_stats",  # r4 — multimodal video
+    "multimodal_audio_spectrum_peak",  # r4
+    "multimodal_binary_metadata",  # r2
+    "scd2_priority_history",  # r3 — curation SCD2/CDC
+    "merge_upsert",  # r3
     "curation_pipeline",
-    "tpch_q1_pricing_summary",
-    "tpch_q9_profit_by_nation",
-    "semantic_dedup_keep",
-    "multimodal_image_decode_stats",
-    "sketch_cms_frequency",
-    "sketch_mg_heavy_hitters",
-    "graph_triangle_count",
-    "zonemap_pruned_agg",
-    "merge_upsert",
-    "rag_rerank_mmr",
-    "sample_group_split",
-    "events_windowed_quantiles",
-    # everything else (driver-green in r1-r5) follows in registration order;
+    "text_bm25_topk",  # r3 — search
+    "text_inverted_index",  # r3
+    "rag_chunk_retrieval",  # r4
+    "timeseries_monthly_growth",  # r1 — timeseries
+    "events_hypertable_rollup",  # r2
+    "events_asof_join",  # r2
+    "events_funnel",  # r2
+    "events_streaming_static_enrich",  # r4 — stream-static join
+    "tpch_q3_top_orders",  # r1 — TPC-H joins
+    "tpch_q5_regional_revenue",  # r1
+    "tpch_q17_small_quantity",  # r1
+    "tpch_q22_idle_balance",  # r1
+    "window_topk_per_group",  # r1 — window family
+    "join_salted_skew",  # r1 — skew handling
+    "rollup_counts",  # r1 — grouping sets
+    "range_filter",  # r2 — reference §2 ops
+    "grouped_quantiles",  # r2
+    "crosstab_pivot",  # r2
+    "value_counts",  # r2
+    "text_tfidf_topk",  # r2 — text analysis
+    "text_language_id",  # r2
+    "text_benchmark_contamination",  # r2
+    "embedding_vector_stats",  # r2 — embeddings
+    "embedding_label_centroids",  # r2
+    "sample_mixture_weights",  # r2 — sampling
+    "pack_sequences",  # r2 — packing
+    "layout_zorder_stats",  # r2 — layout
+    "json_variant_agg",  # r3 — semi-structured
+    "recursive_cte_hierarchy",  # r3 — SQL features
+    "graph_pagerank_suppliers",  # r3 — graph
+    "privacy_k_anonymity",  # r4 — privacy
+    "sketch_kmv_distinct",  # r4 — sketches
+    "dq_audit_lineitem",  # r5 — data quality
+    "wafer_features_pandas_api",  # r3 — pandas-on-Spark surface
+    # everything else (driver-green in r1-r7) follows in registration order;
     # pytest's oracle-parity sweep still covers all of them every session
 ]
 

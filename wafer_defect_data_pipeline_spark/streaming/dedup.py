@@ -1,0 +1,133 @@
+"""Streaming daily-crawl span dedup: probe-then-merge per micro-batch.
+
+The batch triad in ``operators/dedup.py`` (``gram_index`` build →
+``incremental_duplicated_spans`` probe → ``merge_gram_index`` fold) is the
+admit-once loop a crawl pipeline runs per day; this module runs the SAME
+loop as a Structured Streaming ``foreachBatch`` job, so each arriving file
+of documents is (1) probed against the index as it stood BEFORE the batch
+— history is the authority, a batch never taints itself — and (2) folded
+into the index for every later batch. Day-2 copies of day-1 text are
+detected without any rescan of historical text, which is the whole point:
+at 100 TB of accumulated corpus the per-batch cost is the batch's own
+explode + two narrow (gh, n) joins.
+
+State discipline mirrors ``run_foreachbatch_upsert_batch``
+(streaming/events.py): the gram index lives as a versioned parquet
+snapshot on storage, the driver holds only the current snapshot PATH, and
+superseded snapshots are vacuumed — index size scales with cluster
+storage, not driver memory. Snapshots are written ``repartition(gh)`` so
+successive merges and probes co-locate on the same key layout.
+
+No reference analogue (the reference is a single-table batch ETL —
+``/root/reference/src/preprocessing.py``); this is extension-surface
+streaming per SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_streaming_span_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+) -> DataFrame:
+    """Bounded replay of the two-day crawl: batch 1 (novel payloads +
+    suffix copies of history) then batch 2 (verbatim copies of batch 1's
+    novel text + genuinely new docs), streamed oldest-file-first with one
+    file per micro-batch. Returns every detected span across both batches.
+
+    Deterministic end to end: file order is pinned by mtime, the probe is
+    presence-only (``min_index_count=1``), and the gram index is a pure
+    count table — so the result is the same as running the batch triad by
+    hand, and the DuckDB oracle replays it exactly (batch 1 probed against
+    grams(history), batch 2 against grams(history ∪ batch 1)).
+    """
+    import os
+    import shutil
+
+    from ..operators.dedup import (
+        gram_index,
+        incremental_duplicated_spans,
+        merge_gram_index,
+    )
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_spans_{uuid.uuid4().hex[:8]}"
+    staged, out_dir, idx_dir = f"{work}/in", f"{work}/spans", f"{work}/idx"
+    os.makedirs(staged)
+
+    day1 = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("batchone novel payload number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" padding alpha beta gamma delta epsilon"),
+        ).alias("text"),
+    )
+    batch1 = day1.unionByName(
+        d.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + F.lit(6_000_000)).alias("doc_id"),
+            F.expr("substring(text, 31)").alias("text"),
+        )
+    )
+    batch2 = day1.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") % 20 == 5).select(
+            (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+            F.concat(
+                F.lit("daytwo novel doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" qqz"),
+            ).alias("text"),
+        )
+    )
+    # one parquet FILE per day, strictly increasing mtimes: the file-stream
+    # source replays oldest-first, so micro-batch order == day order
+    for i, b in enumerate((batch1, batch2), start=1):
+        tmp = f"{work}/day{i}"
+        b.coalesce(1).write.parquet(tmp)
+        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = f"{staged}/day{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # index v0: history only (never re-scanned after this)
+    gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
+        f"{idx_dir}/v0"
+    )
+    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+
+    def probe_then_merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        idx = sp.read.parquet(cur["path"])
+        # probe FIRST — against the index as of the previous batch
+        incremental_duplicated_spans(
+            batch_df, idx, "doc_id", "text", k=k, min_span=min_span
+        ).write.mode("append").parquet(out_dir)
+        # then admit the batch for every later one
+        nxt = f"{idx_dir}/v{batch_id + 1}"
+        merge_gram_index(
+            idx, gram_index(batch_df, "doc_id", "text", k=k)
+        ).repartition(8, "gh").write.parquet(nxt)
+        old, cur["path"] = cur["path"], nxt
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("doc_id", "span_start")
