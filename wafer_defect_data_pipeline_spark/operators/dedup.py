@@ -656,46 +656,39 @@ def choose_span_strategy(
     occurrence list on a single reducer sort. The combine shape pays a
     checkpoint of the position triples but is skew-proof.
 
-    Probe (two small jobs, neither touches all positions):
+    Probe: ONE job over a deterministic ``1/sample_mod`` doc sample
+    (``xxhash64(id) % sample_mod``) — explode the sampled docs' grams,
+    count per gram, and read back BOTH the max per-gram frequency ``m``
+    and the sample's total position count ``t`` (``sum`` over the same
+    gram counts) in a single two-value aggregate. Nothing outside the
+    sample is touched: at 100 TB the probe costs 1/``sample_mod`` of one
+    pass, not a full corpus scan. A cross-doc flood gram appears in
+    ~every doc, so the sample sees ~``1/sample_mod`` of its occurrences
+    and both estimates scale back by the same factor — which CANCELS in
+    the decision ratio, so no scale-back is applied at all. A within-doc
+    repetition flood (padding runs) is captured whole whenever its doc is
+    sampled, which only OVERestimates ``m`` — erring toward the
+    skew-proof shape.
 
-    1. total position count from doc LENGTHS only —
-       ``sum(greatest(length(text)-k+1, 0))``; a narrow single-column scan,
-       no explode.
-    2. max per-gram frequency on a deterministic ``1/sample_mod`` doc sample
-       (``xxhash64(id) % sample_mod``), multiplied back by ``sample_mod``.
-       A cross-doc flood gram appears in ~every doc, so the sample sees
-       ~``1/sample_mod`` of its occurrences and the scale-back is unbiased;
-       a within-doc repetition flood (padding runs) is captured whole
-       whenever its doc is sampled, which only OVERestimates — erring
-       toward the skew-proof shape.
-
-    Decision: ``window`` unless the estimated max gram frequency exceeds
-    ``flood_factor ×`` the average positions-per-reducer
-    (total / spark.sql.shuffle.partitions) — i.e. unless one gram's
+    Decision: ``window`` unless the sampled max gram frequency exceeds
+    ``flood_factor ×`` the sampled positions-per-reducer
+    (``t`` / spark.sql.shuffle.partitions) — i.e. unless one gram's
     occurrence list would dominate a window task's sort buffer.
     """
-    total = (
-        df.agg(
-            F.sum(
-                F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
-            ).alias("t")
-        ).collect()[0]["t"]
-        or 0
-    )
-    if total == 0:
-        return "window"
     sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     row = (
         _gram_positions(sample, id_col, text_col, k)
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("m"))
+        .agg(F.max("n").alias("m"), F.sum("n").alias("t"))
         .collect()[0]
     )
-    est_max = (row["m"] or 0) * sample_mod
+    m, t = row["m"] or 0, row["t"] or 0
+    if t == 0:
+        return "window"
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    per_reducer = total / max(n_part, 1)
-    return "combine" if est_max > flood_factor * per_reducer else "window"
+    per_reducer = t / max(n_part, 1)
+    return "combine" if m > flood_factor * per_reducer else "window"
 
 
 def duplicated_spans(
