@@ -522,6 +522,87 @@ register(
 )
 
 
+def _streaming_minhash_probe(spark, sf_dir):
+    """Streaming near-dup daily-crawl dedup
+    (streaming/dedup.run_streaming_minhash_probe): two staged document
+    files replayed oldest-first; each micro-batch is LSH-band-probed
+    against the signature index AS OF the previous batch, then its own
+    signatures are admitted. Day 2 carries near-dups of day 1's novel
+    docs — pairs detectable only through the admitted signatures. All
+    md5-deterministic, so the oracle replays the banded candidates and
+    overlap estimates exactly: batch-1 positions band-join the history
+    signatures (stage 0), batch-2 positions band-join history + batch 1
+    (stage < batch)."""
+    from ..streaming.dedup import run_streaming_minhash_probe
+
+    return run_streaming_minhash_probe(spark, sf_dir, threshold=0.4)
+
+
+register(
+    "dedup_streaming_minhash_probe",
+    _streaming_minhash_probe,
+    rf"""
+    WITH b1 AS (
+      SELECT doc_id + 2000000 AS doc_id, text || ' fresh crawl' AS text, 1 AS b
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'novel document ' || CAST(doc_id + 2000000 AS VARCHAR)
+               || ' zzz unique alpha beta gamma', 1
+      FROM documents WHERE doc_id % 20 = 10
+    ), b2 AS (
+      SELECT doc_id + 7000000 AS doc_id,
+             'novel document ' || CAST(doc_id + 2000000 AS VARCHAR)
+               || ' zzz unique alpha beta gamma extra' AS text, 2 AS b
+      FROM documents WHERE doc_id % 20 = 10
+      UNION ALL
+      SELECT doc_id + 7000000,
+             'second crawl ' || CAST(doc_id + 7000000 AS VARCHAR)
+               || ' qqq fresh doc', 2
+      FROM documents WHERE doc_id % 20 = 15
+    ), idx_docs AS (
+      SELECT doc_id, text, 0 AS stage FROM documents
+      UNION ALL
+      SELECT doc_id, text, 1 FROM b1
+    ), i_t AS (
+      SELECT doc_id, stage, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM idx_docs
+    ), i_sh AS (
+      SELECT doc_id, stage, {_SH3_Q} AS shingles FROM i_t
+    ), i_sig AS (
+      SELECT doc_id, stage, [{_MINS16_Q}] AS sig FROM i_sh
+    ), bt AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    ), b_t AS (
+      SELECT doc_id, b, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM bt
+    ), b_sh AS (
+      SELECT doc_id, b, {_SH3_Q} AS shingles FROM b_t
+    ), b_sig AS (
+      SELECT doc_id, b, [{_MINS16_Q}] AS sig FROM b_sh
+    ), i_bands AS (
+      SELECT doc_id, stage, bb,
+             concat_ws('|', sig[bb*4+1], sig[bb*4+2], sig[bb*4+3], sig[bb*4+4]) AS key
+      FROM i_sig, range(4) tt(bb)
+    ), b_bands AS (
+      SELECT doc_id, b, bb,
+             concat_ws('|', sig[bb*4+1], sig[bb*4+2], sig[bb*4+3], sig[bb*4+4]) AS key
+      FROM b_sig, range(4) tt(bb)
+    ), cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id
+      FROM b_bands nb JOIN i_bands ib ON nb.bb = ib.bb AND nb.key = ib.key
+      WHERE ib.stage < nb.b
+    )
+    SELECT new_id, index_id,
+           round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) AS est_jaccard
+    FROM cand JOIN b_sig sa ON cand.new_id = sa.doc_id
+              JOIN i_sig sb ON cand.index_id = sb.doc_id
+    WHERE round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) >= 0.4
+    ORDER BY new_id, index_id
+    """,
+)
+
+
 # --- asymmetric containment: wrapper / quote detection ----------------------
 def _containment_pairs(spark, sf_dir):
     """Directed near-containment pairs: containment(A in B) =

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     # (a) new or changed this round
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
+    "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
     "embedding_pca_projection",  # PROMOTED: evidence oracle (was rows-only)
     "dedup_duplicated_spans",  # default strategy now auto (priced probe)
     "dedup_strip_spans",

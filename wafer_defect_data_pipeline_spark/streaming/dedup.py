@@ -131,3 +131,107 @@ def run_streaming_span_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("doc_id", "span_start")
+
+
+def run_streaming_minhash_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-dup daily-crawl dedup as a stream: the MinHash analogue of
+    :func:`run_streaming_span_dedup`. Each micro-batch of documents is
+    LSH-band-probed against the SIGNATURE index as it stood before the
+    batch (``minhash_lsh_probe`` — only the batch is shingled, history
+    text is never re-read), then the batch's own signatures are admitted
+    into the versioned index snapshot for every later batch.
+
+    Two staged days, oldest-mtime-first: day 1 carries near-dups of
+    history (suffix ``' fresh crawl'``) plus novel payload docs; day 2
+    carries near-dups OF DAY 1's novel docs (suffix ``' extra'``,
+    detectable only through the admitted signatures) plus genuinely new
+    docs. Every stage is md5-deterministic, so the banded candidates AND
+    the overlap estimates replay exactly in SQL — including which
+    near-threshold pairs happen to band-collide.
+
+    Returns ``(new_id, index_id, est_jaccard)`` across both days.
+    """
+    import os
+    import shutil
+
+    from ..operators.dedup import minhash_lsh_probe, minhash_signatures
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_mh_{uuid.uuid4().hex[:8]}"
+    staged, out_dir, idx_dir = f"{work}/in", f"{work}/pairs", f"{work}/idx"
+    os.makedirs(staged)
+
+    novel1 = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel document "),
+            (F.col("doc_id") + F.lit(2_000_000)).cast("string"),
+            F.lit(" zzz unique alpha beta gamma"),
+        ).alias("text"),
+    )
+    batch1 = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh crawl")).alias("text"),
+    ).unionByName(novel1)
+    batch2 = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + F.lit(7_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel document "),
+            (F.col("doc_id") + F.lit(2_000_000)).cast("string"),
+            F.lit(" zzz unique alpha beta gamma extra"),
+        ).alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 20 == 15).select(
+            (F.col("doc_id") + F.lit(7_000_000)).alias("doc_id"),
+            F.concat(
+                F.lit("second crawl "),
+                (F.col("doc_id") + F.lit(7_000_000)).cast("string"),
+                F.lit(" qqq fresh doc"),
+            ).alias("text"),
+        )
+    )
+    for i, b in enumerate((batch1, batch2), start=1):
+        tmp = f"{work}/day{i}"
+        b.coalesce(1).write.parquet(tmp)
+        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = f"{staged}/day{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
+        "doc_id", "sig"
+    ).write.parquet(f"{idx_dir}/v0")
+    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+
+    def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        idx = sp.read.parquet(cur["path"])
+        minhash_lsh_probe(
+            batch_df, idx, "doc_id", "text",
+            n_hashes=16, n_bands=4, threshold=threshold,
+        ).write.mode("append").parquet(out_dir)
+        nxt = f"{idx_dir}/v{batch_id + 1}"
+        idx.unionByName(
+            minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
+                "doc_id", "sig"
+            )
+        ).write.parquet(nxt)
+        old, cur["path"] = cur["path"], nxt
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_admit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("new_id", "index_id")
