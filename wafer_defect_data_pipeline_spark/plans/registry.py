@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
+    "similarity_nsw_probe_prebuilt",  # NEW: persisted kNN graph, no rebuild
     "embedding_pca_projection",  # PROMOTED: evidence oracle (was rows-only)
     "dedup_duplicated_spans",  # default strategy now auto (priced probe)
     "dedup_strip_spans",
