@@ -236,6 +236,115 @@ register(
 )
 
 
+def _split_span_contamination(spark, sf_dir):
+    """Span-level cross-split contamination audit — the substring-precise
+    companion to split_leakage_audit (which counts DOC-level near-dup
+    pairs): how many characters of each held-out split's documents appear
+    VERBATIM (at 20-gram resolution) somewhere in the train split, the
+    honest leakage figure for memorization studies. Train grams are
+    distinct-hashed once (gram_index) and the held-out side semi-joins
+    them — NOT contaminated_spans' broadcast, because train is 80 % of
+    the corpus, the opposite of the tiny-benchmark case; at 100 TB the
+    semi-join shuffles only (id, pos, hash) triples and the narrow index.
+    Planted suffix copies (doc_id + 1e6 hashes into an independent split)
+    guarantee cross-split verbatim content at every SF."""
+    from ..operators.dedup import gram_index, incremental_duplicated_spans
+    from ..operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.expr("substring(text, 21)").alias("text"),
+    )
+    corpus = d.unionByName(copies)
+    splits = hash_split(corpus, "doc_id")
+    train = splits.filter(F.col("split") == "train").select("doc_id", "text")
+    held = splits.filter(F.col("split") != "train").select(
+        "doc_id", "split", "text"
+    )
+    idx = gram_index(train, "doc_id", "text", k=20)
+    spans = incremental_duplicated_spans(
+        held.select("doc_id", "text"), idx, "doc_id", "text", k=20, min_span=40
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_len").alias("__tc"))
+    base = held.select("doc_id", "split", F.length("text").alias("n_chars"))
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "split", "n_chars", F.coalesce("__tc", F.lit(0)).alias("tc")
+    )
+    return (
+        joined.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("tc") > 0).cast("long")).alias("docs_tainted"),
+            F.sum("tc").alias("tainted_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("tc") / F.sum("n_chars"), 6).alias("taint_ratio"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_C = (
+    "CASE WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(c.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(concat('0x', substring(md5(concat('split:', CAST(c.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+register(
+    "text_split_contamination_stats",
+    _split_span_contamination,
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substring(text, 21) FROM documents WHERE doc_id % 25 = 0
+    ), tagged AS (
+      SELECT c.doc_id, c.text, {_SPLIT_C} AS split FROM corpus c
+    ), train AS (
+      SELECT doc_id, text FROM tagged WHERE split = 'train'
+    ), held AS (
+      SELECT doc_id, split, text FROM tagged WHERE split <> 'train'
+    ), idx AS (
+      SELECT DISTINCT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM train c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), pos AS (
+      SELECT c.doc_id, CAST(t.p AS BIGINT) AS pos,
+             substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS gh
+      FROM held c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), cov AS (
+      SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM idx)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, max(pos) + 20 - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, island
+      HAVING max(pos) + 20 - min(pos) >= 40
+    ), per_doc AS (
+      SELECT doc_id, sum(span_len) AS tc FROM spans GROUP BY doc_id
+    ), base AS (
+      SELECT h.split, length(h.text) AS n_chars, COALESCE(p.tc, 0) AS tc
+      FROM held h LEFT JOIN per_doc p ON h.doc_id = p.doc_id
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_tainted,
+           CAST(sum(tc) AS BIGINT) AS tainted_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(tc) AS DOUBLE) / sum(n_chars), 6) AS taint_ratio
+    FROM base GROUP BY split ORDER BY split
+    """,
+)
+
+
 # --- document chunking (overlapping token windows) ---------------------------
 _CHUNK = 32
 _STRIDE = 16

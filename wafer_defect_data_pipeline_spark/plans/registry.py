@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
     "similarity_nsw_probe_prebuilt",  # NEW: persisted kNN graph, no rebuild
+    "text_split_contamination_stats",  # NEW: span-level cross-split audit
     "embedding_pca_projection",  # PROMOTED: evidence oracle (was rows-only)
     "dedup_duplicated_spans",  # default strategy now auto (priced probe)
     "dedup_strip_spans",
