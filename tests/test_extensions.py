@@ -2703,3 +2703,64 @@ def test_span_stats_partition(spark):
     assert rows == {1: 60, 2: 60}
     # majority-dup policy input: 60*2 > 102 (doc 2) but not > 108 (doc 1)
     assert 60 * 2 > len(fill_b + shared) and not 60 * 2 > len(fill_a + shared)
+
+
+# --- entity resolution (operators/entity.py) ---------------------------------
+def test_entity_blocking_and_snm_agree_on_planted_typos(spark):
+    """Blocked self-join and sorted-neighborhood must find the same planted
+    typo pairs when the cluster shares a sort key — two physical strategies,
+    one answer — and transitive closure must merge base+v1+v2 into one
+    entity named by the min id."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.entity import (
+        blocking_pairs,
+        resolve_entities,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "Customer#000000042", 7),   # base
+        (2, "Customer#0X0000042", 7),   # typo at pos 11
+        (3, "Customer#Z00000042", 7),   # typo at pos 10
+        (4, "Customer#000000777", 7),   # unrelated, same nation
+        (5, "Customer#000000042", 9),   # same name, other nation -> other block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, nk int")
+    blocked = blocking_pairs(
+        df, "id", "name", [F.col("nk"), F.substring("name", 13, 6)], max_distance=2
+    )
+    snm = sorted_neighborhood_pairs(
+        df, "id", "name", "nk", sort_col=F.substring("name", 13, 6), window=2
+    )
+    want = {(1, 2, 1), (1, 3, 1), (2, 3, 2)}
+    got_b = {(r.id_a, r.id_b, r.lev_dist) for r in blocked.collect()}
+    got_s = {(r.id_a, r.id_b, r.lev_dist) for r in snm.collect()}
+    assert got_b == want and got_s == want
+    ent = {r.id: r.entity_id for r in resolve_entities(df, "id", blocked).collect()}
+    assert ent == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_entity_snm_misses_front_typo_without_stable_sort_key(spark):
+    """The SNM failure mode the sort_col lever exists for: sorting by the
+    raw name teleports a front-corrupted record away from its duplicate,
+    so the pass misses the pair that the stable-substring key finds."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"Customer#{i:09d}", 1) for i in range(2, 40)] + [
+        (1, "Customer#000000002", 1),          # dup of id 2 (same name)
+        (900, "ZCustomer#00000002", 1),        # front-corrupted dup of id 2
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, nk int")
+    by_name = sorted_neighborhood_pairs(df, "id", "name", "nk", window=2)
+    by_tail = sorted_neighborhood_pairs(
+        df, "id", "name", "nk", sort_col=F.substring("name", 11, 8), window=2
+    )
+    found_name = {(r.id_a, r.id_b) for r in by_name.collect()}
+    found_tail = {(r.id_a, r.id_b) for r in by_tail.collect()}
+    assert (1, 2) in found_name and (2, 900) not in found_name
+    assert (2, 900) in found_tail  # 'ZCustomer#00000002'[11:19)=='00000002'... stable tail recovers it

@@ -1,0 +1,47 @@
+"""Ad-hoc oracle-parity runner for a named subset of registered queries.
+
+Usage: python tools/check_new.py <query-name> [<query-name> ...]
+Runs each at sf0.001 and sf0.01 through the same compare the driver uses.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+sys.path.insert(0, str(Path(_REPO) / "tests"))
+
+from oracle import run_pair  # noqa: E402
+
+from wafer_defect_data_pipeline_spark.plans.registry import (  # noqa: E402
+    all_oracles,
+    all_queries,
+)
+from wafer_defect_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    queries, oracles = all_queries(), all_oracles()
+    spark = get_spark(app_name="check-new")
+    rc = 0
+    for name in names:
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            if name not in oracles:
+                print(f"{name}: NO ORACLE")
+                rc = 1
+                break
+            errs = run_pair(spark, sf, queries[name], oracles[name])
+            tag = "OK" if not errs else "FAIL " + "; ".join(errs)
+            print(f"{name} @ {sf.rsplit('/',1)[-1]}: {tag}")
+            if errs:
+                rc = 1
+    spark.stop()
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Entity resolution: blocking, candidate verification, entity clustering.
+
+The record-linkage half of data curation the dedup family doesn't cover:
+near-dup dedup asks "are these two DOCUMENTS the same content", entity
+resolution asks "do these two ROWS refer to the same real-world entity"
+(customer, supplier, author) despite typos and formatting drift. The
+classical pipeline (Fellegi-Sunter framing; blocking surveys in
+Christen, "Data Matching", Springer 2012) is:
+
+    block -> candidate pairs -> pairwise verify -> transitive closure
+
+and every stage has a natural distributed-relational shape:
+
+- **standard blocking** (:func:`blocking_pairs`): a derived blocking key
+  (here: stable substrings + a coarse attribute) and a self-equi-join on
+  it. One shuffle on the key; never O(n²) — the quadratic cost is confined
+  to within-block pairs, and block sizes are controlled by key design, not
+  runtime luck. The verify predicate (``levenshtein <= d``) rides the
+  join's filter so non-matches die before leaving the join operator.
+- **sorted-neighborhood** (:func:`sorted_neighborhood_pairs`,
+  Hernandez & Stolfo SIGMOD'95): sort within a partition key, compare each
+  row to its next ``w`` neighbours via ``lead()`` projections — zero
+  self-join, one window sort. Distributed shape: the window PARTITIONS on
+  the coarse block key (a full-corpus global sort would serialize on one
+  reducer), so one pass can miss cross-partition matches; production runs
+  do multiple passes with rotated keys, exactly like multi-pass SNM in the
+  literature.
+- **entity ids**: connected components over the verified match edges
+  (operators/graph.py — the same min-label propagation the dedup clusters
+  use), so A~B and B~C transitively land in one entity even when A~C was
+  never generated as a candidate.
+
+Everything shuffles narrow rows only: (key, id, name) into the join,
+(id, id) edges out of it. Names never fan out beyond their block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+
+
+def blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Verified match pairs ``(id_a, id_b, lev_dist)`` from standard blocking.
+
+    ``block_cols`` is a list of Column expressions forming the blocking key
+    (choose stable substrings — characters typos are unlikely to touch).
+    Within each block, candidates are the triangular self-join; the
+    Levenshtein verify is evaluated inside the join so only true matches
+    materialize. Output ids are oriented ``id_a < id_b``.
+
+    Scale: one shuffle of (block_key, id, name); within-block pairs are
+    quadratic in BLOCK size only (key design bounds it — the caller picks
+    keys with near-unique selectivity, and a skewed block shows up in the
+    shuffle-read metrics long before it shows up as a wrong answer).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        *[c.alias(f"__bk{i}") for i, c in enumerate(block_cols)],
+    )
+    bk = [f"__bk{i}" for i in range(len(block_cols))]
+    left = keyed.select(
+        *bk, F.col("__id").alias("id_a"), F.col("__name").alias("__na")
+    )
+    right = keyed.select(
+        *bk, F.col("__id").alias("id_b"), F.col("__name").alias("__nb")
+    )
+    return (
+        left.join(right, on=bk)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("__na", "__nb") <= max_distance)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__na", "__nb").cast("int").alias("lev_dist"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    partition_col: str,
+    sort_col=None,
+    window: int = 2,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Verified match pairs from one sorted-neighborhood pass.
+
+    Rows sort by ``sort_col`` within ``partition_col``; each row is compared
+    to its next ``window`` neighbours via ``lead()`` — no self-join at all,
+    one window sort per partition key. A row's comparisons are a pure
+    projection over the sorted frame, so the whole pass is scan → window →
+    filter. ``sort_col`` (a Column; defaults to the name itself) is the SNM
+    key-design lever: it must be built from characters typos are unlikely to
+    touch, because a corrupted character at the FRONT of the sort key
+    teleports the record far from its duplicate — the classic SNM failure
+    mode the original paper's key-construction section is about. The
+    partition key keeps the sort distributed (the single-pass SNM of the
+    literature sorts globally — a serial reducer at 100 TB); multi-pass runs
+    rotate the partition/sort key to recover cross-partition recall, same as
+    multi-pass SNM.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(partition_col).alias("__pk"),
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        (F.col(name_col) if sort_col is None else sort_col).alias("__sk"),
+    )
+    wspec = W.partitionBy("__pk").orderBy("__sk", "__name", "__id")
+    cols = [base["__pk"], base["__id"], base["__name"]]
+    for j in range(1, window + 1):
+        cols.append(F.lead("__id", j).over(wspec).alias(f"__id{j}"))
+        cols.append(F.lead("__name", j).over(wspec).alias(f"__name{j}"))
+    led = base.select(*cols)
+    parts = []
+    for j in range(1, window + 1):
+        parts.append(
+            led.filter(F.col(f"__id{j}").isNotNull())
+            .filter(F.levenshtein("__name", f"__name{j}") <= max_distance)
+            .select(
+                F.least("__id", f"__id{j}").alias("id_a"),
+                F.greatest("__id", f"__id{j}").alias("id_b"),
+                F.levenshtein("__name", f"__name{j}").cast("int").alias("lev_dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def resolve_entities(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """``(id, entity_id)`` for every row: transitive closure over match pairs.
+
+    entity_id = min id reachable through verified matches (deterministic
+    cluster naming); singletons keep their own id. Same narrow-row
+    propagation as dedup clustering — edges are (long, long), the entity
+    table never re-shuffles its payload.
+    """
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, on="id", how="left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("entity_id")
+        )
+    )

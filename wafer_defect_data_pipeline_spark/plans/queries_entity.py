@@ -1,0 +1,224 @@
+r"""Entity-resolution queries over ``customer`` (extension surface §2.9).
+
+Record linkage is the row-identity half of curation the document-dedup
+family doesn't cover: same real-world entity, different spellings. Three
+queries exercise the classical block → verify → transitively-close pipeline
+(operators/entity.py) end to end with exact DuckDB oracles:
+
+- ``entity_matches_blocked``: standard blocking (stable-substring key +
+  nation) self-join, Levenshtein ≤ 2 verify.
+- ``entity_matches_sorted``: one sorted-neighborhood pass (window sort +
+  ``lead()`` comparisons, zero self-join) over the same planted corpus —
+  same matches through a different physical shape, so the two queries
+  cross-check each other.
+- ``entity_clusters``: connected components over the verified pairs →
+  per-entity membership summary (recursive-CTE oracle, the
+  dedup_cluster_assignment pattern).
+
+Planted fixtures: every 20th customer gains a copy with one corrupted
+NAME character (position 11 → 'X'), every 40th a second copy corrupted at
+position 10 → 'Z'. Base~v1 and base~v2 are Levenshtein 1, v1~v2 is 2, so
+clusters of size 3 exercise transitivity; the blocking key
+(nation, last-6-chars-of-name) and the SNM sort key (same substring) are
+untouched by both corruptions — the key-design discipline blocking lives
+on. Levenshtein is integer-exact, so these oracles have no float tolerance
+at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.entity import (
+    blocking_pairs,
+    resolve_entities,
+    sorted_neighborhood_pairs,
+)
+from ..sources import read_table
+from .registry import register
+
+
+def _planted_corpus(spark, sf_dir):
+    """customer ∪ one-typo copies (pos 11→'X' each 20th, pos 10→'Z' each 40th)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    v1 = c.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + F.lit(1_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 10), F.lit("X"), F.expr("substring(name, 12)")
+        ).alias("name"),
+        "nk",
+    )
+    v2 = c.filter(F.col("id") % 40 == 0).select(
+        (F.col("id") + F.lit(2_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 9), F.lit("Z"), F.expr("substring(name, 11)")
+        ).alias("name"),
+        "nk",
+    )
+    return c.unionByName(v1).unionByName(v2)
+
+
+_CORPUS_SQL = """
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             substring(c_name, 1, 10) || 'X' || substring(c_name, 12),
+             c_nationkey
+      FROM customer WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000,
+             substring(c_name, 1, 9) || 'Z' || substring(c_name, 11),
+             c_nationkey
+      FROM customer WHERE c_custkey % 40 = 0
+"""
+
+_PAIRS_SQL = f"""
+    WITH corpus AS ({_CORPUS_SQL}
+    ), keyed AS (
+      SELECT id, name, nk, substring(name, 13, 6) AS bk FROM corpus
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.name, b.name) AS INT) AS lev_dist
+      FROM keyed a JOIN keyed b
+        ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+    )
+"""
+
+
+def _matches_blocked(spark, sf_dir):
+    """Blocked + verified match pairs.
+
+    Blocking key = (nation, name[13:19)) — the name's tail, which neither
+    planted corruption touches. One shuffle on the key; the Levenshtein
+    verify runs inside the joined filter so only matches leave the join.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = blocking_pairs(
+        corpus,
+        "id",
+        "name",
+        block_cols=[F.col("nk"), F.substring("name", 13, 6)],
+        max_distance=2,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+register(
+    "entity_matches_blocked",
+    _matches_blocked,
+    _PAIRS_SQL + "    SELECT id_a, id_b, lev_dist FROM pairs ORDER BY id_a, id_b",
+)
+
+
+def _matches_sorted(spark, sf_dir):
+    """One sorted-neighborhood pass (w=2) over the same planted corpus.
+
+    Sort key = the same stable name tail the blocking query keys on; the
+    window partitions on nation so the sort never serializes. Each record
+    compares against its next two neighbours via ``lead()`` — a pure window
+    projection, no self-join, which is the SNM trade: linear comparisons
+    for a recall bound of (cluster must be adjacent in sort order). The
+    planted triples ARE adjacent (identical sort key, distinct names), so
+    this pass finds exactly the blocked query's pairs here — the two
+    queries cross-check each other's physical strategies.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        corpus,
+        "id",
+        "name",
+        partition_col="nk",
+        sort_col=F.substring("name", 13, 6),
+        window=2,
+        max_distance=2,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+register(
+    "entity_matches_sorted",
+    _matches_sorted,
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}
+    ), keyed AS (
+      SELECT id, name, nk, substring(name, 13, 6) AS sk FROM corpus
+    ), led AS (
+      SELECT nk, id, name,
+             lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1,
+             lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2
+      FROM keyed WINDOW w AS (PARTITION BY nk ORDER BY sk, name, id)
+    ), cand AS (
+      SELECT id, name, id1 AS idj, name1 AS namej FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id, name, id2, name2 FROM led WHERE id2 IS NOT NULL
+    )
+    SELECT DISTINCT least(id, idj) AS id_a, greatest(id, idj) AS id_b,
+           CAST(levenshtein(name, namej) AS INT) AS lev_dist
+    FROM cand WHERE levenshtein(name, namej) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+def _entity_clusters(spark, sf_dir):
+    """Per-entity membership summary after transitive closure.
+
+    Match edges (blocked pairs) → connected components (min-label
+    propagation, narrow (id,id) rows) → one agg. Only multi-member
+    entities are reported: the interesting output of a linkage run is the
+    merge list, not the identity mapping of every singleton.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = blocking_pairs(
+        corpus,
+        "id",
+        "name",
+        block_cols=[F.col("nk"), F.substring("name", 13, 6)],
+        max_distance=2,
+    )
+    assigned = resolve_entities(corpus, "id", pairs)
+    return (
+        assigned.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("id").alias("max_member_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("entity_id")
+    )
+
+
+register(
+    "entity_clusters",
+    _entity_clusters,
+    f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}
+    ), keyed AS (
+      SELECT id, name, nk, substring(name, 13, 6) AS bk FROM corpus
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.w, reach.r FROM reach JOIN edges e ON e.v = reach.v
+    ), comp AS (
+      SELECT v AS id, min(r) AS entity_id FROM reach GROUP BY v
+    )
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(id) AS max_member_id
+    FROM comp
+    GROUP BY entity_id HAVING count(*) >= 2
+    ORDER BY entity_id
+    """,
+)

@@ -64,6 +64,7 @@ def _load_all() -> None:
     from . import queries_dedup  # noqa: F401
     from . import queries_curation  # noqa: F401
     from . import queries_training  # noqa: F401
+    from . import queries_entity  # noqa: F401
     from . import queries_search  # noqa: F401
     from . import queries_timeseries  # noqa: F401
     from . import queries_similarity  # noqa: F401
