@@ -2764,3 +2764,22 @@ def test_entity_snm_misses_front_typo_without_stable_sort_key(spark):
     found_tail = {(r.id_a, r.id_b) for r in by_tail.collect()}
     assert (1, 2) in found_name and (2, 900) not in found_name
     assert (2, 900) in found_tail  # 'ZCustomer#00000002'[11:19)=='00000002'... stable tail recovers it
+
+
+def test_logreg_train_descends_and_finds_the_signal(spark):
+    """On a linearly separable synthetic set, three GD steps must strictly
+    reduce the starting log-loss each step (full-batch GD on a convex loss
+    with a sane lr), start at exactly ln 2 (w=0 => p=0.5), and push the
+    signal feature's weight positive while the noise weight stays near 0."""
+    import math
+
+    from wafer_defect_data_pipeline_spark.operators.logreg import logreg_train
+
+    rows = [(1.0 if i % 2 else 0.0, 0.5, float(i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "sig double, noise double, y double")
+    recs = logreg_train(df, ["sig", "noise"], "y", lr=0.5, steps=3)
+    losses = [r["loss_before"] for r in recs]
+    assert abs(losses[0] - math.log(2)) < 1e-6
+    assert losses[0] > losses[1] > losses[2]
+    final = recs[-1]
+    assert final["w_sig"] > 0.1 and abs(final["w_noise"]) < abs(final["w_sig"])

@@ -451,6 +451,103 @@ register(
 )
 
 
+# --- quality-classifier training (full-batch logistic regression) -----------
+def _lr_quality_train(spark, sf_dir):
+    """Three full-batch GD steps of a document-quality logistic classifier.
+
+    The CCNet/fastText-style curation step: learn "does this doc look like
+    the target corpus" (label: lang == 'en') from cheap per-doc scalars
+    (length score, stopword ratio, punctuation ratio — the same primitives
+    text_quality_scores checks). Each step is ONE map-side-combinable avg
+    aggregate with the current weights inlined as literals and a one-row
+    driver readout (operators/logreg.py) — the gradient is computed where
+    the corpus lives and only O(features) bytes ever reach the driver, the
+    same shape MLlib's LogisticRegression uses per iteration. Features and
+    per-step weights are 6dp-rounded on both engines, so the unrolled-CTE
+    oracle is exact: drift would have to appear inside a single avg() and
+    survive the round.
+    """
+    from ..functions import text as X
+    from ..operators.logreg import logreg_train
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = d.select(
+        F.round(F.least(F.length("text") / F.lit(400.0), F.lit(1.0)), 6).alias(
+            "len_score"
+        ),
+        F.round(X.stopword_ratio("text", X.LANG_STOPWORDS["en"]), 6).alias(
+            "stop_ratio"
+        ),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    recs = logreg_train(
+        feats, ["len_score", "stop_ratio", "punct_ratio"], "y", lr=0.5, steps=3
+    )
+    return spark.createDataFrame(
+        recs,
+        "step int, loss_before double, w_bias double, w_len_score double,"
+        " w_stop_ratio double, w_punct_ratio double",
+    ).orderBy("step")
+
+
+_LR_STEP_COLS = "wb, w1, w2, w3"
+
+register(
+    "training_lr_quality",
+    _lr_quality_train,
+    r"""
+    WITH f AS MATERIALIZED (
+      SELECT round(least(length(text) / 400.0, 1.0), 6) AS x1,
+             round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                   / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 6) AS x2,
+             round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS x3,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), s1 AS MATERIALIZED (
+      SELECT round(0.0 - 0.5 * avg((0.5 - y) * 1.0), 6) AS wb,
+             round(0.0 - 0.5 * avg((0.5 - y) * x1), 6) AS w1,
+             round(0.0 - 0.5 * avg((0.5 - y) * x2), 6) AS w2,
+             round(0.0 - 0.5 * avg((0.5 - y) * x3), 6) AS w3,
+             round(avg(-(y * ln(0.5) + (1.0 - y) * ln(0.5))), 6) AS loss
+      FROM f
+    ), p2 AS MATERIALIZED (
+      SELECT f.*, s1.wb AS pwb, s1.w1 AS pw1, s1.w2 AS pw2, s1.w3 AS pw3,
+             1.0 / (1.0 + exp(-(s1.wb + s1.w1 * x1 + s1.w2 * x2 + s1.w3 * x3))) AS p
+      FROM f CROSS JOIN s1
+    ), s2 AS MATERIALIZED (
+      SELECT round(max(pwb) - 0.5 * avg((p - y) * 1.0), 6) AS wb,
+             round(max(pw1) - 0.5 * avg((p - y) * x1), 6) AS w1,
+             round(max(pw2) - 0.5 * avg((p - y) * x2), 6) AS w2,
+             round(max(pw3) - 0.5 * avg((p - y) * x3), 6) AS w3,
+             round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss
+      FROM p2
+    ), p3 AS MATERIALIZED (
+      SELECT f.*, s2.wb AS pwb, s2.w1 AS pw1, s2.w2 AS pw2, s2.w3 AS pw3,
+             1.0 / (1.0 + exp(-(s2.wb + s2.w1 * x1 + s2.w2 * x2 + s2.w3 * x3))) AS p
+      FROM f CROSS JOIN s2
+    ), s3 AS MATERIALIZED (
+      SELECT round(max(pwb) - 0.5 * avg((p - y) * 1.0), 6) AS wb,
+             round(max(pw1) - 0.5 * avg((p - y) * x1), 6) AS w1,
+             round(max(pw2) - 0.5 * avg((p - y) * x2), 6) AS w2,
+             round(max(pw3) - 0.5 * avg((p - y) * x3), 6) AS w3,
+             round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss
+      FROM p3
+    )
+    SELECT CAST(1 AS INT) AS step, loss + 0.0 AS loss_before, wb + 0.0 AS w_bias,
+           w1 + 0.0 AS w_len_score, w2 + 0.0 AS w_stop_ratio, w3 + 0.0 AS w_punct_ratio
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), loss + 0.0, wb + 0.0, w1 + 0.0, w2 + 0.0, w3 + 0.0 FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), loss + 0.0, wb + 0.0, w1 + 0.0, w2 + 0.0, w3 + 0.0 FROM s3
+    ORDER BY step
+    """,
+)
+
+
 # --- contrastive hard-negative mining ---------------------------------------
 def _hard_negatives(spark, sf_dir):
     """Top-3 hardest negatives per anchor: most cosine-similar vectors with
