@@ -2783,3 +2783,20 @@ def test_logreg_train_descends_and_finds_the_signal(spark):
     assert losses[0] > losses[1] > losses[2]
     final = recs[-1]
     assert final["w_sig"] > 0.1 and abs(final["w_noise"]) < abs(final["w_sig"])
+
+
+def test_strip_html_kills_blocks_tags_entities(spark):
+    """script/style content dies entirely (including a '<' inside the
+    script body), tags and entities become collapsed whitespace, and
+    clean text survives verbatim."""
+    from wafer_defect_data_pipeline_spark.functions.text import strip_html
+
+    page = (
+        '<html><head><style>p {color: red}</style></head><body>'
+        '<div class="nav">Home &amp; About</div>'
+        "<p>real   content</p><script>var x = 1 < 2;</script>"
+        "<footer>&copy; 2026</footer></body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "page string")
+    out = df.select(strip_html("page").alias("clean")).collect()[0]["clean"]
+    assert out == "Home About real content 2026"

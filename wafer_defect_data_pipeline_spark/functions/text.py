@@ -185,3 +185,29 @@ def rolling_min_fingerprint(text: Column | str, k: int = 3) -> Column:
     """
     sh = token_shingles(text, k)
     return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+
+
+#: script/style elements whose CONTENT must go, not just the tags
+HTML_BLOCK_RES = [r"(?s)<script[^>]*>.*?</script>", r"(?s)<style[^>]*>.*?</style>"]
+HTML_TAG_RE = r"<[^>]+>"
+HTML_ENTITY_RE = r"&[A-Za-z]+;|&#[0-9]+;"
+
+
+def strip_html(text: Column | str) -> Column:
+    """Main-content extraction: drop script/style blocks, strip tags and
+    entities, collapse whitespace.
+
+    Pure chained ``regexp_replace`` — JVM-side, codegen'd, no shuffle. The
+    block patterns avoid backreferences on purpose (one pass per element
+    kind) so the SAME regexes run under Java's engine here and RE2 in the
+    DuckDB oracle; ``(?s)`` + lazy ``.*?`` are common to both. This is the
+    boilerplate-removal step a crawl-ingest pipeline runs before any text
+    statistic; tag-dense chrome (nav/footer/script) contributes zero
+    retained characters.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in HTML_BLOCK_RES:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    c = F.regexp_replace(c, HTML_ENTITY_RE, " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

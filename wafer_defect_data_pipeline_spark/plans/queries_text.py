@@ -509,3 +509,81 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# --- HTML boilerplate stripping (crawl-ingest main-content extraction) ------
+_HTML_POST = (
+    '</p><script type="text/javascript">var x = 1 < 2;</script>'
+    "<footer>&copy; 2026 example</footer></body></html>"
+)
+
+
+def _html_strip(spark, sf_dir):
+    """Per-doc main-content extraction stats over planted HTML pages.
+
+    The corpus is wrapped in a deterministic page skeleton (head/style/nav/
+    script/footer — built with IDENTICAL string expressions in the oracle,
+    so the planted chrome is real boilerplate, not empty-input vacuity) and
+    ``strip_html`` recovers the content: script/style blocks die content-
+    and-all, tags and entities become whitespace, whitespace collapses.
+    Everything is a chained codegen'd regexp projection — zero shuffle, the
+    scan dominates; retention ratio is the page-weight statistic a crawl
+    datacard reports.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><head><title>'),
+        F.col("source"),
+        F.lit('</title><style>p{color:red}</style></head>'
+              '<body><div class="nav">Home &amp; About | Contact</div><p>'),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    base = d.select("doc_id", page.alias("page"))
+    clean = X.strip_html("page")
+    return (
+        base.select(
+            "doc_id",
+            F.length("page").alias("raw_len"),
+            F.length(clean).alias("clean_len"),
+            F.md5(clean).alias("clean_md5"),
+            F.round(F.length(clean) / F.length("page"), 6).alias("retention"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_html_strip",
+    _html_strip,
+    r"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>' || source ||
+             '</title><style>p{color:red}</style></head>' ||
+             '<body><div class="nav">Home &amp; About | Contact</div><p>' ||
+             text ||
+             '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+             '<footer>&copy; 2026 example</footer></body></html>' AS page
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, page,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(page, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&[A-Za-z]+;|&#[0-9]+;', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+      FROM pages
+    )
+    SELECT doc_id,
+           CAST(length(page) AS INTEGER) AS raw_len,
+           CAST(length(clean) AS INTEGER) AS clean_len,
+           md5(clean) AS clean_md5,
+           round(CAST(length(clean) AS DOUBLE) / length(page), 6) AS retention
+    FROM cleaned ORDER BY doc_id
+    """,
+)
