@@ -222,3 +222,102 @@ register(
     ORDER BY entity_id
     """,
 )
+
+
+def _golden_records(spark, sf_dir):
+    """Survivorship: one canonical record per multi-member entity.
+
+    The merge step after linkage — each entity keeps the min-id member's
+    name (master-record rule), the best (max) account balance across
+    members, and the merge count. ``min_by`` makes the survivorship rule a
+    plain aggregate over the (id, entity_id) assignment joined back to the
+    narrow attribute projection — no window, one shuffle on entity_id.
+    Planted variants perturb the balance (+10/+20) so the max genuinely
+    crosses records, not just duplicates the base value.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    v1 = c.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + F.lit(1_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 10), F.lit("X"), F.expr("substring(name, 12)")
+        ).alias("name"),
+        "nk",
+        (F.col("bal") + F.lit(10.0)).alias("bal"),
+    )
+    v2 = c.filter(F.col("id") % 40 == 0).select(
+        (F.col("id") + F.lit(2_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 9), F.lit("Z"), F.expr("substring(name, 11)")
+        ).alias("name"),
+        "nk",
+        (F.col("bal") + F.lit(20.0)).alias("bal"),
+    )
+    corpus = c.unionByName(v1).unionByName(v2)
+    pairs = blocking_pairs(
+        corpus,
+        "id",
+        "name",
+        block_cols=[F.col("nk"), F.substring("name", 13, 6)],
+        max_distance=2,
+    )
+    assigned = resolve_entities(corpus, "id", pairs)
+    merged = corpus.join(assigned, on="id")
+    return (
+        merged.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("min_by(name, id)").alias("canonical_name"),
+            F.round(F.max("bal"), 2).alias("best_acctbal"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("entity_id")
+    )
+
+
+register(
+    "entity_golden_records",
+    _golden_records,
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk, c_acctbal AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             substring(c_name, 1, 10) || 'X' || substring(c_name, 12),
+             c_nationkey, c_acctbal + 10.0
+      FROM customer WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000,
+             substring(c_name, 1, 9) || 'Z' || substring(c_name, 11),
+             c_nationkey, c_acctbal + 20.0
+      FROM customer WHERE c_custkey % 40 = 0
+    ), keyed AS (
+      SELECT id, name, nk, substring(name, 13, 6) AS bk FROM corpus
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.w, reach.r FROM reach JOIN edges e ON e.v = reach.v
+    ), comp AS (
+      SELECT v AS id, min(r) AS entity_id FROM reach GROUP BY v
+    )
+    SELECT comp.entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min_by(corpus.name, corpus.id) AS canonical_name,
+           round(max(corpus.bal), 2) AS best_acctbal
+    FROM corpus JOIN comp ON corpus.id = comp.id
+    GROUP BY comp.entity_id HAVING count(*) >= 2
+    ORDER BY comp.entity_id
+    """,
+)

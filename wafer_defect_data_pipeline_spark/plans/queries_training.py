@@ -491,13 +491,8 @@ def _lr_quality_train(spark, sf_dir):
     ).orderBy("step")
 
 
-_LR_STEP_COLS = "wb, w1, w2, w3"
-
-register(
-    "training_lr_quality",
-    _lr_quality_train,
-    r"""
-    WITH f AS MATERIALIZED (
+# the unrolled 3-step training chain, shared by the train and score oracles
+_LR_CTES = r"""f AS MATERIALIZED (
       SELECT round(least(length(text) / 400.0, 1.0), 6) AS x1,
              round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                    x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
@@ -535,7 +530,13 @@ register(
              round(max(pw3) - 0.5 * avg((p - y) * x3), 6) AS w3,
              round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss
       FROM p3
-    )
+    )"""
+
+register(
+    "training_lr_quality",
+    _lr_quality_train,
+    f"""
+    WITH {_LR_CTES}
     SELECT CAST(1 AS INT) AS step, loss + 0.0 AS loss_before, wb + 0.0 AS w_bias,
            w1 + 0.0 AS w_len_score, w2 + 0.0 AS w_stop_ratio, w3 + 0.0 AS w_punct_ratio
     FROM s1
@@ -544,6 +545,78 @@ register(
     UNION ALL
     SELECT CAST(3 AS INT), loss + 0.0, wb + 0.0, w1 + 0.0, w2 + 0.0, w3 + 0.0 FROM s3
     ORDER BY step
+    """,
+)
+
+
+# --- classifier application: score the corpus, report calibration deciles ---
+def _lr_quality_scores(spark, sf_dir):
+    """Apply the 3-step-trained classifier to the whole corpus and bucket
+    the predicted probabilities into deciles — the DSIR/CCNet apply step,
+    where the trained head becomes a keep/resample signal over 100 TB.
+
+    Training reuses the one-agg-per-step loop (weights arrive as Python
+    floats); SCORING is a pure projection with the weights inlined as
+    literals — no shuffle until the decile rollup, which is one
+    map-side-combinable agg on a 10-value key. The per-decile en-rate vs
+    avg predicted p is the calibration readout a filtering run checks
+    before trusting the threshold.
+    """
+    from ..functions import text as X
+    from ..operators.logreg import logreg_train
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.round(F.least(F.length("text") / F.lit(400.0), F.lit(1.0)), 6).alias(
+            "len_score"
+        ),
+        F.round(X.stopword_ratio("text", X.LANG_STOPWORDS["en"]), 6).alias(
+            "stop_ratio"
+        ),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    w = logreg_train(
+        feats, ["len_score", "stop_ratio", "punct_ratio"], "y", lr=0.5, steps=3
+    )[-1]
+    z = (
+        F.lit(w["w_bias"])
+        + F.lit(w["w_len_score"]) * F.col("len_score")
+        + F.lit(w["w_stop_ratio"]) * F.col("stop_ratio")
+        + F.lit(w["w_punct_ratio"]) * F.col("punct_ratio")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = feats.select(
+        "y",
+        p.alias("p"),
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("decile"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_en"),
+            (F.round(F.avg("p"), 6) + F.lit(0.0)).alias("avg_p"),
+        )
+        .orderBy("decile")
+    )
+
+
+register(
+    "training_lr_scores",
+    _lr_quality_scores,
+    f"""
+    WITH {_LR_CTES}, scored AS (
+      SELECT f.y,
+             round(1.0 / (1.0 + exp(-(s3.wb + s3.w1 * x1 + s3.w2 * x2 + s3.w3 * x3))), 6) AS p
+      FROM f CROSS JOIN s3
+    )
+    SELECT CAST(least(floor(p * 10), 9) AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_en,
+           round(avg(p), 6) + 0.0 AS avg_p
+    FROM scored GROUP BY 1 ORDER BY decile
     """,
 )
 
