@@ -84,6 +84,11 @@ HEADLINE = [
     # round-8 addition: gram-index merge + day-2 probe (the daily-crawl
     # admit loop — index build, batch explode, merge, probe in one query)
     "dedup_incremental_spans_merged",
+    # round-8 session-2 additions: record linkage end-to-end (block +
+    # Levenshtein verify + transitive closure) and distributed
+    # quality-classifier training (one agg per GD step)
+    "entity_clusters",
+    "training_lr_quality",
 ]
 
 

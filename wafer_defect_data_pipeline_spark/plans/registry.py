@@ -92,6 +92,13 @@ def _load_all() -> None:
 # listed name missing from the registry is a hard error (catches renames).
 _PRIORITY: list[str] = [
     # (a) new or changed this round
+    "entity_matches_blocked",  # NEW: record-linkage blocking + verify
+    "entity_matches_sorted",  # NEW: sorted-neighborhood pass
+    "entity_clusters",  # NEW: transitive entity ids
+    "entity_golden_records",  # NEW: survivorship merge
+    "training_lr_quality",  # NEW: distributed logistic-regression training
+    "training_lr_scores",  # NEW: classifier application + calibration deciles
+    "text_html_strip",  # NEW: boilerplate removal
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
