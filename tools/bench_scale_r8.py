@@ -47,6 +47,16 @@ ANN = [
     "similarity_nsw_topk",
     "dedup_jaccard_pairs_auto",
 ]
+# round-8 session-3 families: entity resolution, LR training, HTML strip
+S3 = [
+    "entity_matches_blocked",
+    "entity_matches_sorted",
+    "entity_clusters",
+    "entity_golden_records",
+    "training_lr_quality",
+    "training_lr_scores",
+    "text_html_strip",
+]
 
 
 def _time_one(spark, fn, sf_dir) -> dict[str, float]:
@@ -74,10 +84,10 @@ def main() -> None:
     spark = get_spark(app_name=f"scale-r8-{mode}")
     spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm JVM
 
-    if mode in ("span", "ann"):
+    if mode in ("span", "ann", "s3"):
         reg = all_queries()
         res = {}
-        for n in SPAN if mode == "span" else ANN:
+        for n in {"span": SPAN, "ann": ANN, "s3": S3}[mode]:
             res[n] = _time_one(spark, reg[n], sf_dir)
             print(f"## {n}: {res[n]}", flush=True)
         print(json.dumps({"mode": mode, "sf_dir": sf_dir, "results": res}))

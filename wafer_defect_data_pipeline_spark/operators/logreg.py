@@ -48,11 +48,15 @@ def logreg_train(
     ``w_<feature>``.
     """
     cols = ["__bias"] + list(feature_cols)
+    # The narrow (features, label) projection feeds EVERY step's aggregate:
+    # pin it (house loop rule) so the feature extraction upstream — often a
+    # full-corpus tokenize — runs once, not once per step. Step 1's agg
+    # materializes the lazy checkpoint; steps 2+ read ~(k+1) doubles/row.
     base = features.select(
         F.lit(1.0).alias("__bias"),
         *[F.col(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("__y"),
-    )
+    ).localCheckpoint(eager=False)
     w = {c: 0.0 for c in cols}
     out: list[dict] = []
     for step in range(1, steps + 1):

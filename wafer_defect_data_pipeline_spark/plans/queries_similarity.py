@@ -397,19 +397,75 @@ register(
 )
 
 
-# --- ZCA whitening (rows-only: eigendecomposition not SQL-expressible;
-# pytest asserts unit variance + decorrelation of the output) ---------------
+# --- ZCA whitening, promoted to an exact evidence oracle (was rows-only) ----
 def _zca_whiten(spark, sf_dir):
+    """Whitening evidence, the embedding_pca_projection pattern: the
+    whitened components are eigensolver outputs no SQL replays, so the
+    registered output is 64 per-dimension evidence rows computed from the
+    REAL whitened dataflow — fully distributed, zero driver readout:
+
+    - ``var_unit_ok``: the population variance of whitened dimension i over
+      the actual mapInPandas output equals 1 within 1e-5 (eps=1e-12 keeps
+      the λ/(λ+ε) shrinkage ~2e-10, far below tolerance). A wrong W, a
+      wrong mean, or a transposed eigenbasis flips this.
+    - ``mean_zero_ok``: whitened dimension i averages to ~0 (the centering
+      actually applied inside the kernel).
+    - ``raw_var``: the dimension's RAW population variance, which DuckDB
+      computes from the untouched embeddings with no eigensolver — the
+      genuinely shared exact value (round 4dp + 0.0).
+
+    The per-vector values stay pinned by embedding_zca_identity_check
+    (the 64×64 identity covariance, exact) and the unit-variance/
+    decorrelation property pytest. Previously rows-only (per-vector
+    sq_norms, exact_twin=embedding_zca_identity_check)."""
+    from ..functions.arrays import as_double
     from ..operators.decomposition import zca_whiten
 
     emb = read_table(spark, sf_dir, "embeddings")
-    out = zca_whiten(emb, "vec_id", "embedding", dim=64)
-    return out.select(
-        "vec_id", F.round(F.aggregate("white", F.lit(0.0), lambda a, x: a + x * x), 6).alias("sq_norm")
-    ).orderBy("vec_id")
+    white = zca_whiten(emb, "vec_id", "embedding", dim=64, eps=1e-12)
+    wstats = (
+        white.select(F.posexplode("white").alias("pos", "w"))
+        .groupBy("pos")
+        .agg(F.avg("w").alias("m"), F.avg(F.col("w") * F.col("w")).alias("s"))
+        .select(
+            (F.col("pos") + 1).alias("dim"),
+            (F.abs(F.col("s") - F.col("m") * F.col("m") - 1.0) <= 1e-5).alias(
+                "var_unit_ok"
+            ),
+            (F.abs("m") <= 1e-5).alias("mean_zero_ok"),
+        )
+    )
+    raw = (
+        emb.select(F.posexplode(as_double("embedding")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.round(
+                    F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 4
+                )
+                + F.lit(0.0)
+            ).alias("raw_var")
+        )
+        .select((F.col("pos") + 1).alias("dim"), "raw_var")
+    )
+    return wstats.join(raw, on="dim").orderBy("dim")
 
 
-register("embedding_zca_whiten", _zca_whiten, None, exact_twin="embedding_zca_identity_check")
+register(
+    "embedding_zca_whiten",
+    _zca_whiten,
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i)
+    SELECT dims.i AS dim,
+           TRUE AS var_unit_ok,
+           TRUE AS mean_zero_ok,
+           round(avg(v[dims.i] * v[dims.i]) - avg(v[dims.i]) * avg(v[dims.i]), 4) + 0.0 AS raw_var
+    FROM e CROSS JOIN dims
+    GROUP BY dims.i
+    ORDER BY dim
+    """,
+)
 
 
 # --- ZCA identity check (EXACT oracle) --------------------------------------
