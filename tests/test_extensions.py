@@ -2800,3 +2800,22 @@ def test_strip_html_kills_blocks_tags_entities(spark):
     df = spark.createDataFrame([(page,)], "page string")
     out = df.select(strip_html("page").alias("clean")).collect()[0]["clean"]
     assert out == "Home About real content 2026"
+
+
+def test_entity_blocking_purges_flooded_blocks(spark):
+    """Block purging: a degenerate key (empty-name records all landing in
+    one block) must contribute ZERO candidates when max_block_size caps it,
+    while normal blocks keep matching — the quadratic reducer never runs."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.entity import blocking_pairs
+
+    flood = [(i, "", 1) for i in range(200)]
+    good = [(1001, "Customer#000000042", 1), (1002, "Customer#0X0000042", 1)]
+    df = spark.createDataFrame(flood + good, "id long, name string, nk int")
+    block = [F.col("nk"), F.substring("name", 13, 6)]
+    capped = blocking_pairs(df, "id", "name", block, max_block_size=50)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(1001, 1002)}
+    uncapped = blocking_pairs(df, "id", "name", block).count()
+    assert uncapped == 200 * 199 // 2 + 1  # what the cap is protecting against

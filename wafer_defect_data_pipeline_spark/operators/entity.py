@@ -48,6 +48,7 @@ def blocking_pairs(
     name_col: str,
     block_cols: list,
     max_distance: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Verified match pairs ``(id_a, id_b, lev_dist)`` from standard blocking.
 
@@ -58,9 +59,15 @@ def blocking_pairs(
     materialize. Output ids are oriented ``id_a < id_b``.
 
     Scale: one shuffle of (block_key, id, name); within-block pairs are
-    quadratic in BLOCK size only (key design bounds it — the caller picks
-    keys with near-unique selectivity, and a skewed block shows up in the
-    shuffle-read metrics long before it shows up as a wrong answer).
+    quadratic in BLOCK size only. Key design bounds typical blocks, but
+    real corpora flood: a null/empty/default name puts millions of records
+    under ONE key and the triangular join goes quadratic on exactly that
+    reducer. ``max_block_size`` is the standard ER countermeasure (block
+    purging — oversized blocks are dropped wholesale, cf. the blocking
+    surveys in Christen 2012): one window count per record, blocks above
+    the cap contribute no candidates at all. Skipped mass is visible —
+    count the purged rows in a datacard — and recall for purged records
+    must come from another pass (a different key), never from brute force.
     """
     keyed = df.select(
         F.col(id_col).alias("__id"),
@@ -68,6 +75,12 @@ def blocking_pairs(
         *[c.alias(f"__bk{i}") for i, c in enumerate(block_cols)],
     )
     bk = [f"__bk{i}" for i in range(len(block_cols))]
+    if max_block_size is not None:
+        from pyspark.sql import Window as W
+
+        keyed = keyed.withColumn(
+            "__bs", F.count(F.lit(1)).over(W.partitionBy(*bk))
+        ).filter(F.col("__bs") <= max_block_size)
     left = keyed.select(
         *bk, F.col("__id").alias("id_a"), F.col("__name").alias("__na")
     )
