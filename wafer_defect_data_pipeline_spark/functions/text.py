@@ -188,26 +188,26 @@ def rolling_min_fingerprint(text: Column | str, k: int = 3) -> Column:
 
 
 #: script/style elements whose CONTENT must go, not just the tags
-HTML_BLOCK_RES = [r"(?s)<script[^>]*>.*?</script>", r"(?s)<style[^>]*>.*?</style>"]
-HTML_TAG_RE = r"<[^>]+>"
-HTML_ENTITY_RE = r"&[A-Za-z]+;|&#[0-9]+;"
+HTML_BLOCK_RE = r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+#: tags and entities both rewrite to whitespace — one alternation, one pass
+HTML_TAG_ENTITY_RE = r"<[^>]+>|&[A-Za-z]+;|&#[0-9]+;"
 
 
 def strip_html(text: Column | str) -> Column:
     """Main-content extraction: drop script/style blocks, strip tags and
     entities, collapse whitespace.
 
-    Pure chained ``regexp_replace`` — JVM-side, codegen'd, no shuffle. The
-    block patterns avoid backreferences on purpose (one pass per element
-    kind) so the SAME regexes run under Java's engine here and RE2 in the
-    DuckDB oracle; ``(?s)`` + lazy ``.*?`` are common to both. This is the
-    boilerplate-removal step a crawl-ingest pipeline runs before any text
-    statistic; tag-dense chrome (nav/footer/script) contributes zero
+    Pure chained ``regexp_replace`` — JVM-side, codegen'd, no shuffle, and
+    exactly THREE passes (blocks, tags+entities, whitespace): every pass
+    rewrites the full string, so pass count is the constant factor that
+    dominates at corpus scale. The patterns avoid backreferences on
+    purpose so the SAME regexes run under Java's engine here and RE2 in
+    the DuckDB oracle; ``(?s)`` + lazy ``.*?`` are common to both. This is
+    the boilerplate-removal step a crawl-ingest pipeline runs before any
+    text statistic; tag-dense chrome (nav/footer/script) contributes zero
     retained characters.
     """
     c = F.col(text) if isinstance(text, str) else text
-    for pat in HTML_BLOCK_RES:
-        c = F.regexp_replace(c, pat, " ")
-    c = F.regexp_replace(c, HTML_TAG_RE, " ")
-    c = F.regexp_replace(c, HTML_ENTITY_RE, " ")
+    c = F.regexp_replace(c, HTML_BLOCK_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_ENTITY_RE, " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))

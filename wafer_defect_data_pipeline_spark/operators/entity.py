@@ -99,6 +99,51 @@ def blocking_pairs(
     )
 
 
+def blocking_probe(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols_fn,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Asymmetric linkage: match NEW records against an ADMITTED index.
+
+    The incremental form of :func:`blocking_pairs` — a daily batch of
+    records probes the master entity table on the blocking key instead of
+    self-joining the union (history names are never re-shuffled against
+    each other, only against the batch). ``block_cols_fn`` maps a frame to
+    its blocking-key columns so both sides derive the key identically.
+    Output: ``(new_id, index_id, lev_dist)``.
+
+    Scale: the batch side is a day's crawl, the index side shuffles only
+    (key, id, name) — and with the batch small enough Spark broadcasts it,
+    making the probe one scan of the index. At 100 TB of accumulated
+    entities the index-side shuffle is avoided entirely by writing the
+    index partitioned on the blocking key (the gram-index layout trick).
+    """
+    left = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.col(name_col).alias("__na"),
+        *[c.alias(f"__bk{i}") for i, c in enumerate(block_cols_fn(new_df))],
+    )
+    right = index_df.select(
+        F.col(id_col).alias("index_id"),
+        F.col(name_col).alias("__nb"),
+        *[c.alias(f"__bk{i}") for i, c in enumerate(block_cols_fn(index_df))],
+    )
+    bk = [c for c in left.columns if c.startswith("__bk")]
+    return (
+        left.join(right, on=bk)
+        .filter(F.levenshtein("__na", "__nb") <= max_distance)
+        .select(
+            "new_id",
+            "index_id",
+            F.levenshtein("__na", "__nb").cast("int").alias("lev_dist"),
+        )
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

@@ -321,3 +321,59 @@ register(
     ORDER BY comp.entity_id
     """,
 )
+
+
+def _streaming_linkage(spark, sf_dir):
+    """Streaming admit-loop linkage; see streaming/dedup.py
+    ``run_streaming_entity_linkage``. Day-2 matches exist only through
+    day-1's admission into the master-entity snapshot."""
+    from ..streaming.dedup import run_streaming_entity_linkage
+
+    return run_streaming_entity_linkage(spark, sf_dir)
+
+
+register(
+    "entity_streaming_linkage",
+    _streaming_linkage,
+    """
+    WITH hist AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk FROM customer
+    ), b1 AS (
+      SELECT c_custkey + 1000000 AS id,
+             substring(c_name, 1, 10) || 'X' || substring(c_name, 12) AS name,
+             c_nationkey AS nk
+      FROM customer WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey + 3000000,
+             'Customer#' || lpad(CAST(c_custkey + 500000 AS VARCHAR), 9, '0'),
+             c_nationkey
+      FROM customer WHERE c_custkey % 20 = 10
+    ), b2 AS (
+      SELECT c_custkey + 4000000 AS id,
+             'Customer#Z' || substring(lpad(CAST(c_custkey + 500000 AS VARCHAR), 9, '0'), 2, 8) AS name,
+             c_nationkey AS nk
+      FROM customer WHERE c_custkey % 20 = 10
+      UNION ALL
+      SELECT c_custkey + 5000000,
+             'Customer#' || lpad(CAST(c_custkey + 600000 AS VARCHAR), 9, '0'),
+             c_nationkey
+      FROM customer WHERE c_custkey % 20 = 5
+    ), idx2 AS (
+      SELECT * FROM hist UNION ALL SELECT * FROM b1
+    ), p1 AS (
+      SELECT b.id AS new_id, i.id AS index_id,
+             CAST(levenshtein(b.name, i.name) AS INT) AS lev_dist
+      FROM b1 b JOIN hist i
+        ON b.nk = i.nk AND substring(b.name, 13, 6) = substring(i.name, 13, 6)
+      WHERE levenshtein(b.name, i.name) <= 2
+    ), p2 AS (
+      SELECT b.id AS new_id, i.id AS index_id,
+             CAST(levenshtein(b.name, i.name) AS INT) AS lev_dist
+      FROM b2 b JOIN idx2 i
+        ON b.nk = i.nk AND substring(b.name, 13, 6) = substring(i.name, 13, 6)
+      WHERE levenshtein(b.name, i.name) <= 2
+    )
+    SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) t
+    ORDER BY new_id, index_id
+    """,
+)

@@ -570,12 +570,9 @@ register(
       SELECT doc_id, page,
              trim(regexp_replace(
                regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(page, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-                   '<[^>]+>', ' ', 'g'),
-                 '&[A-Za-z]+;|&#[0-9]+;', ' ', 'g'),
+                 regexp_replace(page,
+                   '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]+>|&[A-Za-z]+;|&#[0-9]+;', ' ', 'g'),
                '\s+', ' ', 'g')) AS clean
       FROM pages
     )

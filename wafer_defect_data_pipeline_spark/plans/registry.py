@@ -96,6 +96,8 @@ _PRIORITY: list[str] = [
     "entity_matches_sorted",  # NEW: sorted-neighborhood pass
     "entity_clusters",  # NEW: transitive entity ids
     "entity_golden_records",  # NEW: survivorship merge
+    "entity_streaming_linkage",  # NEW: streaming probe-then-admit linkage
+    "embedding_zca_whiten",  # PROMOTED: evidence oracle (was rows-only)
     "training_lr_quality",  # NEW: distributed logistic-regression training
     "training_lr_scores",  # NEW: classifier application + calibration deciles
     "text_html_strip",  # NEW: boilerplate removal
@@ -119,7 +121,6 @@ _PRIORITY: list[str] = [
     # (b) rows-only refresh (weaker rows — keep them recent anyway)
     "dedup_mllib_minhash_lsh",
     "similarity_lsh_pairs",
-    "embedding_zca_whiten",
     "text_bpe_token_stats",
     "text_bpe_learned_merges",
     "events_stateful_profile",

@@ -235,3 +235,110 @@ def run_streaming_minhash_probe(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("new_id", "index_id")
+
+
+def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming record linkage: each micro-batch of customer records
+    probes the ADMITTED master-entity snapshot (operators/entity.py
+    ``blocking_probe`` — blocking-key equi-join + Levenshtein verify,
+    history names never self-join), then the batch is admitted for every
+    later one. The entity-resolution analogue of the span/minhash admit
+    loops above: day-2 typos of day-1 novel records are linkable only
+    through the admission step.
+
+    Two staged days, oldest-mtime-first: day 1 carries one-typo variants
+    of history customers (pos 11 -> 'X') plus novel records with fresh
+    key ranges; day 2 carries typos OF DAY 1's novel records
+    (pos 10 -> 'Z') plus genuinely new ones. Names are built from the
+    same lpad arithmetic in the DuckDB oracle, and Levenshtein is
+    integer-exact, so the probe output replays bit-for-bit (batch 1 vs
+    history, batch 2 vs history + batch 1).
+
+    Returns ``(new_id, index_id, lev_dist)`` across both days.
+    """
+    import os
+    import shutil
+
+    from ..operators.entity import blocking_probe
+    from ..sources import read_table
+
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    work = f"/tmp/wdps_stream_er_{uuid.uuid4().hex[:8]}"
+    staged, out_dir, idx_dir = f"{work}/in", f"{work}/pairs", f"{work}/idx"
+    os.makedirs(staged)
+
+    novel_name = F.concat(
+        F.lit("Customer#"), F.lpad((F.col("id") + F.lit(500_000)).cast("string"), 9, "0")
+    )
+    batch1 = c.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + F.lit(1_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 10), F.lit("X"), F.expr("substring(name, 12)")
+        ).alias("name"),
+        "nk",
+    ).unionByName(
+        c.filter(F.col("id") % 20 == 10).select(
+            (F.col("id") + F.lit(3_000_000)).alias("id"),
+            novel_name.alias("name"),
+            "nk",
+        )
+    )
+    batch2 = c.filter(F.col("id") % 20 == 10).select(
+        (F.col("id") + F.lit(4_000_000)).alias("id"),
+        F.concat(
+            F.lit("Customer#Z"),
+            F.substring(
+                F.lpad((F.col("id") + F.lit(500_000)).cast("string"), 9, "0"), 2, 8
+            ),
+        ).alias("name"),
+        "nk",
+    ).unionByName(
+        c.filter(F.col("id") % 20 == 5).select(
+            (F.col("id") + F.lit(5_000_000)).alias("id"),
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad((F.col("id") + F.lit(600_000)).cast("string"), 9, "0"),
+            ).alias("name"),
+            "nk",
+        )
+    )
+    for i, b in enumerate((batch1, batch2), start=1):
+        tmp = f"{work}/day{i}"
+        b.coalesce(1).write.parquet(tmp)
+        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = f"{staged}/day{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    c.write.parquet(f"{idx_dir}/v0")
+    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+
+    def block_cols(df: DataFrame) -> list:
+        return [df["nk"], F.substring(df["name"], 13, 6)]
+
+    def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        idx = sp.read.parquet(cur["path"])
+        blocking_probe(
+            batch_df, idx, "id", "name", block_cols, max_distance=2
+        ).write.mode("append").parquet(out_dir)
+        nxt = f"{idx_dir}/v{batch_id + 1}"
+        idx.unionByName(batch_df.select("id", "name", "nk")).write.parquet(nxt)
+        old, cur["path"] = cur["path"], nxt
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema("id long, name string, nk int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_admit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("new_id", "index_id")
