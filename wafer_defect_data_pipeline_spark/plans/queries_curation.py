@@ -1429,3 +1429,155 @@ register(
     ORDER BY strategy
     """,
 )
+
+
+# --- dataset snapshot diff (versioned-corpus governance) ---------------------
+def _snapshot_diff(spark, sf_dir):
+    """Row-level diff between two corpus snapshots: added / removed /
+    changed / unchanged, decided by key + content fingerprint.
+
+    The audit every versioned dataset release runs ("what moved between
+    v1 and v2"). Shape: each side reduces to (key, md5) — 40 bytes/row
+    regardless of document width, the text never leaves its scan — then
+    ONE full outer join on the key and a status rollup. At 100 TB both
+    fingerprint projections pipeline behind their scans and the join
+    shuffles only fingerprints; with both snapshots written bucketed by
+    key even that shuffle disappears. The "new" snapshot is derived from
+    the corpus with planted edits (every 50th doc edited, every 97th+3
+    dropped, clones of every 41st added) so all four statuses have real
+    rows, identically planted in the oracle.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 97 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 41 == 0).select(
+                (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+                F.concat(F.lit("brand new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    oh = d.select("doc_id", F.md5("text").alias("h_old"))
+    nh = new.select("doc_id", F.md5("text").alias("h_new"))
+    j = oh.join(nh, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+register(
+    "curation_snapshot_diff",
+    _snapshot_diff,
+    """
+    WITH old AS (
+      SELECT doc_id, text FROM documents
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN text || ' edited' ELSE text END AS text
+      FROM documents WHERE doc_id % 97 <> 3
+      UNION ALL
+      SELECT doc_id + 9000000, 'brand new ' || text
+      FROM documents WHERE doc_id % 41 = 0
+    ), oh AS (SELECT doc_id, md5(text) AS h_old FROM old),
+    nh AS (SELECT doc_id, md5(text) AS h_new FROM new),
+    j AS (
+      SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id, h_old, h_new
+      FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+    )
+    SELECT CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_old <> h_new THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(doc_id) AS min_key,
+           max(doc_id) AS max_key
+    FROM j GROUP BY 1 ORDER BY status
+    """,
+)
+
+
+# --- deletion propagation (right-to-erasure cascade audit) -------------------
+def _delete_propagation(spark, sf_dir):
+    """Cascade audit for a deletion request: given a customer tombstone
+    list, count the rows each downstream table loses (orders via custkey,
+    lineitems via those orders) and what remains.
+
+    Shape: the tombstone list is a narrow key projection that semi-joins
+    each child table — Spark broadcasts it when small, and each count is
+    map-side-combinable; the lineitem leg reuses the deleted-orders keys
+    (not the customer list) so the cascade follows the actual FK path.
+    No table is ever rewritten here: the audit is what a GDPR run
+    executes FIRST, and its counts are the acceptance criteria for the
+    anti-join rewrite that follows.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % 100 == 7).select(
+        F.col("c_custkey").alias("k")
+    )
+    del_orders = orders.join(
+        tomb, orders["o_custkey"] == tomb["k"], "left_semi"
+    ).select("o_orderkey", "o_custkey")
+    c_stats = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.sum((F.col("c_custkey") % 100 == 7).cast("long")).alias("n_deleted"),
+        F.sum((F.col("c_custkey") % 100 != 7).cast("long")).alias("n_retained"),
+    )
+    o_del = del_orders.count()
+    o_total = orders.count()
+    li_del = li.join(
+        del_orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    li_total = li.count()
+    rest = spark.createDataFrame(
+        [("orders", o_del, o_total - o_del), ("lineitem", li_del, li_total - li_del)],
+        "table_name string, n_deleted long, n_retained long",
+    )
+    return c_stats.unionByName(rest).orderBy("table_name")
+
+
+register(
+    "privacy_delete_propagation",
+    _delete_propagation,
+    """
+    WITH tomb AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 100 = 7
+    ), del_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM tomb)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM tomb) AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM customer WHERE c_custkey % 100 <> 7) AS BIGINT) AS n_retained
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM tomb)) AS BIGINT)
+    ORDER BY table_name
+    """,
+)

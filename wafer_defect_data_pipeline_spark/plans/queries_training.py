@@ -491,9 +491,12 @@ def _lr_quality_train(spark, sf_dir):
     ).orderBy("step")
 
 
-# the unrolled 3-step training chain, shared by the train and score oracles
+# the unrolled 3-step training chain, shared by the train/score/resample
+# oracles (doc_id and lang ride along for the application-side queries;
+# the training aggregates ignore them)
 _LR_CTES = r"""f AS MATERIALIZED (
-      SELECT round(least(length(text) / 400.0, 1.0), 6) AS x1,
+      SELECT doc_id, lang,
+             round(least(length(text) / 400.0, 1.0), 6) AS x1,
              round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                    x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
                    / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 6) AS x2,
@@ -679,5 +682,80 @@ register(
       FROM scored
     ) t WHERE rank <= 3
     ORDER BY anchor_id, rank
+    """,
+)
+
+
+# --- classifier-gated resampling (the DSIR/CCNet keep step) ------------------
+def _lr_importance_resample(spark, sf_dir):
+    """Accept each document with probability = its trained quality score,
+    decided by the engine-portable md5 uniform (operators/sampling
+    ``_hash_frac``) — rand()-free, so which docs survive is exactly
+    replayable. This is the keep step a classifier-filtered pretraining
+    corpus runs at 100 TB: training amortizes over the whole corpus (3
+    one-agg steps), the gate itself is a pure projection, and the rollup
+    reports per-language survival plus the mean kept score.
+    """
+    from ..functions import text as X
+    from ..operators.logreg import logreg_train
+    from ..operators.sampling import _hash_frac
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.round(F.least(F.length("text") / F.lit(400.0), F.lit(1.0)), 6).alias(
+            "len_score"
+        ),
+        F.round(X.stopword_ratio("text", X.LANG_STOPWORDS["en"]), 6).alias(
+            "stop_ratio"
+        ),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    w = logreg_train(
+        feats, ["len_score", "stop_ratio", "punct_ratio"], "y", lr=0.5, steps=3
+    )[-1]
+    z = (
+        F.lit(w["w_bias"])
+        + F.lit(w["w_len_score"]) * F.col("len_score")
+        + F.lit(w["w_stop_ratio"]) * F.col("stop_ratio")
+        + F.lit(w["w_punct_ratio"]) * F.col("punct_ratio")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    gated = feats.select(
+        "lang",
+        p.alias("p"),
+        (_hash_frac(F.col("doc_id"), "keep:") < p).alias("kept"),
+    )
+    return (
+        gated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            (F.round(F.avg(F.when(F.col("kept"), F.col("p"))), 6) + F.lit(0.0)).alias(
+                "avg_p_kept"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "training_importance_resample",
+    _lr_importance_resample,
+    f"""
+    WITH {_LR_CTES}, gated AS (
+      SELECT f.lang,
+             round(1.0 / (1.0 + exp(-(s3.wb + s3.w1 * x1 + s3.w2 * x2 + s3.w3 * x3))), 6) AS p,
+             CAST(concat('0x', substring(md5('keep:' || CAST(f.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM f CROSS JOIN s3
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN u < p THEN p END), 6) + 0.0 AS avg_p_kept
+    FROM gated GROUP BY lang ORDER BY lang
     """,
 )

@@ -101,6 +101,9 @@ _PRIORITY: list[str] = [
     "training_lr_quality",  # NEW: distributed logistic-regression training
     "training_lr_scores",  # NEW: classifier application + calibration deciles
     "text_html_strip",  # NEW: boilerplate removal
+    "training_importance_resample",  # NEW: classifier-gated keep step
+    "curation_snapshot_diff",  # NEW: versioned-corpus diff audit
+    "privacy_delete_propagation",  # NEW: right-to-erasure cascade audit
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
