@@ -306,3 +306,56 @@ def test_span_family_structural_invariants(spark, docs):
         assert len(r["clean_text"]) == len(text) - expected_removed
         if not per_doc.get(i):
             assert r["clean_text"] == text
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typos=st.lists(
+        # (victim idx, 0-indexed typo pos inside the digit run — never the
+        # tail char at index 16 that the blocking key is built from)
+        st.tuples(st.integers(0, 19), st.integers(10, 15)),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_entity_blocking_finds_all_tail_safe_typos(spark, typos):
+    """Soundness + planted-recall for entity blocking: with a blocking key
+    on the name's last character (untouched by construction), every planted
+    single-substitution variant must match its base (lev=1), every reported
+    pair must genuinely be within distance 2, and resolve_entities must
+    partition ids so each entity is named by its minimum member."""
+    from wafer_defect_data_pipeline_spark.operators.entity import (
+        blocking_pairs,
+        resolve_entities,
+    )
+
+    base = [(i, f"Name{i:012d}X", 1) for i in range(20)]  # 17 chars, tail 'X'
+    variants = []
+    for vi, (victim, pos) in enumerate(typos):
+        name = base[victim][1]
+        mutated = name[:pos] + "#" + name[pos + 1 :]  # '#' never in base names
+        variants.append((1000 + vi, mutated, 1))
+    df = spark.createDataFrame(base + variants, "id long, name string, nk int")
+    pairs = blocking_pairs(
+        df, "id", "name", [F.col("nk"), F.substring("name", 17, 1)], max_distance=2
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    for vi, (victim, _pos) in enumerate(typos):
+        assert (victim, 1000 + vi) in got  # planted recall
+    names = {r[0]: r[1] for r in base + variants}
+    for r in pairs:  # soundness: every reported distance is real
+        a, b = names[r.id_a], names[r.id_b]
+        assert r.lev_dist <= 2 and (a == b) == (r.lev_dist == 0)
+    ent = resolve_entities(
+        df,
+        "id",
+        blocking_pairs(
+            df, "id", "name", [F.col("nk"), F.substring("name", 17, 1)], max_distance=2
+        ),
+    ).collect()
+    assigned = {r.id: r.entity_id for r in ent}
+    assert set(assigned) == {r[0] for r in base + variants}  # total assignment
+    for rid, eid in assigned.items():
+        assert eid <= rid  # min-id naming
+        assert assigned[eid] == eid  # the name is a member naming itself

@@ -79,15 +79,19 @@ def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Col
     return F.round(0.4 * len_score + 0.4 * sw_score + 0.2 * (1.0 - punct_penalty), 6)
 
 
-def detect_language(text: Column | str, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
-    """Stopword-vote language id: argmax language by stopword hit count.
+def detect_language_from_tokens(
+    toks: Column, lang_stopwords: dict[str, list[str]] | None = None
+) -> Column:
+    """Stopword-vote language id over a PRE-TOKENIZED array column.
 
-    Returns 'und' when no list scores > 0. Ties break by language-code sort
-    order (deterministic). A 100 TB run would swap in a trained n-gram
-    model via the same column interface.
+    The argmax when-chain references each language's hit count twice, and
+    Spark evaluates repeated subexpressions per reference — so the caller
+    should tokenize ONCE into a column (behind a lineage-truncating pin if
+    the projection would otherwise be collapsed back into the chain; the
+    regex split is ~10x the cost of the array scans it feeds). Returns
+    'und' when no list scores > 0; ties break by language-code sort order.
     """
     table = lang_stopwords or LANG_STOPWORDS
-    toks = tokens(text)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(table):  # later langs must beat, not tie, earlier ones
@@ -96,6 +100,17 @@ def detect_language(text: Column | str, lang_stopwords: dict[str, list[str]] | N
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(take, hits).otherwise(best_hits)
     return best_lang
+
+
+def detect_language(text: Column | str, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
+    """Stopword-vote language id: argmax language by stopword hit count.
+
+    One-shot column form (re-tokenizes per hit-count reference — fine for
+    single-column use; hot paths should pre-tokenize and call
+    :func:`detect_language_from_tokens`). A 100 TB run would swap in a
+    trained n-gram model via the same column interface.
+    """
+    return detect_language_from_tokens(tokens(text), lang_stopwords)
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:

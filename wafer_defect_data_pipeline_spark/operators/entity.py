@@ -197,7 +197,10 @@ def sorted_neighborhood_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    # no distinct: ids are unique, so each row has ONE rank per partition and
+    # an unordered pair can only arise from one (row, offset) — deduping here
+    # would buy nothing and cost a full shuffle of the pair list
+    return out
 
 
 def resolve_entities(

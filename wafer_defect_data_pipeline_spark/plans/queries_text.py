@@ -24,6 +24,8 @@ def _token_stats(spark, sf_dir):
             X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
             F.length("text").alias("n_chars_actual"),
         )
+        .localCheckpoint(eager=False)  # pin before sort: orderBy's range
+        # sampling re-executes an un-shuffled child (see text_html_strip)
         .orderBy("doc_id")
     )
 
@@ -53,6 +55,8 @@ def _quality(spark, sf_dir):
             F.round(X.mean_token_length("text"), 6).alias("mean_token_len"),
             X.quality_score("text").alias("quality"),
         )
+        .localCheckpoint(eager=False)  # pin before sort: orderBy's range
+        # sampling re-executes an un-shuffled child (see text_html_strip)
         .orderBy("doc_id")
     )
 
@@ -88,10 +92,36 @@ register(
 # --- language id -----------------------------------------------------------
 def _lang_id(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", "lang", X.detect_language("text").alias("detected_lang"))
-        .orderBy("doc_id")
-    )
+    # Hit counts as UNCONDITIONAL projection columns: codegen's
+    # subexpression elimination evaluates the shared tokenize once across
+    # the four filters, but it skips expressions inside when() branches —
+    # so the argmax chain must reference plain int columns, not the filter
+    # expressions (inlined chain: 8 splits/row, 21.5 s at sf3). The pin
+    # stores four ints per doc, keeps CollapseProject from re-inlining the
+    # hits into the chain, and stops orderBy's range sampling re-run.
+    toks = X.tokens("text")
+
+    def _hit(sw):
+        # helper closure: a 2-arg lambda would be read by F.filter as
+        # (element, index) and break the stopword binding
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    hits = d.select(
+        "doc_id",
+        "lang",
+        *[
+            _hit(sw).alias(f"h_{lang}")
+            for lang, sw in sorted(X.LANG_STOPWORDS.items())
+        ],
+    ).localCheckpoint(eager=False)
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang in sorted(X.LANG_STOPWORDS):
+        take = F.col(f"h_{lang}") > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, F.col(f"h_{lang}")).otherwise(best_hits)
+    return hits.select(
+        "doc_id", "lang", best_lang.alias("detected_lang")
+    ).orderBy("doc_id")
 
 
 _LANG_CASE = r"""
@@ -130,6 +160,8 @@ def _fingerprints(spark, sf_dir):
             X.fingerprint_md5("text").alias("doc_md5"),
             X.rolling_min_fingerprint("text", 3).alias("min_shingle_md5"),
         )
+        .localCheckpoint(eager=False)  # pin before sort: orderBy's range
+        # sampling re-executes an un-shuffled child (see text_html_strip)
         .orderBy("doc_id")
     )
 
@@ -541,16 +573,18 @@ def _html_strip(spark, sf_dir):
     )
     base = d.select("doc_id", page.alias("page"))
     clean = X.strip_html("page")
-    return (
-        base.select(
-            "doc_id",
-            F.length("page").alias("raw_len"),
-            F.length(clean).alias("clean_len"),
-            F.md5(clean).alias("clean_md5"),
-            F.round(F.length(clean) / F.length("page"), 6).alias("retention"),
-        )
-        .orderBy("doc_id")
+    out = base.select(
+        "doc_id",
+        F.length("page").alias("raw_len"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+        F.round(F.length(clean) / F.length("page"), 6).alias("retention"),
     )
+    # pin the NARROW result before the sort: orderBy's range-partitioner
+    # SAMPLES its child, and with no shuffle between scan and sort the
+    # sample pass re-executes the whole regex chain (measured 13.5 s vs
+    # 4.1 s unordered at sf3; lazily checkpointed+ordered: 4.4 s)
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 register(

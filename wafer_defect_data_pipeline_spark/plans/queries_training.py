@@ -368,12 +368,17 @@ def _doc_chunking(spark, sf_dir):
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
     chunk = F.slice("toks", F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
-    return per_chunk.select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size(chunk).cast("int").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
-    ).orderBy("doc_id", "chunk_idx")
+    return (
+        per_chunk.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .localCheckpoint(eager=False)  # pin before sort: orderBy's range
+        # sampling re-executes an un-shuffled child (see text_html_strip)
+        .orderBy("doc_id", "chunk_idx")
+    )
 
 
 register(

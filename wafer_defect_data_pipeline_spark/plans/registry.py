@@ -78,11 +78,13 @@ def _load_all() -> None:
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
 # row ever predates the implementation it vouches for. Round 8 front-loads:
-# (a) queries NEW or CHANGED this round — the gram-index merge probe, the
-# PCA promotion off rows-only, the span family (its default strategy became
-# the priced auto probe), the jaccard dispatcher (budget_factor exposed),
-# the brute-force top-k (delegation gate reworked) and the CSV sink's BOM
-# guard; (b) the 7 remaining rows-only queries so each keeps a fresh
+# (a) queries NEW or CHANGED this round — the entity-resolution family,
+# the LR-training trio, the html strip, the governance audits, the
+# gram-index merge probe, the PCA/ZCA promotions off rows-only, the span
+# family (its default strategy became the priced auto probe), the jaccard
+# dispatcher (budget_factor exposed), the brute-force top-k (delegation
+# gate reworked) and the CSV sink's BOM guard; (b) the 6 remaining
+# rows-only queries so each keeps a fresh
 # executes-cleanly row; (c) REPRESENTATIVES OF EVERY FAMILY whose last
 # driver row is r5 or older (the r7 verdict's union-freshness item):
 # multimodal video/audio, curation SCD2/merge, search BM25/inverted-index,
