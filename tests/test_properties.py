@@ -359,3 +359,53 @@ def test_entity_blocking_finds_all_tail_safe_typos(spark, typos):
     for rid, eid in assigned.items():
         assert eid <= rid  # min-id naming
         assert assigned[eid] == eid  # the name is a member naming itself
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    old_edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=0, max_size=12
+    ),
+    new_edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=1, max_size=12
+    ),
+)
+def test_merge_components_equals_full_recompute(spark, old_edges, new_edges):
+    """Incremental CC maintenance (graph contraction over the standing
+    assignment) must reproduce from-scratch CC over old ∪ new edges —
+    component membership AND min-id naming — including new edges that
+    bridge previously separate components and edges introducing ids
+    history never saw."""
+    from wafer_defect_data_pipeline_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    old_edges = [(a, b) for a, b in old_edges if a != b]
+    new_edges = [(a, b) for a, b in new_edges if a != b]
+    if not new_edges:
+        return
+    all_ids = sorted({x for e in old_edges for x in e} | {x for x in range(15)})
+    old_df = (
+        spark.createDataFrame(old_edges, "id_a long, id_b long")
+        if old_edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    ids_df = spark.createDataFrame([(i,) for i in all_ids], "id long")
+    assign = (
+        ids_df.join(connected_components(old_df), on="id", how="left")
+        .selectExpr("id", "coalesce(component, id) AS component")
+        if old_edges
+        else ids_df.selectExpr("id", "id AS component")
+    )
+    new_df = spark.createDataFrame(new_edges, "id_a long, id_b long")
+    merged = {
+        (r.id, r.component)
+        for r in merge_components(assign, new_df).collect()
+    }
+    full_df = spark.createDataFrame(
+        old_edges + new_edges, "id_a long, id_b long"
+    )
+    full = {r.id: r.component for r in connected_components(full_df).collect()}
+    expect = {(i, full.get(i, i)) for i in set(all_ids) | {x for e in new_edges for x in e}}
+    assert merged == expect

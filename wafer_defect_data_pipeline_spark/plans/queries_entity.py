@@ -377,3 +377,98 @@ register(
     ORDER BY new_id, index_id
     """,
 )
+
+
+def _incremental_clusters(spark, sf_dir):
+    """Day-2 entity maintenance WITHOUT re-clustering history: day 1
+    resolves base+v1 (blocking + CC), day 2's v2 records arrive and only
+    PROBE the admitted index (blocking_probe); merge_components folds the
+    probe edges into the standing assignment via graph contraction — CC
+    re-runs over one node per touched component, never over history. The
+    oracle is the FULL RECOMPUTE over the complete corpus (the same
+    recursive CTE as entity_clusters): hash-equality proves incremental
+    maintenance reproduces from-scratch clustering exactly, min-id names
+    included.
+    """
+    from ..operators.entity import blocking_probe
+    from ..operators.graph import merge_components
+
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    v1 = c.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + F.lit(1_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 10), F.lit("X"), F.expr("substring(name, 12)")
+        ).alias("name"),
+        "nk",
+    )
+    v2 = c.filter(F.col("id") % 40 == 0).select(
+        (F.col("id") + F.lit(2_000_000)).alias("id"),
+        F.concat(
+            F.substring("name", 1, 9), F.lit("Z"), F.expr("substring(name, 11)")
+        ).alias("name"),
+        "nk",
+    )
+    day1 = c.unionByName(v1)
+    pairs1 = blocking_pairs(
+        day1,
+        "id",
+        "name",
+        block_cols=[F.col("nk"), F.substring("name", 13, 6)],
+        max_distance=2,
+    )
+    assign1 = resolve_entities(day1, "id", pairs1)
+
+    def block_cols(df):
+        return [df["nk"], F.substring(df["name"], 13, 6)]
+
+    probe = blocking_probe(v2, day1, "id", "name", block_cols, max_distance=2)
+    merged = merge_components(
+        assign1.select("id", F.col("entity_id").alias("component")),
+        probe.select(F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")),
+    )
+    return (
+        merged.groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("id").alias("max_member_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("entity_id")
+    )
+
+
+# the oracle is the from-scratch recompute over the FULL corpus — literally
+# entity_clusters' registered SQL (same planted corpus, same summary shape)
+register(
+    "entity_incremental_clusters",
+    _incremental_clusters,
+    f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}
+    ), keyed AS (
+      SELECT id, name, nk, substring(name, 13, 6) AS bk FROM corpus
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.w, reach.r FROM reach JOIN edges e ON e.v = reach.v
+    ), comp AS (
+      SELECT v AS id, min(r) AS entity_id FROM reach GROUP BY v
+    )
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(id) AS max_member_id
+    FROM comp
+    GROUP BY entity_id HAVING count(*) >= 2
+    ORDER BY entity_id
+    """,
+)

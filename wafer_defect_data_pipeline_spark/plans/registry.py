@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "training_importance_resample",  # NEW: classifier-gated keep step
     "curation_snapshot_diff",  # NEW: versioned-corpus diff audit
     "privacy_delete_propagation",  # NEW: right-to-erasure cascade audit
+    "entity_incremental_clusters",  # NEW: CC maintenance by contraction
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
