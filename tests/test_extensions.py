@@ -2819,3 +2819,61 @@ def test_entity_blocking_purges_flooded_blocks(spark):
     assert got == {(1001, 1002)}
     uncapped = blocking_pairs(df, "id", "name", block).count()
     assert uncapped == 200 * 199 // 2 + 1  # what the cap is protecting against
+
+
+def test_hamming_band_pairs_complete_within_distance(spark):
+    """Pigeonhole banding is EXACT search: every pair within max_dist is
+    found (even when the differing bits straddle three bands), pairs
+    beyond max_dist are dropped, and n_bands <= max_dist is rejected."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import hamming_band_pairs
+
+    base = "0110100110010110" * 4
+    def flip(s, *pos):
+        l = list(s)
+        for p in pos:
+            l[p] = "1" if l[p] == "0" else "0"
+        return "".join(l)
+
+    rows = [
+        (1, base),
+        (2, flip(base, 0, 20, 40)),   # 3 bits across bands 0,1,2 -> dist 3
+        (3, flip(base, 5, 21, 37, 55)),  # 4 bits -> beyond max_dist
+        (4, base),                    # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, bits string")
+    got = {(r.id_a, r.id_b): r.hamming for r in hamming_band_pairs(
+        df, "id", "bits", n_bits=64, n_bands=4, max_dist=3
+    ).collect()}
+    assert got[(1, 2)] == 3 and got[(1, 4)] == 0 and got[(2, 4)] == 3
+    assert not any(3 in p for p in got)
+    with _pytest.raises(ValueError):
+        hamming_band_pairs(df, "id", "bits", n_bits=64, n_bands=3, max_dist=3)
+
+
+def test_image_ahash_executes_codec_and_absorbs_small_edits(spark):
+    """The aHash kernel runs the real P6 decode; the md5-noise fixture's
+    perturbed fourth image stays within Hamming 3 of its group siblings
+    while images from different groups are far apart."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import hamming_bits
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_ppm_payload_random,
+        image_ahash,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.range(8).select(F.col("id").alias("doc_id"))  # groups {0..3},{4..7}
+    sig = image_ahash(attach_ppm_payload_random(d)).collect()
+    hashes = {r.doc_id: r.ahash for r in sig}
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in hashes.values())
+    assert hashes[0] == hashes[1] == hashes[2]  # same base image
+    df = spark.createDataFrame(
+        [(hashes[3], hashes[0], "perturbed_vs_base"), (hashes[0], hashes[4], "cross_group")],
+        "a string, b string, which string",
+    )
+    got = {r.which: r.d for r in df.select(
+        "which", hamming_bits(F.col("a"), F.col("b"), 64).alias("d")
+    ).collect()}
+    assert got["perturbed_vs_base"] <= 3
+    assert got["cross_group"] > 10

@@ -1084,3 +1084,73 @@ def incremental_duplicated_spans(
     hot = index_grams.filter(F.col("n") >= min_index_count).select("gh")
     covered = pos.join(hot, "gh", "left_semi").select("__id", "pos")
     return _merge_covered_spans(covered, id_col, k, min_span)
+
+
+def hamming_bits(a: Column, b: Column, n_bits: int) -> Column:
+    """Hamming distance between two ``n_bits``-char bitstrings."""
+    idx = F.sequence(F.lit(1), F.lit(n_bits))
+    return F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(a.substr(i, F.lit(1)) == b.substr(i, F.lit(1)), 0).otherwise(1),
+    )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    bits_col: str,
+    n_bits: int = 64,
+    n_bands: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_dist``, by pigeonhole banding.
+
+    Split each bitstring into ``n_bands`` contiguous segments; two strings
+    within distance ``max_dist < n_bands`` MUST agree on at least one whole
+    segment (pigeonhole), so the candidate set from a per-band equi-join is
+    COMPLETE — this is exact search, not probabilistic LSH, as long as
+    ``n_bands > max_dist`` (asserted). Candidates then verify with the
+    exact bit count. The simhash/phash dedup shape: one narrow
+    (band, key, id) shuffle, quadratic only within identical 16-bit band
+    buckets — full-entropy hashes collide there only when genuinely near.
+    """
+    if n_bands <= max_dist:
+        raise ValueError(
+            f"pigeonhole completeness needs n_bands > max_dist "
+            f"(got {n_bands} bands, max_dist {max_dist})"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits {n_bits} not divisible into {n_bands} bands")
+    seg = n_bits // n_bands
+    s = sig.select(F.col(id_col).alias("__id"), F.col(bits_col).alias("__bits"))
+    bands = s.select(
+        "__id",
+        "__bits",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__b"),
+    ).select(
+        "__id",
+        "__bits",
+        "__b",
+        F.expr(f"substring(__bits, __b * {seg} + 1, {seg})").alias("__key"),
+    )
+    left = bands.select(
+        "__b", "__key", F.col("__id").alias("id_a"), F.col("__bits").alias("__ba")
+    )
+    right = bands.select(
+        "__b", "__key", F.col("__id").alias("id_b"), F.col("__bits").alias("__bb")
+    )
+    cand = (
+        left.join(right, on=["__b", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ba", "__bb")
+        .distinct()  # a close pair can collide in several bands
+    )
+    return (
+        cand.withColumn(
+            "hamming", hamming_bits(F.col("__ba"), F.col("__bb"), n_bits).cast("int")
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )

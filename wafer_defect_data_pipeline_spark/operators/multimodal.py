@@ -595,3 +595,91 @@ def attach_tone_payload(df: DataFrame, id_col: str = "doc_id", n: int = 256) -> 
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+def attach_ppm_payload_random(
+    df: DataFrame, id_col: str = "doc_id", group_div: int = 4, side: int = 8
+) -> DataFrame:
+    """md5-noise PPM fixtures for NEAR-DUP work: ``group_div`` consecutive
+    ids share one base image (pixel bytes are md5-derived from
+    ``id // group_div`` and the byte index — engine-portable pseudo-random,
+    the same trick as the sampling hash), and the last id of each group is
+    perturbed (+4 on the red channel of every 16th pixel, saturating at
+    255) — a sub-threshold edit a perceptual hash should usually absorb.
+    Unlike :func:`attach_ppm_payload`'s gradient ramps (whose perceptual
+    hashes are degenerate — constant gray), md5 noise gives every image a
+    full-entropy hash, so hash collisions mean SAME GROUP, not accident.
+
+    The pixel spec lives in Spark SQL expressions (one ``transform`` over
+    the byte indices); only the P6 assembly runs in the Arrow kernel — so
+    a SQL oracle can re-derive every byte while Spark exercises the real
+    encode path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_bytes = side * side * 3
+    g = (F.col(id_col) / F.lit(group_div)).cast("long")
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(":", g.cast("string"), i.cast("string"))), 1, 2),
+            16,
+            10,
+        ).cast("int"),
+    )
+    perturbed = F.transform(
+        base,
+        lambda v, i: F.when(
+            (F.col(id_col) % group_div == group_div - 1) & (i % 48 == 0),
+            F.least(v + F.lit(4), F.lit(255)),
+        ).otherwise(v),
+    )
+    spec = df.select(F.col(id_col), perturbed.alias("__bytes"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                ppm_encode(np.asarray(b, dtype=np.uint8).reshape(side, side, 3))
+                for b in pdf["__bytes"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return spec.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def image_ahash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash over DECODED pixels: integer gray ``(r+g+b)//3`` per
+    pixel, bit ``i`` set iff ``gray_i * n_pixels > sum(gray)`` (the
+    integer-exact form of "above the mean" — no float mean, so a SQL
+    oracle replays every bit). Returns ``(id, ahash)`` with the hash as a
+    row-major bitstring; near-dup images differ in few bits, which is what
+    the Hamming band join downstream exploits.
+
+    Executes the real codec path: P6 parse → numpy gray reduce → bit pack,
+    one Arrow batch at a time; no Python per row, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for b in pdf[payload_col]:
+                arr = ppm_decode(bytes(b)).astype(np.int64)
+                gray = arr.sum(axis=2) // 3  # integer gray, row-major
+                flat = gray.reshape(-1)
+                total = int(flat.sum())
+                bits = (flat * flat.size > total).astype(np.uint8)
+                out.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({id_col: pdf[id_col], "ahash": out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batch, schema=f"{id_col} long, ahash string"
+    )

@@ -218,3 +218,68 @@ register(
     FROM documents ORDER BY doc_id
     """,
 )
+
+
+# --- perceptual-hash image dedup (EXECUTED codec + exact Hamming search) ----
+def _image_phash_pairs(spark, sf_dir):
+    """Image near-dup pairs: md5-noise PPM fixtures (4 ids per base image,
+    one perturbed) -> REAL P6 encode -> REAL decode + integer aHash
+    (operators/multimodal.image_ahash) -> pigeonhole Hamming banding
+    (operators/dedup.hamming_band_pairs: 4 x 16-bit bands, so distance <= 3
+    candidates are provably complete — exact search, not LSH). The oracle
+    re-derives every pixel byte from the md5 spec and replays gray, hash
+    bits, banding, and distances in SQL — the executed byte path and the
+    relational search are both pinned. Scale: one (band, key, id) shuffle;
+    full-entropy hashes collide in a band only when genuinely near, so the
+    within-bucket quadratic never materializes on noise."""
+    from ..operators.dedup import hamming_band_pairs
+    from ..operators.multimodal import attach_ppm_payload_random, image_ahash
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    sig = image_ahash(attach_ppm_payload_random(d))
+    pairs = hamming_band_pairs(
+        sig, "doc_id", "ahash", n_bits=64, n_bands=4, max_dist=3
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+register(
+    "multimodal_image_phash_pairs",
+    _image_phash_pairs,
+    """
+    WITH b AS MATERIALIZED (
+      SELECT doc_id, CAST(t.i AS INT) AS i,
+             least(CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), ':', CAST(t.i AS VARCHAR))), 1, 2)) AS INT)
+                   + CASE WHEN doc_id % 4 = 3 AND t.i % 48 = 0 THEN 4 ELSE 0 END,
+                   255) AS v
+      FROM documents, unnest(range(0, 192)) AS t(i)
+    ), gray AS MATERIALIZED (
+      SELECT doc_id, i // 3 AS p, sum(v) // 3 AS gr
+      FROM b GROUP BY doc_id, i // 3
+    ), tot AS (
+      SELECT doc_id, sum(gr) AS total FROM gray GROUP BY doc_id
+    ), bits AS MATERIALIZED (
+      SELECT gray.doc_id,
+             string_agg(CASE WHEN gr * 64 > total THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS ahash
+      FROM gray JOIN tot ON gray.doc_id = tot.doc_id
+      GROUP BY gray.doc_id
+    ), bands AS (
+      SELECT doc_id, ahash, CAST(t.b AS INT) AS band,
+             substring(ahash, CAST(t.b AS INT) * 16 + 1, 16) AS key
+      FROM bits, range(4) t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.ahash AS ha, c.ahash AS hb
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65),
+                  i -> substring(ha, CAST(i AS INT), 1) <> substring(hb, CAST(i AS INT), 1))) AS INT) AS hamming
+      FROM cand
+    )
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+)

@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "curation_snapshot_diff",  # NEW: versioned-corpus diff audit
     "privacy_delete_propagation",  # NEW: right-to-erasure cascade audit
     "entity_incremental_clusters",  # NEW: CC maintenance by contraction
+    "multimodal_image_phash_pairs",  # NEW: perceptual-hash image dedup
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
