@@ -89,6 +89,7 @@ HEADLINE = [
     # quality-classifier training (one agg per GD step)
     "entity_clusters",
     "training_lr_quality",
+    "multimodal_image_phash_pairs",
 ]
 
 

@@ -2877,3 +2877,30 @@ def test_image_ahash_executes_codec_and_absorbs_small_edits(spark):
     ).collect()}
     assert got["perturbed_vs_base"] <= 3
     assert got["cross_group"] > 10
+
+
+def test_audio_fingerprint_executes_riff_and_groups_clips(spark):
+    """The fingerprint kernel walks real RIFF bytes; group siblings share
+    (or nearly share) fingerprints while different groups are far apart."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import hamming_bits
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_pcm_payload_random,
+        audio_fingerprint,
+    )
+
+    d = spark.range(8).select(F.col("id").alias("doc_id"))
+    fps = {r.doc_id: r.afp for r in audio_fingerprint(
+        attach_pcm_payload_random(d)
+    ).collect()}
+    assert all(len(h) == 64 and h[0] == "0" for h in fps.values())
+    assert fps[0] == fps[1] == fps[2]
+    df = spark.createDataFrame(
+        [(fps[3], fps[0], "perturbed"), (fps[0], fps[4], "cross")],
+        "a string, b string, which string",
+    )
+    got = {r.which: r.d for r in df.select(
+        "which", hamming_bits(F.col("a"), F.col("b"), 64).alias("d")
+    ).collect()}
+    assert got["perturbed"] <= 3 and got["cross"] > 10

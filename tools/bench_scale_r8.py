@@ -56,6 +56,9 @@ S3 = [
     "training_lr_quality",
     "training_lr_scores",
     "text_html_strip",
+    "entity_incremental_clusters",
+    "multimodal_image_phash_pairs",
+    "multimodal_audio_fingerprint_pairs",
 ]
 
 

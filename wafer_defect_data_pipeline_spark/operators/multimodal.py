@@ -683,3 +683,88 @@ def image_ahash(
     return df.select(id_col, payload_col).mapInPandas(
         hash_batch, schema=f"{id_col} long, ahash string"
     )
+
+
+def attach_pcm_payload_random(
+    df: DataFrame, id_col: str = "doc_id", group_div: int = 4, n_samples: int = 256
+) -> DataFrame:
+    """md5-noise RIFF/PCM fixtures for audio NEAR-DUP work — the WAV twin
+    of :func:`attach_ppm_payload_random`: ``group_div`` consecutive ids
+    share one base clip (int16 samples ``md5byte(id // group_div, i) - 128``
+    — small amplitude, so window energies stay integer-exact), and the last
+    id of each group gets +2 on two samples (i % 128 == 0), a sub-threshold
+    edit the energy fingerprint should absorb. Sample spec in Spark SQL
+    expressions; only the RIFF assembly runs in the Arrow kernel, so a SQL
+    oracle re-derives every sample.
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = (F.col(id_col) / F.lit(group_div)).cast("long")
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws("#", g.cast("string"), i.cast("string"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        - F.lit(128),
+    )
+    perturbed = F.transform(
+        base,
+        lambda v, i: F.when(
+            (F.col(id_col) % group_div == group_div - 1) & (i % 128 == 0),
+            v + F.lit(2),
+        ).otherwise(v),
+    )
+    spec = df.select(F.col(id_col), perturbed.alias("__samples"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                wav_encode(np.asarray(s, dtype=np.int16), sample_rate=8000)
+                for s in pdf["__samples"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return spec.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_windows: int = 64,
+) -> DataFrame:
+    """Energy-delta audio fingerprint over DECODED samples: the clip splits
+    into ``n_windows`` equal windows, window energy is the integer sum of
+    squared int16 samples, and bit ``w`` is set iff ``energy[w] >
+    energy[w-1]`` (bit 0 fixed '0') — the time-domain skeleton of the
+    Haitsma-Kalker / Chromaprint family, kept integer so a SQL oracle
+    replays every bit. Near-identical clips flip few bits; feed the output
+    to ``hamming_band_pairs`` for exact sub-distance search.
+
+    Executes the real RIFF chunk walk + numpy reduce per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for b in pdf[payload_col]:
+                _rate, samples = wav_decode(bytes(b))
+                mono = samples[:, 0].astype(np.int64)
+                win = mono.reshape(n_windows, -1)
+                energy = (win * win).sum(axis=1)
+                bits = np.concatenate(([0], (energy[1:] > energy[:-1]).astype(np.uint8)))
+                out.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fp, schema=f"{id_col} long, afp string"
+    )

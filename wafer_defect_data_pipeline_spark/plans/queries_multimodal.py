@@ -283,3 +283,62 @@ register(
     WHERE hamming <= 3 ORDER BY id_a, id_b
     """,
 )
+
+
+# --- audio-fingerprint dedup (EXECUTED RIFF path + exact Hamming search) ----
+def _audio_fingerprint_pairs(spark, sf_dir):
+    """Audio near-dup pairs — the WAV twin of the image phash query:
+    md5-noise PCM fixtures (4 ids per base clip, one sub-threshold
+    perturbed) -> REAL RIFF encode -> REAL chunk-walk decode + integer
+    energy-delta fingerprint (operators/multimodal.audio_fingerprint) ->
+    the SAME pigeonhole Hamming banding (complete for distance <= 3).
+    Window energies are integer sums of squared int16 samples, so the
+    oracle replays every sample, energy, bit, and distance."""
+    from ..operators.dedup import hamming_band_pairs
+    from ..operators.multimodal import attach_pcm_payload_random, audio_fingerprint
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    sig = audio_fingerprint(attach_pcm_payload_random(d))
+    pairs = hamming_band_pairs(sig, "doc_id", "afp", n_bits=64, n_bands=4, max_dist=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+register(
+    "multimodal_audio_fingerprint_pairs",
+    _audio_fingerprint_pairs,
+    """
+    WITH s AS MATERIALIZED (
+      SELECT doc_id, CAST(t.i AS INT) AS i,
+             CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), '#', CAST(t.i AS VARCHAR))), 1, 2)) AS INT) - 128
+             + CASE WHEN doc_id % 4 = 3 AND t.i % 128 = 0 THEN 2 ELSE 0 END AS v
+      FROM documents, unnest(range(0, 256)) AS t(i)
+    ), en AS MATERIALIZED (
+      SELECT doc_id, i // 4 AS w, sum(v * v) AS e
+      FROM s GROUP BY doc_id, i // 4
+    ), bitrow AS (
+      SELECT doc_id, w,
+             CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN '1' ELSE '0' END AS bit
+      FROM en
+    ), bits AS MATERIALIZED (
+      SELECT doc_id, string_agg(bit, '' ORDER BY w) AS afp
+      FROM bitrow GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, afp, CAST(t.b AS INT) AS band,
+             substring(afp, CAST(t.b AS INT) * 16 + 1, 16) AS key
+      FROM bits, range(4) t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.afp AS ha, c.afp AS hb
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65),
+                  i -> substring(ha, CAST(i AS INT), 1) <> substring(hb, CAST(i AS INT), 1))) AS INT) AS hamming
+      FROM cand
+    )
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+)
