@@ -610,44 +610,53 @@ def attach_ppm_payload_random(
     hashes are degenerate — constant gray), md5 noise gives every image a
     full-entropy hash, so hash collisions mean SAME GROUP, not accident.
 
-    The pixel spec lives in Spark SQL expressions (one ``transform`` over
-    the byte indices); only the P6 assembly runs in the Arrow kernel — so
-    a SQL oracle can re-derive every byte while Spark exercises the real
-    encode path.
+    Byte synthesis runs INSIDE the Arrow kernel — one md5 DIGEST per 16
+    bytes, computed once per group and reused by its members (a per-element
+    SQL ``transform`` was 4x slower end to end: higher-order lambdas are
+    interpreted, so 192 md5+conv chains per row never reach codegen). The
+    spec stays engine-portable: digest byte ``j`` of ``md5("{g}:{blk}")``
+    equals the SQL ``CAST('0x' || substring(md5(...), j*2+1, 2) AS INT)``,
+    so the DuckDB oracle re-derives every byte from hex substrings.
     """
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
     n_bytes = side * side * 3
-    g = (F.col(id_col) / F.lit(group_div)).cast("long")
-    base = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bytes - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(":", g.cast("string"), i.cast("string"))), 1, 2),
-            16,
-            10,
-        ).cast("int"),
-    )
-    perturbed = F.transform(
-        base,
-        lambda v, i: F.when(
-            (F.col(id_col) % group_div == group_div - 1) & (i % 48 == 0),
-            F.least(v + F.lit(4), F.lit(255)),
-        ).otherwise(v),
-    )
-    spec = df.select(F.col(id_col), perturbed.alias("__bytes"))
+    n_blocks = (n_bytes + 15) // 16
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, np.ndarray] = {}
+
+        def base_bytes(g: int) -> np.ndarray:
+            arr = cache.get(g)
+            if arr is None:
+                raw = b"".join(
+                    hashlib.md5(f"{g}:{blk}".encode()).digest()
+                    for blk in range(n_blocks)
+                )
+                arr = np.frombuffer(raw[:n_bytes], dtype=np.uint8)
+                cache[g] = arr
+            return arr
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            payloads = [
-                ppm_encode(np.asarray(b, dtype=np.uint8).reshape(side, side, 3))
-                for b in pdf["__bytes"]
-            ]
+            payloads = []
+            for doc_id in pdf[id_col]:
+                a = base_bytes(int(doc_id) // group_div).copy()
+                if int(doc_id) % group_div == group_div - 1:
+                    idx = np.arange(0, n_bytes, 48)
+                    a[idx] = np.minimum(a[idx].astype(np.int64) + 4, 255).astype(
+                        np.uint8
+                    )
+                payloads.append(ppm_encode(a.reshape(side, side, 3)))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return spec.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+    return df.select(id_col).mapInPandas(
+        encode, schema=f"{id_col} long, payload binary"
+    )
 
 
 def image_ahash(
@@ -693,43 +702,49 @@ def attach_pcm_payload_random(
     share one base clip (int16 samples ``md5byte(id // group_div, i) - 128``
     — small amplitude, so window energies stay integer-exact), and the last
     id of each group gets +2 on two samples (i % 128 == 0), a sub-threshold
-    edit the energy fingerprint should absorb. Sample spec in Spark SQL
-    expressions; only the RIFF assembly runs in the Arrow kernel, so a SQL
-    oracle re-derives every sample.
+    edit the energy fingerprint should absorb. Like the image twin, byte
+    synthesis runs inside the Arrow kernel — one md5 digest per 16 samples,
+    cached per group (interpreted per-element SQL lambdas were the
+    bottleneck) — while staying hex-substring-replayable in the oracle.
     """
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
-    g = (F.col(id_col) / F.lit(group_div)).cast("long")
-    base = F.transform(
-        F.sequence(F.lit(0), F.lit(n_samples - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws("#", g.cast("string"), i.cast("string"))), 1, 2),
-            16,
-            10,
-        ).cast("int")
-        - F.lit(128),
-    )
-    perturbed = F.transform(
-        base,
-        lambda v, i: F.when(
-            (F.col(id_col) % group_div == group_div - 1) & (i % 128 == 0),
-            v + F.lit(2),
-        ).otherwise(v),
-    )
-    spec = df.select(F.col(id_col), perturbed.alias("__samples"))
+    n_blocks = (n_samples + 15) // 16
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, np.ndarray] = {}
+
+        def base_samples(g: int) -> np.ndarray:
+            arr = cache.get(g)
+            if arr is None:
+                raw = b"".join(
+                    hashlib.md5(f"{g}#{blk}".encode()).digest()
+                    for blk in range(n_blocks)
+                )
+                arr = (
+                    np.frombuffer(raw[:n_samples], dtype=np.uint8).astype(np.int16)
+                    - 128
+                )
+                cache[g] = arr
+            return arr
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            payloads = [
-                wav_encode(np.asarray(s, dtype=np.int16), sample_rate=8000)
-                for s in pdf["__samples"]
-            ]
+            payloads = []
+            for doc_id in pdf[id_col]:
+                s = base_samples(int(doc_id) // group_div).copy()
+                if int(doc_id) % group_div == group_div - 1:
+                    s[::128] += 2
+                payloads.append(wav_encode(s, sample_rate=8000))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return spec.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+    return df.select(id_col).mapInPandas(
+        encode, schema=f"{id_col} long, payload binary"
+    )
 
 
 def audio_fingerprint(

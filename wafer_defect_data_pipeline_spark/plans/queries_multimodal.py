@@ -249,7 +249,7 @@ register(
     """
     WITH b AS MATERIALIZED (
       SELECT doc_id, CAST(t.i AS INT) AS i,
-             least(CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), ':', CAST(t.i AS VARCHAR))), 1, 2)) AS INT)
+             least(CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), ':', CAST(t.i // 16 AS VARCHAR))), CAST(t.i % 16 AS INT) * 2 + 1, 2)) AS INT)
                    + CASE WHEN doc_id % 4 = 3 AND t.i % 48 = 0 THEN 4 ELSE 0 END,
                    255) AS v
       FROM documents, unnest(range(0, 192)) AS t(i)
@@ -309,7 +309,7 @@ register(
     """
     WITH s AS MATERIALIZED (
       SELECT doc_id, CAST(t.i AS INT) AS i,
-             CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), '#', CAST(t.i AS VARCHAR))), 1, 2)) AS INT) - 128
+             CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), '#', CAST(t.i // 16 AS VARCHAR))), CAST(t.i % 16 AS INT) * 2 + 1, 2)) AS INT) - 128
              + CASE WHEN doc_id % 4 = 3 AND t.i % 128 = 0 THEN 2 ELSE 0 END AS v
       FROM documents, unnest(range(0, 256)) AS t(i)
     ), en AS MATERIALIZED (
