@@ -2904,3 +2904,27 @@ def test_audio_fingerprint_executes_riff_and_groups_clips(spark):
         "which", hamming_bits(F.col("a"), F.col("b"), 64).alias("d")
     ).collect()}
     assert got["perturbed"] <= 3 and got["cross"] > 10
+
+
+def test_video_frame_hash_voting_absorbs_one_corrupted_frame(spark):
+    """The Y4M kernel walks real frame markers; the perturbed clip (frame 0
+    corrupted) still matches its siblings on the other 3 frames, and
+    cross-group clips share no frame hashes."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_y4m_payload_random,
+        video_frame_hashes,
+    )
+
+    d = spark.range(8).select(F.col("id").alias("doc_id"))
+    fh = video_frame_hashes(attach_y4m_payload_random(d))
+    rows = fh.collect()
+    assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r.fhash
+    assert by_doc[0] == by_doc[1]                      # verbatim siblings
+    shared = [f for f in range(4) if by_doc[3][f] == by_doc[0][f]]
+    assert set(shared) >= {1, 2, 3}                    # corruption only hits f0
+    assert not set(by_doc[0].values()) & set(by_doc[4].values())  # cross-group

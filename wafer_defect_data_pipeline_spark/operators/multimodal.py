@@ -783,3 +783,97 @@ def audio_fingerprint(
     return df.select(id_col, payload_col).mapInPandas(
         fp, schema=f"{id_col} long, afp string"
     )
+
+
+def attach_y4m_payload_random(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_div: int = 4,
+    side: int = 8,
+    n_frames: int = 4,
+) -> DataFrame:
+    """md5-noise Y4M fixtures for video NEAR-DUP work: ``group_div``
+    consecutive ids share one base clip (each frame's 8x8 luma plane from
+    md5 digests of ``"{g}|{f}:{blk}"``), and the last id of each group gets
+    +4 on every 16th luma pixel of FRAME 0 ONLY — one corrupted frame, the
+    others verbatim, which is exactly the case frame-sampled hash matching
+    is built to absorb. Kernel-digest synthesis (16 bytes per md5), oracle
+    reads hex substrings of the same md5.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n_px = side * side
+    n_blocks = (n_px + 15) // 16
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list[np.ndarray]] = {}
+
+        def base_frames(g: int) -> list[np.ndarray]:
+            fr = cache.get(g)
+            if fr is None:
+                fr = []
+                for f in range(n_frames):
+                    raw = b"".join(
+                        hashlib.md5(f"{g}|{f}:{blk}".encode()).digest()
+                        for blk in range(n_blocks)
+                    )
+                    fr.append(np.frombuffer(raw[:n_px], dtype=np.uint8))
+                cache[g] = fr
+            return fr
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for doc_id in pdf[id_col]:
+                frames = [a.copy() for a in base_frames(int(doc_id) // group_div)]
+                if int(doc_id) % group_div == group_div - 1:
+                    f0 = frames[0]
+                    idx = np.arange(0, n_px, 16)
+                    f0[idx] = np.minimum(f0[idx].astype(np.int64) + 4, 255).astype(
+                        np.uint8
+                    )
+                payloads.append(
+                    y4m_encode([a.reshape(side, side) for a in frames], side, side)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        encode, schema=f"{id_col} long, payload binary"
+    )
+
+
+def video_frame_hashes(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame integer aHash over DECODED luma planes: one row per frame,
+    ``(id, frame_idx, fhash)`` with bit ``i`` set iff ``luma_i * n_px >
+    sum(luma)`` — the video analogue of :func:`image_ahash`, and the
+    frame-sampling primitive clip dedup joins on (identical frames collide
+    on the full 64-bit hash; a corrupted frame just drops out).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fidx, hashes = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                _w, _h, frames = y4m_decode(bytes(b))
+                for f, plane in enumerate(frames):
+                    flat = plane.reshape(-1).astype(np.int64)
+                    total = int(flat.sum())
+                    bits = (flat * flat.size > total).astype(np.uint8)
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    hashes.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "fhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batch, schema=f"{id_col} long, frame_idx int, fhash string"
+    )

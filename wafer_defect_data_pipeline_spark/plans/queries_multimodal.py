@@ -342,3 +342,61 @@ register(
     WHERE hamming <= 3 ORDER BY id_a, id_b
     """,
 )
+
+
+# --- video near-dup by frame-sampled hash matching (EXECUTED Y4M path) ------
+def _video_neardup_pairs(spark, sf_dir):
+    """Clip near-dup pairs by frame-hash voting — the video member of the
+    modality-dedup trio: md5-noise Y4M fixtures (4 ids per base clip, one
+    with a CORRUPTED FIRST FRAME) -> REAL frame-marker walk + per-frame
+    integer aHash (operators/multimodal.video_frame_hashes) -> exact
+    equi-join on the 64-bit frame hash -> clips pair up when >= 2 frames
+    match. A corrupted frame simply drops out of the vote instead of
+    breaking the match — the reason production video dedup samples frames
+    rather than hashing whole files. Full-entropy hashes mean the join
+    collides only on genuinely identical frames; one narrow
+    (fhash, id) shuffle, no banding needed."""
+    from ..operators.multimodal import attach_y4m_payload_random, video_frame_hashes
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    fh = video_frame_hashes(attach_y4m_payload_random(d))
+    a = fh.select(F.col("doc_id").alias("id_a"), "fhash")
+    b = fh.select(F.col("doc_id").alias("id_b"), "fhash")
+    return (
+        a.join(b, on="fhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+register(
+    "multimodal_video_neardup_pairs",
+    _video_neardup_pairs,
+    """
+    WITH px AS MATERIALIZED (
+      SELECT doc_id, CAST(fr.f AS INT) AS f, CAST(t.i AS INT) AS i,
+             least(CAST(concat('0x', substring(md5(concat(CAST(doc_id // 4 AS VARCHAR), '|', CAST(fr.f AS VARCHAR), ':', CAST(t.i // 16 AS VARCHAR))), CAST(t.i % 16 AS INT) * 2 + 1, 2)) AS INT)
+                   + CASE WHEN doc_id % 4 = 3 AND fr.f = 0 AND t.i % 16 = 0 THEN 4 ELSE 0 END,
+                   255) AS v
+      FROM documents, range(4) fr(f), unnest(range(0, 64)) AS t(i)
+    ), tot AS (
+      SELECT doc_id, f, sum(v) AS total FROM px GROUP BY doc_id, f
+    ), bits AS MATERIALIZED (
+      SELECT px.doc_id, px.f,
+             string_agg(CASE WHEN v * 64 > total THEN '1' ELSE '0' END, ''
+                        ORDER BY i) AS fhash
+      FROM px JOIN tot ON px.doc_id = tot.doc_id AND px.f = tot.f
+      GROUP BY px.doc_id, px.f
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_matching_frames
+      FROM bits a JOIN bits b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_matching_frames FROM m
+    WHERE n_matching_frames >= 2 ORDER BY id_a, id_b
+    """,
+)
