@@ -472,3 +472,141 @@ register(
     ORDER BY entity_id
     """,
 )
+
+
+def _match_weights(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage: agreement-pattern weights
+    after ONE EM step — the Splink-style scoring layer on top of the
+    deterministic blocking the rest of the family uses.
+
+    Candidates block on nation ALONE (a deliberately loose key, so the
+    pattern table sees real non-matches, not just the planted pairs);
+    each pair reduces to a 2-field agreement vector — names within
+    Levenshtein 2, and name-tail equality. The E-step's responsibility is
+    a closed-form function of the pattern under fixed priors
+    (p=0.05, m=0.9, u=0.1), the M-step re-estimates (p, m_j, u_j) as
+    count-weighted averages (one agg over FOUR pattern rows), and the
+    reported pattern weight is the post-update log-likelihood ratio.
+    Everything after the blocked join is arithmetic over a 4-row table,
+    so the oracle replays it exactly (6dp rounds at the read-out only —
+    inputs are integer counts and literal priors, deterministic in both
+    engines). Scale: the loose block is the cost knob — per-nation pair
+    counts grow quadratically, which is WHY the production pattern runs
+    weights estimation on a sampled block set; the EM arithmetic itself
+    touches 4 rows regardless of corpus size.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("nk"),
+        F.col("id").alias("id_a"),
+        F.col("name").alias("na"),
+    )
+    b = corpus.select(
+        F.col("nk"),
+        F.col("id").alias("id_b"),
+        F.col("name").alias("nb"),
+    )
+    pats = (
+        a.join(b, on="nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.levenshtein("na", "nb") <= 2).cast("int").alias("g_name"),
+            (F.substring("na", 13, 6) == F.substring("nb", 13, 6))
+            .cast("int")
+            .alias("g_tail"),
+        )
+        .groupBy("g_name", "g_tail")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    p0, m0, u0 = 0.05, 0.9, 0.1
+
+    def lik(g, m):
+        return F.when(F.col(g) == 1, F.lit(m)).otherwise(F.lit(1.0 - m))
+
+    r = (F.lit(p0) * lik("g_name", m0) * lik("g_tail", m0)) / (
+        F.lit(p0) * lik("g_name", m0) * lik("g_tail", m0)
+        + F.lit(1.0 - p0) * lik("g_name", u0) * lik("g_tail", u0)
+    )
+    e = pats.withColumn("r", r)
+    m_step = e.agg(
+        (F.sum(F.col("n_pairs") * F.col("r")) / F.sum("n_pairs")).alias("p1"),
+        (
+            F.sum(F.col("n_pairs") * F.col("r") * F.col("g_name"))
+            / F.sum(F.col("n_pairs") * F.col("r"))
+        ).alias("m_name"),
+        (
+            F.sum(F.col("n_pairs") * F.col("r") * F.col("g_tail"))
+            / F.sum(F.col("n_pairs") * F.col("r"))
+        ).alias("m_tail"),
+        (
+            F.sum(F.col("n_pairs") * (1 - F.col("r")) * F.col("g_name"))
+            / F.sum(F.col("n_pairs") * (1 - F.col("r")))
+        ).alias("u_name"),
+        (
+            F.sum(F.col("n_pairs") * (1 - F.col("r")) * F.col("g_tail"))
+            / F.sum(F.col("n_pairs") * (1 - F.col("r")))
+        ).alias("u_tail"),
+    )
+
+    def term(g, m, u):
+        return F.when(
+            F.col(g) == 1, F.log(F.col(m) / F.col(u))
+        ).otherwise(F.log((1 - F.col(m)) / (1 - F.col(u))))
+
+    out = (
+        e.crossJoin(F.broadcast(m_step))
+        .select(
+            "g_name",
+            "g_tail",
+            "n_pairs",
+            (F.round("r", 6) + F.lit(0.0)).alias("resp"),
+            (F.round(term("g_name", "m_name", "u_name")
+                     + term("g_tail", "m_tail", "u_tail"), 6) + F.lit(0.0)).alias(
+                "match_weight"
+            ),
+            (F.round("p1", 6) + F.lit(0.0)).alias("p_match"),
+        )
+        .orderBy("g_name", "g_tail")
+    )
+    return out
+
+
+register(
+    "entity_match_weights",
+    _match_weights,
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}
+    ), pats AS MATERIALIZED (
+      SELECT CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 0 END AS g_name,
+             CASE WHEN substring(a.name, 13, 6) = substring(b.name, 13, 6) THEN 1 ELSE 0 END AS g_tail,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT *,
+             (0.05 * (CASE WHEN g_name = 1 THEN 0.9 ELSE 0.1 END)
+                   * (CASE WHEN g_tail = 1 THEN 0.9 ELSE 0.1 END))
+             / (0.05 * (CASE WHEN g_name = 1 THEN 0.9 ELSE 0.1 END)
+                     * (CASE WHEN g_tail = 1 THEN 0.9 ELSE 0.1 END)
+                + 0.95 * (CASE WHEN g_name = 1 THEN 0.1 ELSE 0.9 END)
+                       * (CASE WHEN g_tail = 1 THEN 0.1 ELSE 0.9 END)) AS r
+      FROM pats
+    ), m AS (
+      SELECT sum(n_pairs * r) / sum(n_pairs) AS p1,
+             sum(n_pairs * r * g_name) / sum(n_pairs * r) AS m_name,
+             sum(n_pairs * r * g_tail) / sum(n_pairs * r) AS m_tail,
+             sum(n_pairs * (1 - r) * g_name) / sum(n_pairs * (1 - r)) AS u_name,
+             sum(n_pairs * (1 - r) * g_tail) / sum(n_pairs * (1 - r)) AS u_tail
+      FROM e
+    )
+    SELECT CAST(g_name AS INT) AS g_name, CAST(g_tail AS INT) AS g_tail, n_pairs,
+           round(r, 6) + 0.0 AS resp,
+           round(CASE WHEN g_name = 1 THEN ln(m_name / u_name)
+                      ELSE ln((1 - m_name) / (1 - u_name)) END
+               + CASE WHEN g_tail = 1 THEN ln(m_tail / u_tail)
+                      ELSE ln((1 - m_tail) / (1 - u_tail)) END, 6) + 0.0 AS match_weight,
+           round(p1, 6) + 0.0 AS p_match
+    FROM e CROSS JOIN m
+    ORDER BY g_name, g_tail
+    """,
+)
