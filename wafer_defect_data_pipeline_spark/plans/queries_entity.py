@@ -490,18 +490,33 @@ def _match_weights(spark, sf_dir):
     Everything after the blocked join is arithmetic over a 4-row table,
     so the oracle replays it exactly (6dp rounds at the read-out only —
     inputs are integer counts and literal priors, deterministic in both
-    engines). Scale: the loose block is the cost knob — per-nation pair
-    counts grow quadratically, which is WHY the production pattern runs
-    weights estimation on a sampled block set; the EM arithmetic itself
-    touches 4 rows regardless of corpus size.
+    engines). Scale: weight ESTIMATION runs on a deterministic md5
+    sample with a fixed ~4000-row budget — the loose block is quadratic
+    in block size, so the corpus-size-independent sample is what makes
+    this query a constant-cost estimation step at ANY scale (the
+    production pattern: learn (m, u, p) on a sample, score everything
+    with the learned weights). The sample rate is derived in-plan from
+    one broadcast count — no driver readout — and the oracle derives the
+    same rate from the same count.
     """
+    from ..operators.sampling import _hash_frac
+
     corpus = _planted_corpus(spark, sf_dir)
-    a = corpus.select(
+    cnt = corpus.agg(F.count(F.lit(1)).alias("__n"))
+    sampled = (
+        corpus.crossJoin(F.broadcast(cnt))
+        .filter(
+            _hash_frac(F.col("id"), "fs:")
+            < F.least(F.lit(1.0), F.lit(4000.0) / F.col("__n"))
+        )
+        .select("id", "name", "nk")
+    )
+    a = sampled.select(
         F.col("nk"),
         F.col("id").alias("id_a"),
         F.col("name").alias("na"),
     )
-    b = corpus.select(
+    b = sampled.select(
         F.col("nk"),
         F.col("id").alias("id_b"),
         F.col("name").alias("nb"),
@@ -576,11 +591,16 @@ register(
     _match_weights,
     f"""
     WITH corpus AS ({_CORPUS_SQL}
+    ), sampled AS MATERIALIZED (
+      SELECT id, name, nk FROM corpus
+      WHERE CAST(concat('0x', substring(md5(concat('fs:', CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0
+            < least(1.0, 4000.0 / (SELECT count(*) FROM corpus))
     ), pats AS MATERIALIZED (
       SELECT CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 0 END AS g_name,
              CASE WHEN substring(a.name, 13, 6) = substring(b.name, 13, 6) THEN 1 ELSE 0 END AS g_tail,
              CAST(count(*) AS BIGINT) AS n_pairs
-      FROM corpus a JOIN corpus b ON a.nk = b.nk AND a.id < b.id
+      FROM sampled a JOIN sampled b ON a.nk = b.nk AND a.id < b.id
       GROUP BY 1, 2
     ), e AS MATERIALIZED (
       SELECT *,
