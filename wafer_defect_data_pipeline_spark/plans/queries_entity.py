@@ -474,31 +474,11 @@ register(
 )
 
 
-def _match_weights(spark, sf_dir):
-    """Fellegi-Sunter probabilistic linkage: agreement-pattern weights
-    after ONE EM step — the Splink-style scoring layer on top of the
-    deterministic blocking the rest of the family uses.
-
-    Candidates block on nation ALONE (a deliberately loose key, so the
-    pattern table sees real non-matches, not just the planted pairs);
-    each pair reduces to a 2-field agreement vector — names within
-    Levenshtein 2, and name-tail equality. The E-step's responsibility is
-    a closed-form function of the pattern under fixed priors
-    (p=0.05, m=0.9, u=0.1), the M-step re-estimates (p, m_j, u_j) as
-    count-weighted averages (one agg over FOUR pattern rows), and the
-    reported pattern weight is the post-update log-likelihood ratio.
-    Everything after the blocked join is arithmetic over a 4-row table,
-    so the oracle replays it exactly (6dp rounds at the read-out only —
-    inputs are integer counts and literal priors, deterministic in both
-    engines). Scale: weight ESTIMATION runs on a deterministic md5
-    sample with a fixed ~4000-row budget — the loose block is quadratic
-    in block size, so the corpus-size-independent sample is what makes
-    this query a constant-cost estimation step at ANY scale (the
-    production pattern: learn (m, u, p) on a sample, score everything
-    with the learned weights). The sample rate is derived in-plan from
-    one broadcast count — no driver readout — and the oracle derives the
-    same rate from the same count.
-    """
+def _fs_pattern_and_params(spark, sf_dir):
+    """Shared FS estimation dataflow: (pattern table with responsibilities,
+    one-row learned-parameter frame) — see ``entity_match_weights`` for the
+    full design notes. Split out so the scoring query reuses the exact
+    same learned parameters the weights query reports."""
     from ..operators.sampling import _hash_frac
 
     corpus = _planted_corpus(spark, sf_dir)
@@ -511,16 +491,8 @@ def _match_weights(spark, sf_dir):
         )
         .select("id", "name", "nk")
     )
-    a = sampled.select(
-        F.col("nk"),
-        F.col("id").alias("id_a"),
-        F.col("name").alias("na"),
-    )
-    b = sampled.select(
-        F.col("nk"),
-        F.col("id").alias("id_b"),
-        F.col("name").alias("nb"),
-    )
+    a = sampled.select(F.col("nk"), F.col("id").alias("id_a"), F.col("name").alias("na"))
+    b = sampled.select(F.col("nk"), F.col("id").alias("id_b"), F.col("name").alias("nb"))
     pats = (
         a.join(b, on="nk")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -562,35 +534,65 @@ def _match_weights(spark, sf_dir):
             / F.sum(F.col("n_pairs") * (1 - F.col("r")))
         ).alias("u_tail"),
     )
+    return e, m_step
 
-    def term(g, m, u):
-        return F.when(
-            F.col(g) == 1, F.log(F.col(m) / F.col(u))
-        ).otherwise(F.log((1 - F.col(m)) / (1 - F.col(u))))
 
-    out = (
+def _fs_term(g, m, u):
+    return F.when(F.col(g) == 1, F.log(F.col(m) / F.col(u))).otherwise(
+        F.log((1 - F.col(m)) / (1 - F.col(u)))
+    )
+
+
+def _match_weights(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage: agreement-pattern weights
+    after ONE EM step — the Splink-style scoring layer on top of the
+    deterministic blocking the rest of the family uses.
+
+    Candidates block on nation ALONE (a deliberately loose key, so the
+    pattern table sees real non-matches, not just the planted pairs);
+    each pair reduces to a 2-field agreement vector — names within
+    Levenshtein 2, and name-tail equality. The E-step's responsibility is
+    a closed-form function of the pattern under fixed priors
+    (p=0.05, m=0.9, u=0.1), the M-step re-estimates (p, m_j, u_j) as
+    count-weighted averages (one agg over FOUR pattern rows), and the
+    reported pattern weight is the post-update log-likelihood ratio.
+    Everything after the blocked join is arithmetic over a 4-row table,
+    so the oracle replays it exactly (6dp rounds at the read-out only —
+    inputs are integer counts and literal priors, deterministic in both
+    engines). Scale: weight ESTIMATION runs on a deterministic md5
+    sample with a fixed ~4000-row budget — the loose block is quadratic
+    in block size, so the corpus-size-independent sample is what makes
+    this query a constant-cost estimation step at ANY scale (the
+    production pattern: learn (m, u, p) on a sample, score everything
+    with the learned weights). The sample rate is derived in-plan from
+    one broadcast count — no driver readout — and the oracle derives the
+    same rate from the same count.
+    """
+    e, m_step = _fs_pattern_and_params(spark, sf_dir)
+    return (
         e.crossJoin(F.broadcast(m_step))
         .select(
             "g_name",
             "g_tail",
             "n_pairs",
             (F.round("r", 6) + F.lit(0.0)).alias("resp"),
-            (F.round(term("g_name", "m_name", "u_name")
-                     + term("g_tail", "m_tail", "u_tail"), 6) + F.lit(0.0)).alias(
-                "match_weight"
-            ),
+            (
+                F.round(
+                    _fs_term("g_name", "m_name", "u_name")
+                    + _fs_term("g_tail", "m_tail", "u_tail"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("match_weight"),
             (F.round("p1", 6) + F.lit(0.0)).alias("p_match"),
         )
         .orderBy("g_name", "g_tail")
     )
-    return out
 
 
-register(
-    "entity_match_weights",
-    _match_weights,
-    f"""
-    WITH corpus AS ({_CORPUS_SQL}
+# the shared learn-on-sample chain (corpus -> sample -> patterns ->
+# E-step -> M-step), reused by the weights and scoring oracles
+_FS_LEARN_SQL = f"""corpus AS ({_CORPUS_SQL}
     ), sampled AS MATERIALIZED (
       SELECT id, name, nk FROM corpus
       WHERE CAST(concat('0x', substring(md5(concat('fs:', CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
@@ -611,14 +613,20 @@ register(
                 + 0.95 * (CASE WHEN g_name = 1 THEN 0.1 ELSE 0.9 END)
                        * (CASE WHEN g_tail = 1 THEN 0.1 ELSE 0.9 END)) AS r
       FROM pats
-    ), m AS (
+    ), m AS MATERIALIZED (
       SELECT sum(n_pairs * r) / sum(n_pairs) AS p1,
              sum(n_pairs * r * g_name) / sum(n_pairs * r) AS m_name,
              sum(n_pairs * r * g_tail) / sum(n_pairs * r) AS m_tail,
              sum(n_pairs * (1 - r) * g_name) / sum(n_pairs * (1 - r)) AS u_name,
              sum(n_pairs * (1 - r) * g_tail) / sum(n_pairs * (1 - r)) AS u_tail
       FROM e
-    )
+    )"""
+
+register(
+    "entity_match_weights",
+    _match_weights,
+    f"""
+    WITH {_FS_LEARN_SQL}
     SELECT CAST(g_name AS INT) AS g_name, CAST(g_tail AS INT) AS g_tail, n_pairs,
            round(r, 6) + 0.0 AS resp,
            round(CASE WHEN g_name = 1 THEN ln(m_name / u_name)
@@ -628,5 +636,87 @@ register(
            round(p1, 6) + 0.0 AS p_match
     FROM e CROSS JOIN m
     ORDER BY g_name, g_tail
+    """,
+)
+
+
+def _match_scores(spark, sf_dir):
+    """The score-everything half of learn-on-sample FS linkage: the learned
+    (p, m_j, u_j) broadcast onto every TIGHT-blocked candidate pair, each
+    scored with its agreement pattern's log-likelihood-ratio weight and
+    the Bayes posterior (prior odds from the learned p, times the
+    field-ratio product). The tight block (nation + name tail) keeps the
+    scored pair set linear while estimation already amortized the loose
+    exploration — exactly how a production linkage run splits the two
+    costs. The oracle replays learn + score end to end; the parameters
+    are unrounded in-plan (deterministic doubles from identical integer
+    counts), rounds happen only at the read-out.
+    """
+    _e, m_step = _fs_pattern_and_params(spark, sf_dir)
+    corpus = _planted_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("nk"),
+        F.substring("name", 13, 6).alias("bk"),
+        F.col("id").alias("id_a"),
+        F.col("name").alias("na"),
+    )
+    b = corpus.select(
+        F.col("nk"),
+        F.substring("name", 13, 6).alias("bk"),
+        F.col("id").alias("id_b"),
+        F.col("name").alias("nb"),
+    )
+    pairs = (
+        a.join(b, on=["nk", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.levenshtein("na", "nb") <= 2).cast("int").alias("g_name"),
+            (F.substring("na", 13, 6) == F.substring("nb", 13, 6))
+            .cast("int")
+            .alias("g_tail"),
+        )
+    )
+    w = _fs_term("g_name", "m_name", "u_name") + _fs_term("g_tail", "m_tail", "u_tail")
+    log_odds = F.log(F.col("p1") / (1 - F.col("p1"))) + w
+    posterior = F.lit(1.0) / (F.lit(1.0) + F.exp(-log_odds))
+    return (
+        pairs.crossJoin(F.broadcast(m_step))
+        .select(
+            "id_a",
+            "id_b",
+            "g_name",
+            (F.round(w, 6) + F.lit(0.0)).alias("match_weight"),
+            (F.round(posterior, 6) + F.lit(0.0)).alias("posterior"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+register(
+    "entity_match_scores",
+    _match_scores,
+    f"""
+    WITH {_FS_LEARN_SQL}, scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 0 END AS g_name,
+             CASE WHEN substring(a.name, 13, 6) = substring(b.name, 13, 6) THEN 1 ELSE 0 END AS g_tail
+      FROM corpus a JOIN corpus b
+        ON a.nk = b.nk AND substring(a.name, 13, 6) = substring(b.name, 13, 6)
+       AND a.id < b.id
+    ), weighted AS (
+      SELECT id_a, id_b, g_name,
+             (CASE WHEN g_name = 1 THEN ln(m_name / u_name)
+                   ELSE ln((1 - m_name) / (1 - u_name)) END
+              + CASE WHEN g_tail = 1 THEN ln(m_tail / u_tail)
+                     ELSE ln((1 - m_tail) / (1 - u_tail)) END) AS w,
+             ln(p1 / (1 - p1)) AS prior
+      FROM scored CROSS JOIN m
+    )
+    SELECT id_a, id_b, CAST(g_name AS INT) AS g_name,
+           round(w, 6) + 0.0 AS match_weight,
+           round(1.0 / (1.0 + exp(-(prior + w))), 6) + 0.0 AS posterior
+    FROM weighted ORDER BY id_a, id_b
     """,
 )

@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "multimodal_audio_fingerprint_pairs",  # NEW: audio energy-delta dedup
     "multimodal_video_neardup_pairs",  # NEW: frame-hash clip dedup
     "entity_match_weights",  # NEW: Fellegi-Sunter one-EM-step weights
+    "entity_match_scores",  # NEW: learn-on-sample, score-everything
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
