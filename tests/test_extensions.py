@@ -2928,3 +2928,27 @@ def test_video_frame_hash_voting_absorbs_one_corrupted_frame(spark):
     shared = [f for f in range(4) if by_doc[3][f] == by_doc[0][f]]
     assert set(shared) >= {1, 2, 3}                    # corruption only hits f0
     assert not set(by_doc[0].values()) & set(by_doc[4].values())  # cross-group
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """On two 4-cliques joined by one bridge edge, 3 LPA rounds keep two
+    distinct majority labels (communities) while connected components
+    collapses everything to one — the property that makes LPA a different
+    operator, not a CC variant."""
+    from wafer_defect_data_pipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11), (11, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r.node: r.label for r in label_propagation(df, n_rounds=3).collect()}
+    left = {labels[i] for i in (1, 2, 3)}
+    right = {labels[i] for i in (12, 13, 14)}
+    assert left == {1} and right == {11}
+    assert left != right
+    comp = {r.component for r in connected_components(df, "src", "dst").collect()}
+    assert comp == {1}

@@ -444,3 +444,52 @@ def merge_components(
             "id", F.coalesce("new_component", F.col("component")).alias("component")
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_rounds: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (community detection) → ``(node, label)``.
+
+    Every node starts as its own label; each round it adopts the MOST
+    FREQUENT label among its neighbours (ties: smallest label) — the
+    GraphFrames/LPA semantics, kept exactly reproducible by running a
+    FIXED number of synchronous rounds with a deterministic tie-break
+    instead of convergence-testing an asynchronous schedule. Communities
+    differ from connected components on connected-but-modular graphs:
+    dense pockets keep their local majority label while bridges flip.
+
+    Per round: one equi-join of (node, label) onto the edge list, one
+    count per (node, neighbour-label), and one lexicographic
+    ``min(struct(-count, label))`` argmax — all map-side-combinable; the
+    shuffled rows are (node, label, count) regardless of graph size, and
+    ``localCheckpoint`` caps plan growth exactly like the CC/PageRank
+    loops above.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(n_rounds):
+        nbr = e.join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+            on="b",
+        ).select(F.col("a").alias("node"), "nl")
+        counts = nbr.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("negc"), F.col("nl").alias("l")))
+                .alias("best")
+            )
+            .select("node", F.col("best.l").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -673,3 +673,73 @@ def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
 
 
 register("graph_kcore_suppliers", _graph_kcore, _kcore_oracle())
+
+
+# --- label-propagation communities over the trade graph ----------------------
+def _graph_lpa(spark, sf_dir):
+    """Top-15 communities after 3 synchronous LPA rounds on the bipartite
+    customer-supplier graph (bidirectional edges, like the PageRank
+    query). Iterative-family member #4: fixed rounds + the deterministic
+    (count DESC, label ASC) tie-break make the result replayable by THREE
+    unrolled MATERIALIZED rounds in SQL — the k-core unroll pattern, but
+    with an argmax per node instead of a peel. Scale: each round shuffles
+    (node, label, count) triples only; the argmax is a lexicographic
+    min(struct) — a partial-aggregating groupBy, no window."""
+    from ..operators.graph import label_propagation
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, n_rounds=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(15)
+    )
+
+
+def _lpa_round(prev: str, out: str) -> str:
+    return f"""{out}_c AS MATERIALIZED (
+      SELECT e.src AS node, {prev}.label AS nl, count(*) AS c
+      FROM edges e JOIN {prev} ON e.dst = {prev}.node
+      GROUP BY 1, 2
+    ), {out} AS MATERIALIZED (
+      SELECT node, nl AS label FROM (
+        SELECT node, nl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, nl ASC) AS rn
+        FROM {out}_c) t WHERE rn = 1
+    )"""
+
+
+register(
+    "graph_lpa_communities",
+    _graph_lpa,
+    f"""
+    WITH base_edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT src, dst FROM base_edges
+      UNION
+      SELECT dst, src FROM base_edges
+    ), l0 AS MATERIALIZED (
+      SELECT node, node AS label FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+    ), {_lpa_round('l0', 'l1')}, {_lpa_round('l1', 'l2')}, {_lpa_round('l2', 'l3')}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 15
+    """,
+)

@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "multimodal_video_neardup_pairs",  # NEW: frame-hash clip dedup
     "entity_match_weights",  # NEW: Fellegi-Sunter one-EM-step weights
     "entity_match_scores",  # NEW: learn-on-sample, score-everything
+    "graph_lpa_communities",  # NEW: synchronous LPA, unrolled oracle
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
