@@ -1026,3 +1026,79 @@ def _nsw_probe_prebuilt(spark, sf_dir):
 
 
 register("similarity_nsw_probe_prebuilt", _nsw_probe_prebuilt, _nsw_sql())
+
+
+# --- streaming ANN admit loop (probe-then-admit; see streaming/similarity) --
+def _streaming_ann_probe(spark, sf_dir):
+    """Two-day embedding crawl: each batch top-3-probes the admitted vector
+    index then joins it; day-2 near-dups of day-1 novel vectors retrieve
+    their true neighbour only through the admission step. Exact HOF probe
+    contract, so the staged oracle (batch 1 vs history, batch 2 vs
+    history + batch 1) replays every similarity and rank."""
+    from ..streaming.similarity import run_streaming_ann_probe
+
+    return run_streaming_ann_probe(spark, sf_dir, k=3)
+
+
+_ANN_COS = (
+    "round(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform(q.v, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6)"
+)
+
+_MD5V = lambda pfx: (  # noqa: E731 — local SQL-fragment builder
+    "list_transform(range(0, 64), i -> "
+    f"CAST(concat('0x', substring(md5(concat('{pfx}', CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) AS INT) / 256.0)"
+)
+
+register(
+    "similarity_streaming_ann_probe",
+    _streaming_ann_probe,
+    f"""
+    WITH hist AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), near1 AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(list_zip(CAST(embedding AS DOUBLE[]), range(0, len(embedding))),
+                            p -> CASE WHEN p[2] = 0 THEN p[1] + 0.05 ELSE p[1] END) AS v
+      FROM embeddings WHERE vec_id % 40 = 0
+    ), novel1 AS (
+      SELECT vec_id + 2000000 AS new_id, {_MD5V('v1:')} AS v
+      FROM embeddings WHERE vec_id % 40 = 10
+    ), b1 AS (
+      SELECT vec_id, v FROM near1
+      UNION ALL SELECT new_id, v FROM novel1
+    ), near2 AS (
+      SELECT new_id + 1000000 AS vec_id,
+             list_transform(list_zip(v, range(0, len(v))),
+                            p -> CASE WHEN p[2] = 0 THEN p[1] + 0.05 ELSE p[1] END) AS v
+      FROM novel1
+    ), new2 AS (
+      SELECT vec_id + 4000000 AS vec_id, {_MD5V('v2:')} AS v
+      FROM embeddings WHERE vec_id % 40 = 20
+    ), b2 AS (
+      SELECT vec_id, v FROM near2
+      UNION ALL SELECT vec_id, v FROM new2
+    ), idx2 AS (
+      SELECT * FROM hist UNION ALL SELECT * FROM b1
+    ), s1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_ANN_COS} AS cos_sim
+      FROM b1 q CROSS JOIN hist c WHERE c.vec_id <> q.vec_id
+    ), s2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_ANN_COS} AS cos_sim
+      FROM b2 q CROSS JOIN idx2 c WHERE c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        FROM s1) t WHERE rank <= 3
+      UNION ALL
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        FROM s2) t WHERE rank <= 3
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cos_sim
+    FROM ranked ORDER BY query_id, rank
+    """,
+)

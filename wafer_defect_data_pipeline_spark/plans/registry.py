@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "entity_match_weights",  # NEW: Fellegi-Sunter one-EM-step weights
     "entity_match_scores",  # NEW: learn-on-sample, score-everything
     "graph_lpa_communities",  # NEW: synchronous LPA, unrolled oracle
+    "similarity_streaming_ann_probe",  # NEW: streaming vector admit loop
     "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
     "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
     "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs

@@ -1,0 +1,142 @@
+"""Streaming ANN admit loop: probe the admitted vector index per batch.
+
+The similarity-family member of the streaming daily-crawl loops
+(streaming/dedup.py): each arriving batch of embeddings is (1) top-k
+probed against the vector index as it stood BEFORE the batch — history is
+the authority, a batch never retrieves itself — and (2) admitted into the
+versioned index snapshot for every later batch. Day-2 near-duplicates of
+day-1 vectors are retrievable only through the admission step, which is
+the property the staged oracle pins.
+
+Same state discipline as the span/minhash/entity loops: the index lives
+as versioned parquet on storage, the driver holds only the current
+snapshot path, superseded snapshots are vacuumed. The probe is
+``brute_force_topk`` with the exact HOF contract (the batch broadcasts,
+the index is scanned once); a production deployment swaps in the
+IVF/NSW probe against the same snapshot layout — the admit loop does not
+change.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _md5_vec(prefix: str, id_col, dim: int = 64):
+    """Engine-portable pseudo-random unit-range vector: component ``i`` is
+    the first md5 byte of ``"{prefix}{id}:{i}"`` over 256 — an exact dyadic
+    rational, so the DuckDB oracle rebuilds the same doubles."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), id_col.cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(256.0),
+    )
+
+
+def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Bounded replay of a two-day embedding crawl. Day 1: perturbed
+    near-dups of history vectors (+0.05 on dim 0 — the semantic-dedup
+    plant) plus novel md5 vectors; day 2: perturbed near-dups OF DAY 1's
+    novel vectors (their true nearest neighbour exists only via the
+    admission step) plus genuinely new vectors. Oldest-mtime-first, one
+    file per micro-batch. Returns top-``k`` retrievals for every batch
+    query: ``(query_id, rank, corpus_id, cos_sim)``.
+    """
+    import os
+    import shutil
+
+    from ..functions.arrays import as_double
+    from ..operators.similarity import brute_force_topk
+    from ..sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("embedding")
+    )
+    work = f"/tmp/wdps_stream_ann_{uuid.uuid4().hex[:8]}"
+    staged, out_dir, idx_dir = f"{work}/in", f"{work}/hits", f"{work}/idx"
+    os.makedirs(staged)
+
+    near1 = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    # NB: rename before the shadowing select — a column reference INSIDE a
+    # higher-order-function lambda resolves laterally to a same-select alias
+    # (plain expressions resolve to the input column), so computing the md5
+    # key from "vec_id" next to an alias of the same name silently hashed
+    # the SHIFTED id
+    novel1 = (
+        e.filter(F.col("vec_id") % 40 == 10)
+        .select(F.col("vec_id").alias("oid"))
+        .select(
+            (F.col("oid") + F.lit(2_000_000)).alias("vec_id"),
+            _md5_vec("v1:", F.col("oid")).alias("embedding"),
+        )
+    )
+    batch1 = near1.unionByName(novel1)
+    near2 = novel1.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    new2 = (
+        e.filter(F.col("vec_id") % 40 == 20)
+        .select(F.col("vec_id").alias("oid"))
+        .select(
+            (F.col("oid") + F.lit(4_000_000)).alias("vec_id"),
+            _md5_vec("v2:", F.col("oid")).alias("embedding"),
+        )
+    )
+    batch2 = near2.unionByName(new2)
+
+    for i, b in enumerate((batch1, batch2), start=1):
+        tmp = f"{work}/day{i}"
+        b.coalesce(1).write.parquet(tmp)
+        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = f"{staged}/day{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    e.write.parquet(f"{idx_dir}/v0")
+    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+
+    def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        idx = sp.read.parquet(cur["path"])
+        # exact HOF contract (arrow_threshold_pairs=None): this is the
+        # oracle-replayable probe; production swaps the IVF/NSW probe in
+        brute_force_topk(
+            idx, batch_df, k=k, arrow_threshold_pairs=None
+        ).write.mode("append").parquet(out_dir)
+        nxt = f"{idx_dir}/v{batch_id + 1}"
+        idx.unionByName(batch_df.select("vec_id", "embedding")).write.parquet(nxt)
+        old, cur["path"] = cur["path"], nxt
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_admit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("query_id", "rank")
