@@ -414,7 +414,12 @@ def merge_components(
     table updates in O(batch) work; at 100 TB the assignment lives
     partitioned on ``component`` so the remap join co-locates.
     """
-    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # the batch edge list feeds the contraction joins AND the new-id scan —
+    # pin it (house multi-use rule) so an expensive upstream pair generator
+    # (e.g. a blocking probe) runs once, not once per consumer
+    e = new_edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
     la = assign.select(F.col("id").alias("a"), F.col("component").alias("ca"))
     lb = assign.select(F.col("id").alias("b"), F.col("component").alias("cb"))
     contracted = (

@@ -120,11 +120,13 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         idx = sp.read.parquet(cur["path"])
-        # exact HOF contract (arrow_threshold_pairs=None): this is the
-        # oracle-replayable probe; production swaps the IVF/NSW probe in
-        brute_force_topk(
-            idx, batch_df, k=k, arrow_threshold_pairs=None
-        ).write.mode("append").parquet(out_dir)
+        # default size gate: under ~2M pairs (the driver's sf0.01) the probe
+        # is the HOF fold; past it the tie-exact Arrow/BLAS kernel serves
+        # the SAME contract (6dp-round-before-prune, lowest-id ties —
+        # hash-verified against the fold), so the staged oracle replays
+        # either branch. Forcing the fold here measured 544 s at sf1; the
+        # gate is the whole point of the delegation work.
+        brute_force_topk(idx, batch_df, k=k).write.mode("append").parquet(out_dir)
         nxt = f"{idx_dir}/v{batch_id + 1}"
         idx.unionByName(batch_df.select("vec_id", "embedding")).write.parquet(nxt)
         old, cur["path"] = cur["path"], nxt
