@@ -11,12 +11,31 @@ detected without any rescan of historical text, which is the whole point:
 at 100 TB of accumulated corpus the per-batch cost is the batch's own
 explode + two narrow (gh, n) joins.
 
-State discipline mirrors ``run_foreachbatch_upsert_batch``
-(streaming/events.py): the gram index lives as a versioned parquet
-snapshot on storage, the driver holds only the current snapshot PATH, and
-superseded snapshots are vacuumed — index size scales with cluster
-storage, not driver memory. Snapshots are written ``repartition(gh)`` so
-successive merges and probes co-locate on the same key layout.
+Two state disciplines are shipped, same probe, same oracle:
+
+- **rewrite** (:func:`run_streaming_span_dedup`): the index is one
+  versioned parquet snapshot, and admitting a batch rewrites it whole —
+  ``merge(index, batch)`` → ``v{N+1}``. Simple, but the per-batch write is
+  O(index): at 100 TB of accumulated grams each micro-batch would rewrite
+  the entire history. Kept as the correctness twin.
+- **delta-append** (:func:`run_streaming_span_dedup_delta`): each admitted
+  batch writes ONLY its own gram counts as a new partition under the
+  snapshot root (``idx/delta/batch=N``) — an O(batch) write — and the
+  probe reads base ∪ deltas (gram counts are independent, so the union
+  carries the same presence/count information as the merged table).
+  Every ``compact_every`` deltas, one compaction folds base + deltas into
+  a new base with the ``merge_gram_index`` count algebra — the O(index)
+  write is paid on a CADENCE, amortized across batches, exactly like
+  LSM/Delta-Lake compaction. This is the 100 TB state discipline.
+
+Idempotency: per-batch outputs go to deterministic paths
+(``out/batch=<id>``, ``delta/batch=<id>``) in overwrite mode, so a
+Structured-Streaming retry of the same ``batch_id`` overwrites its own
+previous attempt instead of double-appending; superseded index snapshots
+are vacuumed only AFTER the query terminates, so a retried batch still
+sees the pre-admit state it first probed. (A multi-writer production
+deployment would put the base/delta manifest in a transaction log — Delta
+Lake's — rather than driver memory; the write discipline is the same.)
 
 No reference analogue (the reference is a single-table batch ETL —
 ``/root/reference/src/preprocessing.py``); this is extension-surface
@@ -25,44 +44,55 @@ streaming per SURVEY.md §2.9.
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def run_streaming_span_dedup(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 20,
-    min_span: int = 40,
-) -> DataFrame:
-    """Bounded replay of the two-day crawl: batch 1 (novel payloads +
-    suffix copies of history) then batch 2 (verbatim copies of batch 1's
-    novel text + genuinely new docs), streamed oldest-file-first with one
-    file per micro-batch. Returns every detected span across both batches.
-
-    Deterministic end to end: file order is pinned by mtime, the probe is
-    presence-only (``min_index_count=1``), and the gram index is a pure
-    count table — so the result is the same as running the batch triad by
-    hand, and the DuckDB oracle replays it exactly (batch 1 probed against
-    grams(history), batch 2 against grams(history ∪ batch 1)).
-    """
-    import os
-    import shutil
-
-    from ..operators.dedup import (
-        gram_index,
-        incremental_duplicated_spans,
-        merge_gram_index,
-    )
-    from ..sources import read_table
-
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    work = f"/tmp/wdps_stream_spans_{uuid.uuid4().hex[:8]}"
-    staged, out_dir, idx_dir = f"{work}/in", f"{work}/spans", f"{work}/idx"
+def _stage_days(work: str, batches: list[DataFrame]) -> str:
+    """Write each batch as ONE parquet file under ``work/in`` with strictly
+    increasing mtimes: the file-stream source replays oldest-first, so
+    micro-batch order == day order."""
+    staged = f"{work}/in"
     os.makedirs(staged)
+    for i, b in enumerate(batches, start=1):
+        tmp = f"{work}/day{i}"
+        b.coalesce(1).write.parquet(tmp)
+        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = f"{staged}/day{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return staged
 
+
+def _tree_bytes(path: str) -> int:
+    """Total bytes under ``path`` — the per-batch state-write cost a
+    BASELINE row compares across the rewrite vs delta disciplines."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _vacuum(paths: list[str]) -> None:
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _span_batches(d: DataFrame) -> list[DataFrame]:
+    """The staged two-day crawl shared by the span admit loops (and their
+    DuckDB oracles — the expressions here and in the registered SQL must
+    stay in lockstep): day 1 = novel payloads + suffix copies of history;
+    day 2 = verbatim copies of day 1's novel text + genuinely new docs."""
     day1 = d.filter(F.col("doc_id") % 20 == 10).select(
         (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
         F.concat(
@@ -89,48 +119,167 @@ def run_streaming_span_dedup(
             ).alias("text"),
         )
     )
-    # one parquet FILE per day, strictly increasing mtimes: the file-stream
-    # source replays oldest-first, so micro-batch order == day order
-    for i, b in enumerate((batch1, batch2), start=1):
-        tmp = f"{work}/day{i}"
-        b.coalesce(1).write.parquet(tmp)
-        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = f"{staged}/day{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return [batch1, batch2]
+
+
+def _run_file_stream(spark: SparkSession, staged: str, schema: str, body) -> None:
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(body)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_streaming_span_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+) -> DataFrame:
+    """Bounded replay of the two-day crawl with the REWRITE state
+    discipline (O(index) admit write — see module docstring; the delta
+    twin below is the scale path). Returns every detected span across both
+    batches.
+
+    Deterministic end to end: file order is pinned by mtime, the probe is
+    presence-only (``min_index_count=1``), and the gram index is a pure
+    count table — so the result is the same as running the batch triad by
+    hand, and the DuckDB oracle replays it exactly (batch 1 probed against
+    grams(history), batch 2 against grams(history ∪ batch 1)).
+    """
+    from ..operators.dedup import (
+        gram_index,
+        incremental_duplicated_spans,
+        merge_gram_index,
+    )
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_spans_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/spans", f"{work}/idx"
+    staged = _stage_days(work, _span_batches(d))
 
     # index v0: history only (never re-scanned after this)
     gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
         f"{idx_dir}/v0"
     )
     cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    superseded: list[str] = []
 
     def probe_then_merge(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         idx = sp.read.parquet(cur["path"])
-        # probe FIRST — against the index as of the previous batch
+        # probe FIRST — against the index as of the previous batch; the
+        # deterministic per-batch path + overwrite makes a retry replace
+        # its own previous attempt instead of double-appending
         incremental_duplicated_spans(
             batch_df, idx, "doc_id", "text", k=k, min_span=min_span
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         # then admit the batch for every later one
         nxt = f"{idx_dir}/v{batch_id + 1}"
         merge_gram_index(
             idx, gram_index(batch_df, "doc_id", "text", k=k)
-        ).repartition(8, "gh").write.parquet(nxt)
-        old, cur["path"] = cur["path"], nxt
-        shutil.rmtree(old, ignore_errors=True)
+        ).repartition(8, "gh").write.mode("overwrite").parquet(nxt)
+        superseded.append(cur["path"])
+        cur["path"] = nxt
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .writeStream.foreachBatch(probe_then_merge)
-        .trigger(availableNow=True)
-        .start()
+    _run_file_stream(spark, staged, "doc_id long, text string", probe_then_merge)
+    _vacuum(superseded)  # only after termination: a retry re-reads its snapshot
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("doc_id", "span_start")
+
+
+def run_streaming_span_dedup_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The same two-day replay as :func:`run_streaming_span_dedup` with the
+    DELTA-APPEND state discipline: admitting a batch writes only
+    ``idx/delta/batch=N`` (O(batch) bytes); the probe reads base ∪ deltas;
+    every ``compact_every`` deltas one ``merge_gram_index`` compaction
+    folds them into a new base (the amortized O(index) write). Output is
+    identical to the rewrite twin — gram counts are independent, so
+    presence in (base ∪ deltas) == presence in the merged index — and the
+    SAME staged DuckDB oracle hash-checks it.
+
+    ``stats`` (optional dict) receives ``admit_bytes_per_batch`` — the
+    bytes written to ADMIT each batch, excluding compaction — and
+    ``compact_bytes`` — the cadence-amortized compaction writes — so a
+    bench row can show O(batch) vs the rewrite loop's O(index).
+    """
+    from ..operators.dedup import gram_index, incremental_duplicated_spans
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_spansd_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/spans", f"{work}/idx"
+    staged = _stage_days(work, _span_batches(d))
+
+    gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
+        f"{idx_dir}/base/v0"
+    )
+    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
+    superseded: list[str] = []
+    admit_bytes: list[int] = []
+    compact_bytes: list[int] = []
+
+    def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        parts = [sp.read.parquet(state["base"])] + [
+            sp.read.parquet(p) for p in state["deltas"]
+        ]
+        # presence probe (min_index_count=1): the raw union suffices — a
+        # gram is in the index iff any base/delta part carries it. (A
+        # probe thresholding on TOTAL count would groupBy-sum the union
+        # first; compaction keeps that rare path cheap too.)
+        idx = reduce(DataFrame.unionByName, parts)
+        incremental_duplicated_spans(
+            batch_df, idx, "doc_id", "text", k=k, min_span=min_span
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # admit = write ONLY the batch's own gram counts — O(batch)
+        delta_path = f"{idx_dir}/delta/batch={batch_id}"
+        gram_index(batch_df, "doc_id", "text", k=k).repartition(
+            4, "gh"
+        ).write.mode("overwrite").parquet(delta_path)
+        state["deltas"].append(delta_path)
+        admit_bytes.append(_tree_bytes(delta_path))
+        if len(state["deltas"]) >= compact_every:
+            # cadence compaction: fold base + deltas into a new base with
+            # the merge_gram_index count algebra (sum per gram), keyed
+            # layout preserved (repartition on gh)
+            allparts = [sp.read.parquet(state["base"])] + [
+                sp.read.parquet(p) for p in state["deltas"]
+            ]
+            nxt = f"{idx_dir}/base/v{batch_id + 1}"
+            reduce(DataFrame.unionByName, allparts).groupBy("gh").agg(
+                F.sum("n").alias("n")
+            ).repartition(8, "gh").write.mode("overwrite").parquet(nxt)
+            compact_bytes.append(_tree_bytes(nxt))
+            superseded.extend([state["base"], *state["deltas"]])
+            state["base"], state["deltas"] = nxt, []
+
+    _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
+    _vacuum(superseded)
+    if stats is not None:
+        stats["admit_bytes_per_batch"] = admit_bytes
+        stats["compact_bytes"] = compact_bytes
+        stats["base_bytes"] = _tree_bytes(state["base"])
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
 
 
 def run_streaming_minhash_probe(
@@ -153,18 +302,20 @@ def run_streaming_minhash_probe(
     the overlap estimates replay exactly in SQL — including which
     near-threshold pairs happen to band-collide.
 
+    State discipline: rewrite twin (the signature index is rewritten per
+    admit — O(index)); the span/ANN delta loops demonstrate the O(batch)
+    delta-append discipline, and the same layout applies verbatim here
+    (signatures are independent rows, so base ∪ deltas IS the index — no
+    count algebra even needed at compaction).
+
     Returns ``(new_id, index_id, est_jaccard)`` across both days.
     """
-    import os
-    import shutil
-
     from ..operators.dedup import minhash_lsh_probe, minhash_signatures
     from ..sources import read_table
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = f"/tmp/wdps_stream_mh_{uuid.uuid4().hex[:8]}"
-    staged, out_dir, idx_dir = f"{work}/in", f"{work}/pairs", f"{work}/idx"
-    os.makedirs(staged)
+    out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
 
     novel1 = d.filter(F.col("doc_id") % 20 == 10).select(
         (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
@@ -195,19 +346,13 @@ def run_streaming_minhash_probe(
             ).alias("text"),
         )
     )
-    for i, b in enumerate((batch1, batch2), start=1):
-        tmp = f"{work}/day{i}"
-        b.coalesce(1).write.parquet(tmp)
-        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = f"{staged}/day{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    staged = _stage_days(work, [batch1, batch2])
 
     minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
         "doc_id", "sig"
     ).write.parquet(f"{idx_dir}/v0")
     cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    superseded: list[str] = []
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -215,26 +360,23 @@ def run_streaming_minhash_probe(
         minhash_lsh_probe(
             batch_df, idx, "doc_id", "text",
             n_hashes=16, n_bands=4, threshold=threshold,
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         nxt = f"{idx_dir}/v{batch_id + 1}"
         idx.unionByName(
             minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
                 "doc_id", "sig"
             )
-        ).write.parquet(nxt)
-        old, cur["path"] = cur["path"], nxt
-        shutil.rmtree(old, ignore_errors=True)
+        ).write.mode("overwrite").parquet(nxt)
+        superseded.append(cur["path"])
+        cur["path"] = nxt
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .writeStream.foreachBatch(probe_then_admit)
-        .trigger(availableNow=True)
-        .start()
+    _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
+    _vacuum(superseded)
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "index_id", "est_jaccard")
+        .orderBy("new_id", "index_id")
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("new_id", "index_id")
 
 
 def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,9 +398,6 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns ``(new_id, index_id, lev_dist)`` across both days.
     """
-    import os
-    import shutil
-
     from ..operators.entity import blocking_probe
     from ..sources import read_table
 
@@ -268,8 +407,7 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
     )
     work = f"/tmp/wdps_stream_er_{uuid.uuid4().hex[:8]}"
-    staged, out_dir, idx_dir = f"{work}/in", f"{work}/pairs", f"{work}/idx"
-    os.makedirs(staged)
+    out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
 
     novel_name = F.concat(
         F.lit("Customer#"), F.lpad((F.col("id") + F.lit(500_000)).cast("string"), 9, "0")
@@ -306,17 +444,11 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nk",
         )
     )
-    for i, b in enumerate((batch1, batch2), start=1):
-        tmp = f"{work}/day{i}"
-        b.coalesce(1).write.parquet(tmp)
-        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = f"{staged}/day{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    staged = _stage_days(work, [batch1, batch2])
 
     c.write.parquet(f"{idx_dir}/v0")
     cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    superseded: list[str] = []
 
     def block_cols(df: DataFrame) -> list:
         return [df["nk"], F.substring(df["name"], 13, 6)]
@@ -326,19 +458,18 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = sp.read.parquet(cur["path"])
         blocking_probe(
             batch_df, idx, "id", "name", block_cols, max_distance=2
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         nxt = f"{idx_dir}/v{batch_id + 1}"
-        idx.unionByName(batch_df.select("id", "name", "nk")).write.parquet(nxt)
-        old, cur["path"] = cur["path"], nxt
-        shutil.rmtree(old, ignore_errors=True)
+        idx.unionByName(batch_df.select("id", "name", "nk")).write.mode(
+            "overwrite"
+        ).parquet(nxt)
+        superseded.append(cur["path"])
+        cur["path"] = nxt
 
-    q = (
-        spark.readStream.schema("id long, name string, nk int")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .writeStream.foreachBatch(probe_then_admit)
-        .trigger(availableNow=True)
-        .start()
+    _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
+    _vacuum(superseded)
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "index_id", "lev_dist")
+        .orderBy("new_id", "index_id")
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("new_id", "index_id")
