@@ -2952,3 +2952,182 @@ def test_label_propagation_splits_bridged_cliques(spark):
     assert left != right
     comp = {r.component for r in connected_components(df, "src", "dst").collect()}
     assert comp == {1}
+
+
+def test_streaming_span_delta_matches_rewrite_and_admits_o_batch(spark, sf_small):
+    """The delta-append admit loop is defined to be bit-equal to the rewrite
+    twin (gram counts are independent, so presence in base ∪ deltas ==
+    presence in the merged index) — and its whole point is that ADMITTING a
+    batch writes O(batch) bytes, not O(index): the per-batch delta must be
+    a small fraction of the compacted base the rewrite loop would rewrite
+    per admit."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_span_dedup,
+        run_streaming_span_dedup_delta,
+    )
+
+    rewrite = run_streaming_span_dedup(spark, sf_small, k=20, min_span=40).collect()
+    stats: dict = {}
+    delta = run_streaming_span_dedup_delta(
+        spark, sf_small, k=20, min_span=40, stats=stats
+    ).collect()
+    assert len(rewrite) > 0
+    assert [tuple(r) for r in delta] == [tuple(r) for r in rewrite]
+    assert len(stats["admit_bytes_per_batch"]) == 2  # one per staged day
+    assert stats["base_bytes"] > 0
+    # O(batch) vs O(index): every admit write ≪ the base index bytes
+    assert max(stats["admit_bytes_per_batch"]) * 3 < stats["base_bytes"], stats
+
+
+def test_streaming_span_delta_probe_excludes_own_delta(spark, sf_small):
+    """Retry idempotency: a foreachBatch retry runs AFTER the first attempt
+    already wrote delta/batch=N and appended it to the manifest. The probe
+    must exclude the batch's own delta (else every k-gram self-matches and
+    whole documents come back as spans) and the manifest append must be
+    membership-guarded (else the delta double-counts at compaction).
+    Simulated by pre-seeding the state exactly as a died-after-admit
+    attempt leaves it, then re-running the batch body."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        gram_index,
+        incremental_duplicated_spans,
+    )
+
+    d = (
+        read_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 20 == 0)
+    )
+    base_src = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_retry_{uuid.uuid4().hex[:8]}"
+    # batch = suffix copies of history (spans expected against base) PLUS
+    # novel payloads (no spans against base — but a tainted probe that
+    # self-matches the batch's own grams marks them duplicated end-to-end)
+    batch = d.select(
+        (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + F.lit(8_000_000)).alias("doc_id"),
+            F.concat(
+                F.lit("retry novel payload number "),
+                F.col("doc_id").cast("string"),
+                F.lit(" padding zeta eta theta iota kappa"),
+            ).alias("text"),
+        )
+    )
+    gram_index(base_src, "doc_id", "text", k=20).write.parquet(f"{work}/base")
+    delta_path = f"{work}/delta/batch=0"
+    gram_index(batch, "doc_id", "text", k=20).write.parquet(delta_path)
+    state = {"base": f"{work}/base", "deltas": [delta_path]}  # died-after-admit
+
+    # first-attempt truth: probe against base only
+    want = sorted(
+        tuple(r)
+        for r in incremental_duplicated_spans(
+            batch, spark.read.parquet(state["base"]), "doc_id", "text", k=20, min_span=40
+        ).collect()
+    )
+    # retry view per the fixed loop: base ∪ deltas EXCLUDING own delta
+    parts = [spark.read.parquet(state["base"])] + [
+        spark.read.parquet(p) for p in state["deltas"] if p != delta_path
+    ]
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    idx = reduce(DataFrame.unionByName, parts)
+    got = sorted(
+        tuple(r)
+        for r in incremental_duplicated_spans(
+            batch, idx, "doc_id", "text", k=20, min_span=40
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # the buggy retry view (own delta included) self-matches every gram:
+    # strictly more covered positions → different (larger) span output
+    tainted = idx.unionByName(spark.read.parquet(delta_path))
+    bad = sorted(
+        tuple(r)
+        for r in incremental_duplicated_spans(
+            batch, tainted, "doc_id", "text", k=20, min_span=40
+        ).collect()
+    )
+    assert bad != want  # the exclusion is load-bearing, not decorative
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_label_propagation_directed_input_keeps_sink_and_source_nodes(spark):
+    """LPA treats edges as undirected (internal symmetrize): on a DIRECTED
+    path 1->2->3 every node must survive all rounds with a label, and the
+    chain must converge to one community. Before the symmetrize, nodes
+    with no out-edge vanished from `labels` after round 1 (labels flowed
+    dst->src only)."""
+    from wafer_defect_data_pipeline_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, n_rounds=3).collect()}
+    assert set(got) == {1, 2, 3}  # no node dropped
+    # two directed cliques + a one-way bridge: same communities as the
+    # undirected (pre-symmetrized) form of the identical graph
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+    directed = spark.createDataFrame(edges, "src long, dst long")
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    got_d = {r.node: r.label for r in label_propagation(directed, n_rounds=3).collect()}
+    got_s = {r.node: r.label for r in label_propagation(sym, n_rounds=3).collect()}
+    assert got_d == got_s
+
+
+def test_logreg_loss_finite_under_saturated_sigmoid(spark):
+    """A feature scale that saturates the sigmoid (|z| >> 37) drives p to
+    exactly 0.0/1.0 in float64; the unclamped -[y log p + (1-y) log(1-p)]
+    then averages to NaN/inf and poisons every recorded loss. The clamp
+    keeps the loss finite while the gradient (raw p, finite limit) is
+    untouched."""
+    import math
+
+    from wafer_defect_data_pipeline_spark.operators.logreg import logreg_train
+
+    rows = [(1e6, 1.0), (1e6, 1.0), (-1e6, 0.0), (-1e6, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    hist = logreg_train(df, ["x"], "y", steps=3, lr=1.0)
+    losses = [r["loss_before"] for r in hist]
+    assert all(math.isfinite(v) for v in losses), losses
+
+
+def test_entity_multipass_snm_recovers_front_typo(spark):
+    """Multi-pass SNM closes the documented single-pass miss: on the same
+    fixture where a raw-name sort loses the front-corrupted duplicate
+    (test_entity_snm_misses_front_typo_without_stable_sort_key), the union
+    of the raw-name pass and the stable-tail pass finds BOTH pairs, with
+    no duplicate rows after the cross-pass distinct."""
+    from pyspark.sql import functions as F
+
+    from wafer_defect_data_pipeline_spark.operators.entity import (
+        multipass_sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"Customer#{i:09d}", 1) for i in range(2, 40)] + [
+        (1, "Customer#000000002", 1),          # dup of id 2 (same name)
+        (900, "ZCustomer#00000002", 1),        # front-corrupted dup of id 2
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, nk int")
+    pairs = multipass_sorted_neighborhood_pairs(
+        df, "id", "name", "nk",
+        sort_cols=[F.col("name"), F.substring("name", 11, 8)],
+        window=2,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found and (2, 900) in found
+    assert len(pairs) == len({(r.id_a, r.id_b) for r in pairs})  # distinct pairs

@@ -33,7 +33,11 @@ Idempotency: per-batch outputs go to deterministic paths
 Structured-Streaming retry of the same ``batch_id`` overwrites its own
 previous attempt instead of double-appending; superseded index snapshots
 are vacuumed only AFTER the query terminates, so a retried batch still
-sees the pre-admit state it first probed. (A multi-writer production
+sees the pre-admit state it first probed. In the delta loop the probe
+additionally EXCLUDES the current batch's own ``delta/batch=<id>`` path
+and the manifest append is membership-guarded — a retry that died between
+the admit write and the compaction therefore re-probes the exact pre-admit
+view (no gram self-matches) and never double-counts its delta. (A multi-writer production
 deployment would put the base/delta manifest in a transaction log — Delta
 Lake's — rather than driver memory; the write discipline is the same.)
 
@@ -203,6 +207,7 @@ def run_streaming_span_dedup_delta(
     min_span: int = 40,
     compact_every: int = 2,
     stats: dict | None = None,
+    min_index_count: int = 1,
 ) -> DataFrame:
     """The same two-day replay as :func:`run_streaming_span_dedup` with the
     DELTA-APPEND state discipline: admitting a batch writes only
@@ -236,24 +241,37 @@ def run_streaming_span_dedup_delta(
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
+        # retry safety: a retried batch may already have appended its own
+        # delta (the first attempt died between the admit write and the
+        # compaction), so the probe reads base ∪ {deltas of EARLIER
+        # batches only} — otherwise every k-gram of the batch would
+        # self-match and the correct output be overwritten with
+        # whole-document spans
+        delta_path = f"{idx_dir}/delta/batch={batch_id}"
         parts = [sp.read.parquet(state["base"])] + [
-            sp.read.parquet(p) for p in state["deltas"]
+            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
         ]
-        # presence probe (min_index_count=1): the raw union suffices — a
-        # gram is in the index iff any base/delta part carries it. (A
-        # probe thresholding on TOTAL count would groupBy-sum the union
-        # first; compaction keeps that rare path cheap too.)
         idx = reduce(DataFrame.unionByName, parts)
+        if min_index_count > 1:
+            # count-threshold probes need the TRUE total per gram — a gram
+            # split across parts (n=1 in base, n=1 in a delta) must sum to
+            # 2 before the per-row n >= threshold filter inside the probe.
+            # Compaction keeps this union narrow (one row per distinct
+            # gram per part).
+            idx = idx.groupBy("gh").agg(F.sum("n").alias("n"))
+        # else: presence probe — the raw union suffices, a gram is in the
+        # index iff any base/delta part carries it
         incremental_duplicated_spans(
-            batch_df, idx, "doc_id", "text", k=k, min_span=min_span
+            batch_df, idx, "doc_id", "text", k=k, min_span=min_span,
+            min_index_count=min_index_count,
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         # admit = write ONLY the batch's own gram counts — O(batch)
-        delta_path = f"{idx_dir}/delta/batch={batch_id}"
         gram_index(batch_df, "doc_id", "text", k=k).repartition(
             4, "gh"
         ).write.mode("overwrite").parquet(delta_path)
-        state["deltas"].append(delta_path)
-        admit_bytes.append(_tree_bytes(delta_path))
+        if delta_path not in state["deltas"]:  # guard: retry must not double-append
+            state["deltas"].append(delta_path)
+            admit_bytes.append(_tree_bytes(delta_path))
         if len(state["deltas"]) >= compact_every:
             # cadence compaction: fold base + deltas into a new base with
             # the merge_gram_index count algebra (sum per gram), keyed
