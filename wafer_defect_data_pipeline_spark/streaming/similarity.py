@@ -8,13 +8,21 @@ versioned index snapshot for every later batch. Day-2 near-duplicates of
 day-1 vectors are retrievable only through the admission step, which is
 the property the staged oracle pins.
 
-Same state discipline as the span/minhash/entity loops: the index lives
-as versioned parquet on storage, the driver holds only the current
-snapshot path, superseded snapshots are vacuumed. The probe is
-``brute_force_topk`` with the exact HOF contract (the batch broadcasts,
-the index is scanned once); a production deployment swaps in the
-IVF/NSW probe against the same snapshot layout — the admit loop does not
-change.
+State discipline: DELTA-APPEND (the 100 TB path, same layout as
+``streaming/dedup.run_streaming_span_dedup_delta``): admitting a batch
+writes ONLY its own vectors as ``idx/delta/batch=N`` — an O(batch) write
+— and the probe reads base ∪ earlier deltas. Vectors are independent
+rows, so base ∪ deltas IS the index (no count algebra even needed); a
+cadence compaction folds deltas into a new base to bound the part-file
+count. Idempotency is structural, matching the span loops: per-batch
+outputs and deltas go to deterministic ``batch=<id>`` paths in overwrite
+mode, the probe EXCLUDES the batch's own delta (a retry that died after
+its admit write must not retrieve itself), the manifest append is
+membership-guarded, and superseded snapshots are vacuumed only after the
+query terminates. The probe is ``brute_force_topk`` with the exact HOF
+contract (the batch broadcasts, the index is scanned once); a production
+deployment swaps in the IVF/NSW probe against the same snapshot layout —
+the admit loop does not change.
 """
 
 from __future__ import annotations
@@ -114,23 +122,51 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
-    e.write.parquet(f"{idx_dir}/v0")
-    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    e.write.parquet(f"{idx_dir}/base/v0")
+    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
+    superseded: list[str] = []
+    compact_every = 2
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
         sp = batch_df.sparkSession
-        idx = sp.read.parquet(cur["path"])
+        # retry safety: exclude the batch's own delta — a retry that died
+        # between its admit write and the batch's completion must probe
+        # the pre-admit view, not retrieve itself at cos_sim=1
+        delta_path = f"{idx_dir}/delta/batch={batch_id}"
+        parts = [sp.read.parquet(state["base"])] + [
+            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
+        ]
+        idx = reduce(DataFrame.unionByName, parts)
         # default size gate: under ~2M pairs (the driver's sf0.01) the probe
         # is the HOF fold; past it the tie-exact Arrow/BLAS kernel serves
         # the SAME contract (6dp-round-before-prune, lowest-id ties —
         # hash-verified against the fold), so the staged oracle replays
         # either branch. Forcing the fold here measured 544 s at sf1; the
         # gate is the whole point of the delegation work.
-        brute_force_topk(idx, batch_df, k=k).write.mode("append").parquet(out_dir)
-        nxt = f"{idx_dir}/v{batch_id + 1}"
-        idx.unionByName(batch_df.select("vec_id", "embedding")).write.parquet(nxt)
-        old, cur["path"] = cur["path"], nxt
-        shutil.rmtree(old, ignore_errors=True)
+        brute_force_topk(idx, batch_df, k=k).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        # admit = write ONLY the batch's own vectors — O(batch); vectors
+        # are independent rows, so base ∪ deltas IS the index
+        batch_df.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            delta_path
+        )
+        if delta_path not in state["deltas"]:  # guard: retry must not double-append
+            state["deltas"].append(delta_path)
+        if len(state["deltas"]) >= compact_every:
+            # cadence compaction: plain union rewrite (no algebra), bounds
+            # the part-file count the probe's union must open
+            allparts = [sp.read.parquet(state["base"])] + [
+                sp.read.parquet(p) for p in state["deltas"]
+            ]
+            nxt = f"{idx_dir}/base/v{batch_id + 1}"
+            reduce(DataFrame.unionByName, allparts).write.mode(
+                "overwrite"
+            ).parquet(nxt)
+            superseded.extend([state["base"], *state["deltas"]])
+            state["base"], state["deltas"] = nxt, []
 
     q = (
         spark.readStream.schema("vec_id long, embedding array<double>")
@@ -141,4 +177,12 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("query_id", "rank")
+    for p in superseded:  # only after termination: a retry re-reads its view
+        shutil.rmtree(p, ignore_errors=True)
+    # explicit select: partition discovery over out/batch=<id> adds a
+    # synthetic `batch` column the registered schema must not carry
+    return (
+        spark.read.parquet(out_dir)
+        .select("query_id", "rank", "corpus_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
