@@ -96,6 +96,29 @@ def test_csv_single_bom_guards_nonlocal_and_append(spark, wafer_csv, tmp_path):
     assert part.read_bytes().startswith(b"\xef\xbb\xbf")
 
 
+def test_csv_single_bom_resolves_bare_path_against_default_fs(spark, wafer_csv, tmp_path):
+    """A BARE path (no scheme) resolves against the Hadoop defaultFS, not
+    the local filesystem: with fs.defaultFS=hdfs://... the part file would
+    land where the driver-side BOM rewrite can't reach it, so the guard
+    must reject it up front (r9 advice). With the local default it still
+    works end to end."""
+    import pytest as _pytest
+
+    df = load_wafer_csv(spark, wafer_csv).select("Class")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("fs.defaultFS", "file:///")
+    hconf.set("fs.defaultFS", "hdfs://namenode:8020")
+    try:
+        with _pytest.raises(ValueError, match="scheme"):
+            write_csv_single(df, str(tmp_path / "bare"), bom=True)
+    finally:
+        hconf.set("fs.defaultFS", old)
+    out = tmp_path / "bare_local_default"
+    write_csv_single(df, str(out), bom=True)
+    [part] = [p for p in out.iterdir() if p.name.endswith(".csv")]
+    assert part.read_bytes().startswith(b"\xef\xbb\xbf")
+
+
 def test_partitioned_parquet_write(spark, wafer_csv, tmp_path):
     df = load_wafer_csv(spark, wafer_csv)
     out = tmp_path / "part_parquet"

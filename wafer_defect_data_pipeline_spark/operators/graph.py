@@ -470,9 +470,19 @@ def label_propagation(
     shuffled rows are (node, label, count) regardless of graph size, and
     ``localCheckpoint`` caps plan growth exactly like the CC/PageRank
     loops above.
+
+    Input edges are treated as UNDIRECTED (the GraphFrames/LPA semantics
+    the docstring promises): the edge list is symmetrized internally —
+    one ``unionByName`` of the reversed pairs, same as
+    :func:`connected_components` — so labels flow BOTH ways and a node
+    with only out-edges keeps receiving neighbour labels. Without this a
+    directed edge list silently dropped every source-only node from
+    ``labels`` after round 1. Pre-symmetrized input is unaffected (the
+    reversed union is a no-op under ``distinct``).
     """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=False)
     )

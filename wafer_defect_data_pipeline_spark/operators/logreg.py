@@ -63,11 +63,17 @@ def logreg_train(
         z = sum((F.col(c) * F.lit(w[c]) for c in cols), F.lit(0.0))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         aggs = [F.avg((p - F.col("__y")) * F.col(c)).alias(f"g_{c}") for c in cols]
+        # loss-term clamp: a saturated sigmoid (|z| ≳ 37 in float64) makes
+        # p hit exactly 0.0/1.0 and F.log return -inf, poisoning the avg
+        # with NaN. The gradient uses the RAW p (its limit is finite), so
+        # only the log args are clamped — standard cross-entropy hygiene,
+        # a no-op whenever p is unsaturated.
+        pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
         aggs.append(
             F.avg(
                 -(
-                    F.col("__y") * F.log(p)
-                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - p)
+                    F.col("__y") * F.log(pc)
+                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - pc)
                 )
             ).alias("loss")
         )

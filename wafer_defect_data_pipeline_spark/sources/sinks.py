@@ -44,7 +44,21 @@ def write_csv_single(
     fails before any data is written, not after.
     """
     if bom:
-        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if "://" in path:
+            scheme = path.split("://", 1)[0]
+        else:
+            # A bare path resolves against the Hadoop defaultFS, NOT the
+            # local filesystem: on a cluster with fs.defaultFS=hdfs://...
+            # the part file lands where the driver-side BOM rewrite can't
+            # reach it. Ask the session's Hadoop conf instead of assuming.
+            default_fs = (
+                df.sparkSession.sparkContext._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+            )
+            scheme = (
+                default_fs.split("://", 1)[0] if "://" in default_fs else "file"
+            )
         if scheme != "file":
             raise ValueError(
                 f"write_csv_single(bom=True) prepends the BOM via local-file "
