@@ -203,6 +203,45 @@ def sorted_neighborhood_pairs(
     return out
 
 
+def multipass_sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    partition_col: str,
+    sort_cols: list,
+    window: int = 2,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Multi-pass SNM (Hernandez & Stolfo SIGMOD'95 §multi-pass): union of
+    one :func:`sorted_neighborhood_pairs` pass per entry of ``sort_cols``,
+    deduplicated on the pair.
+
+    One pass misses any duplicate whose corruption touches THAT pass's sort
+    key (a front typo under a raw-name sort teleports the record away from
+    its twin); rotating the key across passes makes the misses disjoint —
+    a pair is lost only if EVERY key is corrupted, which key design makes
+    unlikely. Cost is additive and each pass stays scan → window →
+    projection; the one cross-pass ``distinct`` shuffles only the narrow
+    verified-pair list (id_a, id_b, lev_dist — lev is a function of the
+    pair, so distinct-on-all-three == distinct-on-pair).
+    """
+    from functools import reduce
+
+    passes = [
+        sorted_neighborhood_pairs(
+            df,
+            id_col,
+            name_col,
+            partition_col,
+            sort_col=sc,
+            window=window,
+            max_distance=max_distance,
+        )
+        for sc in sort_cols
+    ]
+    return reduce(DataFrame.unionByName, passes).distinct()
+
+
 def resolve_entities(
     df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.entity import (
     blocking_pairs,
+    multipass_sorted_neighborhood_pairs,
     resolve_entities,
     sorted_neighborhood_pairs,
 )
@@ -163,6 +164,79 @@ register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+def _matches_multipass(spark, sf_dir):
+    """Multi-pass SNM: union of a raw-name pass and a stable-tail pass.
+
+    The corpus adds a FRONT-corrupted plant (every 50th customer gains a
+    copy whose first character becomes 'X') on top of the standard planted
+    typos: the raw-name sort teleports those copies away from their twins
+    (the documented single-pass SNM failure mode — pytest
+    test_entity_snm_misses_front_typo_without_stable_sort_key), while the
+    tail-key pass recovers them because the corruption never touches
+    name[13:19). Union + one narrow distinct over the verified pairs —
+    multi-pass SNM exactly as Hernandez & Stolfo describe it.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    front = c.filter(F.col("id") % 50 == 0).select(
+        (F.col("id") + F.lit(3_000_000)).alias("id"),
+        F.concat(F.lit("X"), F.expr("substring(name, 2)")).alias("name"),
+        "nk",
+    )
+    pairs = multipass_sorted_neighborhood_pairs(
+        corpus.unionByName(front),
+        "id",
+        "name",
+        partition_col="nk",
+        sort_cols=[F.col("name"), F.substring("name", 13, 6)],
+        window=2,
+        max_distance=2,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+register(
+    "entity_matches_multipass",
+    _matches_multipass,
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}
+      UNION ALL
+      SELECT c_custkey + 3000000, 'X' || substring(c_name, 2), c_nationkey
+      FROM customer WHERE c_custkey % 50 = 0
+    ), keyed AS (
+      SELECT id, name, nk, substring(name, 13, 6) AS sk FROM corpus
+    ), ledA AS (
+      SELECT nk, id, name,
+             lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1,
+             lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2
+      FROM keyed WINDOW w AS (PARTITION BY nk ORDER BY name, id)
+    ), ledB AS (
+      SELECT nk, id, name,
+             lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1,
+             lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2
+      FROM keyed WINDOW w AS (PARTITION BY nk ORDER BY sk, name, id)
+    ), cand AS (
+      SELECT id, name, id1 AS idj, name1 AS namej FROM ledA WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id, name, id2, name2 FROM ledA WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT id, name, id1, name1 FROM ledB WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id, name, id2, name2 FROM ledB WHERE id2 IS NOT NULL
+    )
+    SELECT DISTINCT least(id, idj) AS id_a, greatest(id, idj) AS id_b,
+           CAST(levenshtein(name, namej) AS INT) AS lev_dist
+    FROM cand WHERE levenshtein(name, namej) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+
 
 
 def _entity_clusters(spark, sf_dir):
