@@ -93,6 +93,15 @@ HEADLINE = [
 ]
 
 
+# Correctness-baseline paths retired from the sf>=1 HEADLINE runs (r8 #7 /
+# r9 verdict: dedup_prefix_jaccard_pairs is the EXACT AllPairs verification
+# baseline — 121 s of the 580 s sf3 total for a path whose documented scale
+# answer is the priced auto dispatcher, which runs the same workload via its
+# LSH fallback and stays in the set). They remain REGISTERED and
+# driver-checked at sf0.01; only the scale-series timing set drops them.
+SCALE_RETIRED = {"dedup_prefix_jaccard_pairs"}
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else float("nan")
@@ -130,10 +139,12 @@ def main() -> None:
     # left BENCH_r02.json with rc=1 and no timings). Failures are reported
     # as named entries in "errors", their timings as null, and the process
     # always exits 0 with one parseable JSON line.
+    sf = _sf_from_dir(sf_dir)
+    headline = [n for n in HEADLINE if not (sf >= 1 and n in SCALE_RETIRED)]
     cold: dict[str, float | None] = {}
     warm: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.get(name)
         if fn is None:
             continue
@@ -187,6 +198,15 @@ def main() -> None:
         compact["queries"] = {n.split("_")[-1][:8] + str(i): v for i, (n, v) in enumerate(compact["queries"].items())}
         line = json.dumps(compact)
     print(line)
+    # unconditional ledger append — in the tool, not a wrapper (r8 #3)
+    from wafer_defect_data_pipeline_spark.ledger import record_run
+
+    record_run(
+        "bench",
+        f"headline_total {total}s warm over {len(warm)} queries at "
+        f"sf{_sf_from_dir(sf_dir)}"
+        + (f"; {len(errors)} errors: {'; '.join(sorted(errors))[:200]}" if errors else ""),
+    )
     spark.stop()
 
 

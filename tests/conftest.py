@@ -30,3 +30,28 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_medium():
     return SF_MEDIUM
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Unconditional run ledger: every pytest invocation appends its outcome
+    to TESTRUNS.jsonl from INSIDE the tool (r8 advice #3 — a wrapper-level
+    append can be bypassed; r9 shipped a 243-line refactor with no recorded
+    run). Never fails the run it records."""
+    try:
+        from wafer_defect_data_pipeline_spark.ledger import record_run
+
+        stats = terminalreporter.stats
+        counts = {
+            k: len(v)
+            for k, v in stats.items()
+            if k in ("passed", "failed", "error", "skipped", "deselected")
+        }
+        tail = ", ".join(f"{n} {k}" for k, n in sorted(counts.items()) if n)
+        record_run(
+            "pytest",
+            tail or "no tests collected",
+            exit=int(exitstatus),
+            args=" ".join(map(str, config.invocation_params.args))[:200],
+        )
+    except Exception:
+        pass

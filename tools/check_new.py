@@ -28,17 +28,29 @@ def main() -> None:
     queries, oracles = all_queries(), all_oracles()
     spark = get_spark(app_name="check-new")
     rc = 0
+    failed: list[str] = []
     for name in names:
         for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
             if name not in oracles:
                 print(f"{name}: NO ORACLE")
                 rc = 1
+                failed.append(name)
                 break
             errs = run_pair(spark, sf, queries[name], oracles[name])
             tag = "OK" if not errs else "FAIL " + "; ".join(errs)
             print(f"{name} @ {sf.rsplit('/',1)[-1]}: {tag}")
             if errs:
                 rc = 1
+                failed.append(name)
+    # unconditional ledger append — in the tool, not a wrapper (r8 #3)
+    from wafer_defect_data_pipeline_spark.ledger import record_run
+
+    record_run(
+        "check-new",
+        f"{len(names) - len(set(failed))}/{len(names)} oracle-green at "
+        f"sf0.001+sf0.01: {', '.join(names)[:160]}"
+        + (f"; FAILED: {', '.join(sorted(set(failed)))}" if failed else ""),
+    )
     spark.stop()
     sys.exit(rc)
 
