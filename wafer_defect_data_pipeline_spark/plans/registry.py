@@ -77,62 +77,64 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 8 front-loads:
-# (a) queries NEW or CHANGED this round — the entity-resolution family,
-# the LR-training trio, the html strip, the governance audits, the
-# gram-index merge probe, the PCA/ZCA promotions off rows-only, the span
-# family (its default strategy became the priced auto probe), the jaccard
-# dispatcher (budget_factor exposed), the brute-force top-k (delegation
-# gate reworked) and the CSV sink's BOM guard; (b) the 6 remaining
-# rows-only queries so each keeps a fresh
-# executes-cleanly row; (c) REPRESENTATIVES OF EVERY FAMILY whose last
-# driver row is r5 or older (the r7 verdict's union-freshness item):
-# multimodal video/audio, curation SCD2/merge, search BM25/inverted-index,
-# timeseries, TPC-H, reference ops, text, embeddings, sampling/packing,
-# graph, privacy, sketches, streaming-static joins, dq — so the 212-oracle
-# matrix doesn't age. Names not listed follow in registration order; a
-# listed name missing from the registry is a hard error (catches renames).
+# row ever predates the implementation it vouches for. Round 10 front-loads:
+# (a) queries NEW or CHANGED this round — the delta-append streaming span
+# loop (r9's dead code, now registered against the shared staged oracle),
+# its rewrite twin (registration refactored onto the shared constant), the
+# ANN admit loop (delta discipline + retry idempotency), multi-pass
+# sorted-neighborhood, the MLlib-MinHash promotion to an exact oracle
+# (deterministic vocabulary + staged seed-42 coefficients), LPA (internal
+# symmetrize), the LR trio (loss clamp) and the CSV sink (defaultFS-aware
+# BOM guard), plus their family siblings sharing touched helpers; (b) the
+# 5 remaining rows-only queries so each keeps a fresh executes-cleanly
+# row; (c) REPRESENTATIVES OF EVERY FAMILY with older last-seen driver
+# rows so the 238-oracle matrix doesn't age. Names not listed follow in
+# registration order; a listed name missing from the registry is a hard
+# error (catches renames).
 _PRIORITY: list[str] = [
     # (a) new or changed this round
-    "entity_matches_blocked",  # NEW: record-linkage blocking + verify
-    "entity_matches_sorted",  # NEW: sorted-neighborhood pass
-    "entity_clusters",  # NEW: transitive entity ids
-    "entity_golden_records",  # NEW: survivorship merge
-    "entity_streaming_linkage",  # NEW: streaming probe-then-admit linkage
-    "embedding_zca_whiten",  # PROMOTED: evidence oracle (was rows-only)
-    "training_lr_quality",  # NEW: distributed logistic-regression training
-    "training_lr_scores",  # NEW: classifier application + calibration deciles
-    "text_html_strip",  # NEW: boilerplate removal
-    "training_importance_resample",  # NEW: classifier-gated keep step
-    "curation_snapshot_diff",  # NEW: versioned-corpus diff audit
-    "privacy_delete_propagation",  # NEW: right-to-erasure cascade audit
-    "entity_incremental_clusters",  # NEW: CC maintenance by contraction
-    "multimodal_image_phash_pairs",  # NEW: perceptual-hash image dedup
-    "multimodal_audio_fingerprint_pairs",  # NEW: audio energy-delta dedup
-    "multimodal_video_neardup_pairs",  # NEW: frame-hash clip dedup
-    "entity_match_weights",  # NEW: Fellegi-Sunter one-EM-step weights
-    "entity_match_scores",  # NEW: learn-on-sample, score-everything
-    "graph_lpa_communities",  # NEW: synchronous LPA, unrolled oracle
-    "similarity_streaming_ann_probe",  # NEW: streaming vector admit loop
-    "dedup_incremental_spans_merged",  # NEW: gram-index merge + day-2 probe
-    "dedup_streaming_incremental_spans",  # NEW: foreachBatch probe-then-merge
-    "dedup_streaming_minhash_probe",  # NEW: streaming near-dup vs admitted sigs
-    "similarity_nsw_probe_prebuilt",  # NEW: persisted kNN graph, no rebuild
-    "text_split_contamination_stats",  # NEW: span-level cross-split audit
-    "embedding_pca_projection",  # PROMOTED: evidence oracle (was rows-only)
-    "dedup_duplicated_spans",  # default strategy now auto (priced probe)
-    "dedup_strip_spans",
-    "dedup_span_stats",
-    "dedup_jaccard_pairs_auto",  # budget_factor exposed for LSH-branch pin
-    "similarity_bruteforce_topk",  # delegation gate: query-bound + tie-exact kernel
-    "similarity_bruteforce_topk_arrow",
-    "csv_roundtrip",  # sink module touched (BOM guard)
-    "text_contamination_spans",  # span family siblings (shared helpers)
-    "text_decontaminate_strip",
+    "dedup_streaming_incremental_spans_delta",  # NEW: O(batch) delta admit loop
+    "dedup_streaming_incremental_spans",  # rewrite twin, shared-oracle refactor
+    "similarity_streaming_ann_probe",  # delta discipline + retry idempotency
+    "entity_matches_multipass",  # NEW: rotated-key multi-pass SNM
+    "dedup_mllib_minhash_lsh",  # PROMOTED: exact oracle (was rows-only)
+    "graph_lpa_communities",  # internal symmetrize (undirected semantics)
+    "training_lr_quality",  # loss-term clamp for saturated sigmoids
+    "training_lr_scores",
+    "csv_roundtrip",  # sink module touched (defaultFS-aware BOM guard)
+    "dedup_streaming_minhash_probe",  # streaming family siblings (shared stager)
+    "entity_streaming_linkage",
+    "entity_matches_sorted",  # SNM single-pass siblings (shared operator)
+    "entity_matches_blocked",
+    "entity_clusters",
+    "entity_golden_records",
+    "entity_incremental_clusters",
+    "entity_match_weights",
+    "entity_match_scores",
+    "dedup_incremental_spans_merged",  # span-family siblings (shared probe)
     "dedup_incremental_spans",
     "dedup_incremental_spans_persisted",
+    "dedup_duplicated_spans",
+    "dedup_strip_spans",
+    "dedup_span_stats",
+    "dedup_jaccard_pairs_auto",
+    "dedup_minhash_lsh_pairs",  # exact-twin anchor of the promoted query
+    "similarity_nsw_probe_prebuilt",
+    "training_importance_resample",
+    "curation_snapshot_diff",
+    "privacy_delete_propagation",
+    "multimodal_image_phash_pairs",
+    "multimodal_audio_fingerprint_pairs",
+    "multimodal_video_neardup_pairs",
+    "text_html_strip",
+    "text_split_contamination_stats",
+    "embedding_pca_projection",
+    "embedding_zca_whiten",
+    "similarity_bruteforce_topk",
+    "similarity_bruteforce_topk_arrow",
+    "text_contamination_spans",
+    "text_decontaminate_strip",
     # (b) rows-only refresh (weaker rows — keep them recent anyway)
-    "dedup_mllib_minhash_lsh",
     "similarity_lsh_pairs",
     "text_bpe_token_stats",
     "text_bpe_learned_merges",
