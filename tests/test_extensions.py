@@ -3131,3 +3131,24 @@ def test_entity_multipass_snm_recovers_front_typo(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found and (2, 900) in found
     assert len(pairs) == len({(r.id_a, r.id_b) for r in pairs})  # distinct pairs
+
+
+def test_streaming_minhash_delta_matches_rewrite_and_admits_o_batch(spark, sf_small):
+    """The minhash delta-append admit loop is bit-equal to the rewrite twin
+    (signatures are independent rows — base ∪ deltas IS the index) and its
+    per-admit write is a small fraction of the full signature index the
+    rewrite loop rewrites per batch."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_minhash_probe,
+        run_streaming_minhash_probe_delta,
+    )
+
+    rewrite = run_streaming_minhash_probe(spark, sf_small, threshold=0.4).collect()
+    stats: dict = {}
+    delta = run_streaming_minhash_probe_delta(
+        spark, sf_small, threshold=0.4, stats=stats
+    ).collect()
+    assert len(rewrite) > 0
+    assert [tuple(r) for r in delta] == [tuple(r) for r in rewrite]
+    assert len(stats["admit_bytes_per_batch"]) == 2
+    assert max(stats["admit_bytes_per_batch"]) * 3 < stats["base_bytes"], stats

@@ -640,10 +640,22 @@ def _streaming_minhash_probe(spark, sf_dir):
     return run_streaming_minhash_probe(spark, sf_dir, threshold=0.4)
 
 
-register(
-    "dedup_streaming_minhash_probe",
-    _streaming_minhash_probe,
-    rf"""
+def _streaming_minhash_probe_delta(spark, sf_dir):
+    """The DELTA-APPEND state-discipline twin
+    (streaming/dedup.run_streaming_minhash_probe_delta): same staged days,
+    but admitting a batch writes ONLY its own signatures — an O(batch)
+    write — with the probe band-joining base ∪ earlier deltas and a plain
+    union compaction on a cadence (signatures are independent rows, so no
+    count algebra). Output is identical to the rewrite twin above and the
+    SAME staged oracle hash-checks both."""
+    from ..streaming.dedup import run_streaming_minhash_probe_delta
+
+    return run_streaming_minhash_probe_delta(spark, sf_dir, threshold=0.4)
+
+
+# One oracle, two state disciplines (the span-loop pattern): rewrite and
+# delta-append admits are defined to produce identical probe output.
+_STREAMING_MINHASH_ORACLE = rf"""
     WITH b1 AS (
       SELECT doc_id + 2000000 AS doc_id, text || ' fresh crawl' AS text, 1 AS b
       FROM documents WHERE doc_id % 20 = 0
@@ -701,7 +713,18 @@ register(
               JOIN i_sig sb ON cand.index_id = sb.doc_id
     WHERE round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6) >= 0.4
     ORDER BY new_id, index_id
-    """,
+    """
+
+register(
+    "dedup_streaming_minhash_probe",
+    _streaming_minhash_probe,
+    _STREAMING_MINHASH_ORACLE,
+)
+
+register(
+    "dedup_streaming_minhash_probe_delta",
+    _streaming_minhash_probe_delta,
+    _STREAMING_MINHASH_ORACLE,
 )
 
 

@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "training_lr_quality",  # loss-term clamp for saturated sigmoids
     "training_lr_scores",
     "csv_roundtrip",  # sink module touched (defaultFS-aware BOM guard)
+    "dedup_streaming_minhash_probe_delta",  # NEW: O(batch) signature admits
     "dedup_streaming_minhash_probe",  # streaming family siblings (shared stager)
     "entity_streaming_linkage",
     "entity_matches_sorted",  # SNM single-pass siblings (shared operator)

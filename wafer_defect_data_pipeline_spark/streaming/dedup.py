@@ -321,8 +321,8 @@ def run_streaming_minhash_probe(
     near-threshold pairs happen to band-collide.
 
     State discipline: rewrite twin (the signature index is rewritten per
-    admit — O(index)); the span/ANN delta loops demonstrate the O(batch)
-    delta-append discipline, and the same layout applies verbatim here
+    admit — O(index)); :func:`run_streaming_minhash_probe_delta` is the
+    O(batch) delta-append twin over the SAME staged days and oracle
     (signatures are independent rows, so base ∪ deltas IS the index — no
     count algebra even needed at compaction).
 
@@ -334,7 +334,45 @@ def run_streaming_minhash_probe(
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = f"/tmp/wdps_stream_mh_{uuid.uuid4().hex[:8]}"
     out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
+    staged = _stage_days(work, _minhash_batches(d))
 
+    minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
+        "doc_id", "sig"
+    ).write.parquet(f"{idx_dir}/v0")
+    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    superseded: list[str] = []
+
+    def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        idx = sp.read.parquet(cur["path"])
+        minhash_lsh_probe(
+            batch_df, idx, "doc_id", "text",
+            n_hashes=16, n_bands=4, threshold=threshold,
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        nxt = f"{idx_dir}/v{batch_id + 1}"
+        idx.unionByName(
+            minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
+                "doc_id", "sig"
+            )
+        ).write.mode("overwrite").parquet(nxt)
+        superseded.append(cur["path"])
+        cur["path"] = nxt
+
+    _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
+    _vacuum(superseded)
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "index_id", "est_jaccard")
+        .orderBy("new_id", "index_id")
+    )
+
+
+def _minhash_batches(d: DataFrame) -> list[DataFrame]:
+    """The staged two-day near-dup crawl shared by BOTH minhash admit
+    loops and their DuckDB oracle (expressions must stay in lockstep):
+    day 1 = near-dups of history (suffix ``' fresh crawl'``) + novel
+    payload docs; day 2 = near-dups OF DAY 1's novel docs (suffix
+    ``' extra'``) + genuinely new docs."""
     novel1 = d.filter(F.col("doc_id") % 20 == 10).select(
         (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
         F.concat(
@@ -364,32 +402,86 @@ def run_streaming_minhash_probe(
             ).alias("text"),
         )
     )
-    staged = _stage_days(work, [batch1, batch2])
+    return [batch1, batch2]
+
+
+def run_streaming_minhash_probe_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The same two-day near-dup replay as
+    :func:`run_streaming_minhash_probe` with the DELTA-APPEND state
+    discipline: admitting a batch writes ONLY its own signatures as
+    ``idx/delta/batch=N`` (O(batch) bytes); the probe band-joins against
+    base ∪ earlier deltas. Signatures are independent ``(doc_id, sig)``
+    rows, so base ∪ deltas IS the index — compaction is a plain union
+    rewrite on a cadence, no count algebra at all (simpler even than the
+    span loop's groupBy-sum). Output is identical to the rewrite twin and
+    the SAME staged oracle hash-checks both registrations.
+
+    Retry idempotency matches the span/ANN delta loops: deterministic
+    ``batch=<id>`` overwrite paths, the probe excludes the batch's own
+    delta (a retried batch must not band-match its own signatures), the
+    manifest append is membership-guarded, vacuum only after termination.
+
+    ``stats`` (optional) receives ``admit_bytes_per_batch`` /
+    ``compact_bytes`` / ``base_bytes`` for the O(batch)-vs-O(index)
+    BASELINE comparison.
+    """
+    from ..operators.dedup import minhash_lsh_probe, minhash_signatures
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_mhd_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
+    staged = _stage_days(work, _minhash_batches(d))
 
     minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
         "doc_id", "sig"
-    ).write.parquet(f"{idx_dir}/v0")
-    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    ).write.parquet(f"{idx_dir}/base/v0")
+    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
     superseded: list[str] = []
+    admit_bytes: list[int] = []
+    compact_bytes: list[int] = []
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        idx = sp.read.parquet(cur["path"])
+        delta_path = f"{idx_dir}/delta/batch={batch_id}"
+        parts = [sp.read.parquet(state["base"])] + [
+            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
+        ]
+        idx = reduce(DataFrame.unionByName, parts)
         minhash_lsh_probe(
             batch_df, idx, "doc_id", "text",
             n_hashes=16, n_bands=4, threshold=threshold,
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        nxt = f"{idx_dir}/v{batch_id + 1}"
-        idx.unionByName(
-            minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
-                "doc_id", "sig"
-            )
-        ).write.mode("overwrite").parquet(nxt)
-        superseded.append(cur["path"])
-        cur["path"] = nxt
+        minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
+            "doc_id", "sig"
+        ).write.mode("overwrite").parquet(delta_path)
+        if delta_path not in state["deltas"]:  # guard: retry must not double-append
+            state["deltas"].append(delta_path)
+            admit_bytes.append(_tree_bytes(delta_path))
+        if len(state["deltas"]) >= compact_every:
+            allparts = [sp.read.parquet(state["base"])] + [
+                sp.read.parquet(p) for p in state["deltas"]
+            ]
+            nxt = f"{idx_dir}/base/v{batch_id + 1}"
+            reduce(DataFrame.unionByName, allparts).write.mode(
+                "overwrite"
+            ).parquet(nxt)
+            compact_bytes.append(_tree_bytes(nxt))
+            superseded.extend([state["base"], *state["deltas"]])
+            state["base"], state["deltas"] = nxt, []
 
     _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
     _vacuum(superseded)
+    if stats is not None:
+        stats["admit_bytes_per_batch"] = admit_bytes
+        stats["compact_bytes"] = compact_bytes
+        stats["base_bytes"] = _tree_bytes(state["base"])
     return (
         spark.read.parquet(out_dir)
         .select("new_id", "index_id", "est_jaccard")
