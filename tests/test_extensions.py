@@ -3152,3 +3152,22 @@ def test_streaming_minhash_delta_matches_rewrite_and_admits_o_batch(spark, sf_sm
     assert [tuple(r) for r in delta] == [tuple(r) for r in rewrite]
     assert len(stats["admit_bytes_per_batch"]) == 2
     assert max(stats["admit_bytes_per_batch"]) * 3 < stats["base_bytes"], stats
+
+
+def test_streaming_entity_delta_matches_rewrite_and_admits_o_batch(spark, sf_small):
+    """The entity-linkage delta-append admit loop is bit-equal to the
+    rewrite twin (records are independent rows — base ∪ deltas IS the
+    master table) and each admit writes a small fraction of the full
+    snapshot the rewrite loop rewrites per batch."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_entity_linkage,
+        run_streaming_entity_linkage_delta,
+    )
+
+    rewrite = run_streaming_entity_linkage(spark, sf_small).collect()
+    stats: dict = {}
+    delta = run_streaming_entity_linkage_delta(spark, sf_small, stats=stats).collect()
+    assert len(rewrite) > 0
+    assert [tuple(r) for r in delta] == [tuple(r) for r in rewrite]
+    assert len(stats["admit_bytes_per_batch"]) == 2
+    assert max(stats["admit_bytes_per_batch"]) * 3 < stats["base_bytes"], stats

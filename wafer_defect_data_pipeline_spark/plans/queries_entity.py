@@ -406,10 +406,20 @@ def _streaming_linkage(spark, sf_dir):
     return run_streaming_entity_linkage(spark, sf_dir)
 
 
-register(
-    "entity_streaming_linkage",
-    _streaming_linkage,
-    """
+def _streaming_linkage_delta(spark, sf_dir):
+    """The DELTA-APPEND state-discipline twin
+    (streaming/dedup.run_streaming_entity_linkage_delta): same staged days,
+    but admitting a batch writes ONLY its own records (O(batch)); the probe
+    blocking-joins base ∪ earlier deltas. Records are independent rows, so
+    the union IS the master table and the output is identical to the
+    rewrite twin — the SAME staged oracle hash-checks both."""
+    from ..streaming.dedup import run_streaming_entity_linkage_delta
+
+    return run_streaming_entity_linkage_delta(spark, sf_dir)
+
+
+# One oracle, two state disciplines (the span/minhash-loop pattern).
+_STREAMING_LINKAGE_ORACLE = """
     WITH hist AS (
       SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk FROM customer
     ), b1 AS (
@@ -449,7 +459,18 @@ register(
     )
     SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) t
     ORDER BY new_id, index_id
-    """,
+    """
+
+register(
+    "entity_streaming_linkage",
+    _streaming_linkage,
+    _STREAMING_LINKAGE_ORACLE,
+)
+
+register(
+    "entity_streaming_linkage_delta",
+    _streaming_linkage_delta,
+    _STREAMING_LINKAGE_ORACLE,
 )
 
 

@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "csv_roundtrip",  # sink module touched (defaultFS-aware BOM guard)
     "dedup_streaming_minhash_probe_delta",  # NEW: O(batch) signature admits
     "dedup_streaming_minhash_probe",  # streaming family siblings (shared stager)
+    "entity_streaming_linkage_delta",  # NEW: O(batch) record admits
     "entity_streaming_linkage",
     "entity_matches_sorted",  # SNM single-pass siblings (shared operator)
     "entity_matches_blocked",

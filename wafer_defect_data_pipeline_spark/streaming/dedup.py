@@ -506,6 +506,11 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact, so the probe output replays bit-for-bit (batch 1 vs
     history, batch 2 vs history + batch 1).
 
+    State discipline: rewrite twin (the master snapshot is rewritten per
+    admit — O(index)); :func:`run_streaming_entity_linkage_delta` is the
+    O(batch) delta-append twin over the SAME staged days and oracle
+    (records are independent rows, so base ∪ deltas IS the master table).
+
     Returns ``(new_id, index_id, lev_dist)`` across both days.
     """
     from ..operators.entity import blocking_probe
@@ -518,7 +523,45 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = f"/tmp/wdps_stream_er_{uuid.uuid4().hex[:8]}"
     out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
+    staged = _stage_days(work, _entity_batches(c))
 
+    c.write.parquet(f"{idx_dir}/v0")
+    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    superseded: list[str] = []
+
+    def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        idx = sp.read.parquet(cur["path"])
+        blocking_probe(
+            batch_df, idx, "id", "name", _ENTITY_BLOCK_COLS, max_distance=2
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        nxt = f"{idx_dir}/v{batch_id + 1}"
+        idx.unionByName(batch_df.select("id", "name", "nk")).write.mode(
+            "overwrite"
+        ).parquet(nxt)
+        superseded.append(cur["path"])
+        cur["path"] = nxt
+
+    _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
+    _vacuum(superseded)
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "index_id", "lev_dist")
+        .orderBy("new_id", "index_id")
+    )
+
+
+def _ENTITY_BLOCK_COLS(df: DataFrame) -> list:
+    """Blocking key shared by both entity admit loops: nation + the name
+    tail neither planted corruption touches."""
+    return [df["nk"], F.substring(df["name"], 13, 6)]
+
+
+def _entity_batches(c: DataFrame) -> list[DataFrame]:
+    """The staged two-day linkage crawl shared by BOTH entity admit loops
+    and their DuckDB oracle (lpad arithmetic must stay in lockstep):
+    day 1 = one-typo variants of history (pos 11 -> 'X') + novel records;
+    day 2 = typos OF DAY 1's novel records (pos 10 -> 'Z') + new ones."""
     novel_name = F.concat(
         F.lit("Customer#"), F.lpad((F.col("id") + F.lit(500_000)).cast("string"), 9, "0")
     )
@@ -554,30 +597,80 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nk",
         )
     )
-    staged = _stage_days(work, [batch1, batch2])
+    return [batch1, batch2]
 
-    c.write.parquet(f"{idx_dir}/v0")
-    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+
+def run_streaming_entity_linkage_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The same two-day linkage replay as
+    :func:`run_streaming_entity_linkage` with the DELTA-APPEND state
+    discipline: admitting a batch writes ONLY its own records as
+    ``idx/delta/batch=N`` (O(batch) bytes); the probe blocking-joins
+    against base ∪ earlier deltas (records are independent rows, so the
+    union IS the master table); compaction is a plain union rewrite on a
+    cadence. Output is identical to the rewrite twin and the SAME staged
+    oracle hash-checks both registrations. Retry idempotency matches the
+    span/minhash/ANN delta loops: deterministic ``batch=<id>`` overwrite
+    paths, own-delta exclusion (a retried batch must not link to its own
+    records), membership-guarded manifest append, vacuum after
+    termination.
+    """
+    from ..operators.entity import blocking_probe
+    from ..sources import read_table
+
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    work = f"/tmp/wdps_stream_erd_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
+    staged = _stage_days(work, _entity_batches(c))
+
+    c.write.parquet(f"{idx_dir}/base/v0")
+    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
     superseded: list[str] = []
-
-    def block_cols(df: DataFrame) -> list:
-        return [df["nk"], F.substring(df["name"], 13, 6)]
+    admit_bytes: list[int] = []
+    compact_bytes: list[int] = []
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        idx = sp.read.parquet(cur["path"])
+        delta_path = f"{idx_dir}/delta/batch={batch_id}"
+        parts = [sp.read.parquet(state["base"])] + [
+            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
+        ]
+        idx = reduce(DataFrame.unionByName, parts)
         blocking_probe(
-            batch_df, idx, "id", "name", block_cols, max_distance=2
+            batch_df, idx, "id", "name", _ENTITY_BLOCK_COLS, max_distance=2
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        nxt = f"{idx_dir}/v{batch_id + 1}"
-        idx.unionByName(batch_df.select("id", "name", "nk")).write.mode(
-            "overwrite"
-        ).parquet(nxt)
-        superseded.append(cur["path"])
-        cur["path"] = nxt
+        batch_df.select("id", "name", "nk").write.mode("overwrite").parquet(
+            delta_path
+        )
+        if delta_path not in state["deltas"]:  # guard: retry must not double-append
+            state["deltas"].append(delta_path)
+            admit_bytes.append(_tree_bytes(delta_path))
+        if len(state["deltas"]) >= compact_every:
+            allparts = [sp.read.parquet(state["base"])] + [
+                sp.read.parquet(p) for p in state["deltas"]
+            ]
+            nxt = f"{idx_dir}/base/v{batch_id + 1}"
+            reduce(DataFrame.unionByName, allparts).write.mode(
+                "overwrite"
+            ).parquet(nxt)
+            compact_bytes.append(_tree_bytes(nxt))
+            superseded.extend([state["base"], *state["deltas"]])
+            state["base"], state["deltas"] = nxt, []
 
     _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
     _vacuum(superseded)
+    if stats is not None:
+        stats["admit_bytes_per_batch"] = admit_bytes
+        stats["compact_bytes"] = compact_bytes
+        stats["base_bytes"] = _tree_bytes(state["base"])
     return (
         spark.read.parquet(out_dir)
         .select("new_id", "index_id", "lev_dist")
