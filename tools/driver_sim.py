@@ -7,7 +7,10 @@ value hash); oracle-less queries must still execute. One line per failure,
 a final ``FAILED: ...`` summary line, and an UNCONDITIONAL append to
 TESTRUNS.jsonl (the ledger lives in the tool, not a wrapper — r8 #3).
 
-Usage: python tools/driver_sim.py [sf_dir]            (default sf0.01)
+Usage: python tools/driver_sim.py [sf_dir] [--conf k=v ...]
+(default sf0.01; --conf pins Spark confs for invariance sweeps, e.g.
+``--conf spark.sql.shuffle.partitions=200`` or
+``--conf spark.sql.adaptive.enabled=false``)
 """
 
 from __future__ import annotations
@@ -22,7 +25,19 @@ sys.path.insert(0, str(Path(_REPO) / "tests"))
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    conf: dict[str, str] = {}
+    pos: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--conf":
+            k, _, v = args[i + 1].partition("=")
+            conf[k] = v
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    sf = pos[0] if pos else "/root/testdata/sf0.01"
 
     import __spark_entry__ as e  # noqa: E402
     from oracle import run_pair  # noqa: E402
@@ -30,7 +45,7 @@ def main() -> None:
     from wafer_defect_data_pipeline_spark.ledger import record_run
     from wafer_defect_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="driver-sim")
+    spark = get_spark(app_name="driver-sim", extra_conf=conf or None)
     # entry smoke: runs, >0 rows, stable schema across invocations
     df = e.entry(spark)
     entry_ok = len(df.collect()) > 0 and df.schema == e.entry(spark).schema
@@ -58,6 +73,8 @@ def main() -> None:
         f"hash-green, {rows_only} rows-only execute, entry smoke "
         f"{'ok' if entry_ok else 'FAILED'} ({Path(sf).name})"
     )
+    if conf:
+        tail += "; conf " + ", ".join(f"{k}={v}" for k, v in sorted(conf.items()))
     if fails:
         tail += f"; FAILED: {', '.join(fails)}"
     record_run("driver-sim-sweep", tail)
