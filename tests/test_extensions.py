@@ -3171,3 +3171,59 @@ def test_streaming_entity_delta_matches_rewrite_and_admits_o_batch(spark, sf_sma
     assert [tuple(r) for r in delta] == [tuple(r) for r in rewrite]
     assert len(stats["admit_bytes_per_batch"]) == 2
     assert max(stats["admit_bytes_per_batch"]) * 3 < stats["base_bytes"], stats
+
+
+@pytest.mark.medium
+def test_streaming_span_delta_output_invariant_to_compaction_cadence(spark, sf_small):
+    """The compaction cadence is an operational knob, never a semantic one:
+    compact_every=1 (compact after every admit) and compact_every=3 (never
+    compacts within the two-day replay — probes read base ∪ deltas the
+    whole way) must both reproduce the default run's spans exactly."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_span_dedup_delta,
+    )
+
+    base = [
+        tuple(r)
+        for r in run_streaming_span_dedup_delta(spark, sf_small, compact_every=2).collect()
+    ]
+    assert len(base) > 0
+    for cadence in (1, 3):
+        got = [
+            tuple(r)
+            for r in run_streaming_span_dedup_delta(
+                spark, sf_small, compact_every=cadence
+            ).collect()
+        ]
+        assert got == base, f"compact_every={cadence} diverged"
+
+
+def test_streaming_bm25_standing_query_sees_admitted_docs(spark, sf_small):
+    """The standing query's day-N ranking must (a) rank over the corpus
+    INCLUDING day N's admitted docs — an admitted doc_id (>= 3M) appears
+    once its day arrives, (b) produce full top-10 pages per day, and (c)
+    pay O(batch) admits: each delta write is a small fraction of the base
+    index bytes."""
+    from wafer_defect_data_pipeline_spark.streaming.search import (
+        run_streaming_bm25_standing,
+    )
+
+    st: dict = {}
+    rows = run_streaming_bm25_standing(spark, sf_small, k=10, stats_out=st).collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+    assert set(by_day) == {1, 2}
+    assert len(by_day[1]) == 10 and len(by_day[2]) == 10
+    assert [r.rank for r in by_day[1]] == list(range(1, 11))
+    # the day-2 alert plant (high tf, tiny dl) must TOP day 2's page and
+    # be absent from day 1's — retrieval exists only through admission
+    assert by_day[2][0].doc_id == 9_000_000 and by_day[2][0].rank == 1
+    assert all(r.doc_id != 9_000_000 for r in by_day[1])
+    # corpus stats moved between days (N, avgdl, df), so shared docs rescore
+    d1 = {r.doc_id: r.bm25 for r in by_day[1]}
+    d2 = {r.doc_id: r.bm25 for r in by_day[2]}
+    shared = set(d1) & set(d2)
+    assert shared and any(d1[i] != d2[i] for i in shared)
+    assert len(st["admit_bytes_per_batch"]) == 2
+    assert max(st["admit_bytes_per_batch"]) * 3 < st["base_bytes"], st

@@ -523,3 +523,77 @@ register(
     ORDER BY sel_rank
     """,
 )
+
+
+# --- streaming index maintenance: standing BM25 query over a growing corpus -
+def _bm25_standing(spark, sf_dir):
+    """Streaming inverted-index maintenance (streaming/search.py): two
+    staged crawl days are admitted as O(batch) posting/doclen/stats deltas
+    and a standing 3-term BM25 query is re-scored after each admit —
+    day-2 rankings shift both because new docs compete and because the
+    corpus stats (N, avgdl, df) moved. The oracle replays each day's FULL
+    corpus from scratch, so hash-equality proves incremental maintenance
+    reproduces batch recomputation exactly (the search-family analogue of
+    entity_incremental_clusters' contract)."""
+    from ..streaming.search import run_streaming_bm25_standing
+
+    return run_streaming_bm25_standing(spark, sf_dir, k=10)
+
+
+register(
+    "text_bm25_standing_query",
+    _bm25_standing,
+    rf"""
+    WITH b1 AS (
+      SELECT doc_id + 3000000 AS doc_id, text || ' day one refresh' AS text
+      FROM documents WHERE doc_id % 20 = 10
+    ), b2 AS (
+      SELECT doc_id + 5000000 AS doc_id, text || ' day two refresh' AS text
+      FROM documents WHERE doc_id % 20 = 5
+      UNION ALL
+      SELECT 9000000, 'join hash filter join hash filter join hash filter'
+    ), corpus AS (
+      SELECT 1 AS day, doc_id, text FROM documents
+      UNION ALL SELECT 1, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM documents
+      UNION ALL SELECT 2, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM b2
+    ), lens AS (
+      SELECT day, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS DOUBLE) AS dl
+      FROM corpus
+    ), stats AS (
+      SELECT day, CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl
+      FROM lens GROUP BY day
+    ), tok AS (
+      SELECT day, doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM corpus
+    ), tf AS (
+      SELECT day, doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('join', 'hash', 'filter') GROUP BY day, doc_id, term
+    ), dfs AS (
+      SELECT day, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY day, term
+    ), scored AS (
+      SELECT tf.day, tf.doc_id,
+             CAST(round(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                        * tf.tf * ({_K1} + 1.0)
+                        / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * lens.dl / stats.avgdl)),
+                        6) AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN dfs ON tf.day = dfs.day AND tf.term = dfs.term
+      JOIN lens ON tf.day = lens.day AND tf.doc_id = lens.doc_id
+      JOIN stats ON tf.day = stats.day
+    ), totals AS (
+      SELECT day, doc_id, CAST(sum(c) AS DOUBLE) AS bm25
+      FROM scored GROUP BY day, doc_id
+    ), ranked AS (
+      SELECT CAST(day AS INT) AS day,
+             CAST(row_number() OVER (PARTITION BY day ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
+             doc_id, bm25
+      FROM totals
+    )
+    SELECT day, rank, doc_id, bm25 FROM ranked WHERE rank <= 10
+    ORDER BY day, rank
+    """,
+)

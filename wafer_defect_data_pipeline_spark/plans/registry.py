@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "training_lr_quality",  # loss-term clamp for saturated sigmoids
     "training_lr_scores",
     "csv_roundtrip",  # sink module touched (defaultFS-aware BOM guard)
+    "text_bm25_standing_query",  # NEW: streaming index maintenance, standing query
     "dedup_streaming_minhash_probe_delta",  # NEW: O(batch) signature admits
     "dedup_streaming_minhash_probe",  # streaming family siblings (shared stager)
     "entity_streaming_linkage_delta",  # NEW: O(batch) record admits
