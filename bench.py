@@ -201,10 +201,10 @@ def main() -> None:
     # unconditional ledger append — in the tool, not a wrapper (r8 #3)
     from wafer_defect_data_pipeline_spark.ledger import record_run
 
+    n_timed = sum(1 for v in warm.values() if v is not None)
     record_run(
         "bench",
-        f"headline_total {total}s warm over {len(warm)} queries at "
-        f"sf{_sf_from_dir(sf_dir)}"
+        f"headline_total {total}s warm over {n_timed} queries at sf{sf}"
         + (f"; {len(errors)} errors: {'; '.join(sorted(errors))[:200]}" if errors else ""),
     )
     spark.stop()

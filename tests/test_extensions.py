@@ -3227,3 +3227,76 @@ def test_streaming_bm25_standing_query_sees_admitted_docs(spark, sf_small):
     assert shared and any(d1[i] != d2[i] for i in shared)
     assert len(st["admit_bytes_per_batch"]) == 2
     assert max(st["admit_bytes_per_batch"]) * 3 < st["base_bytes"], st
+
+
+def test_delta_manifest_retry_after_compaction_never_self_matches(tmp_path):
+    """The manifest invariant the five admit loops rely on: a batch's own
+    delta is excluded from BOTH the probe view and every compaction fold,
+    so no retry — even one that runs AFTER the first attempt's compaction
+    — can observe its own rows through the base. Simulated as the exact
+    sequence a died-after-compaction retry produces."""
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    def mk(p):
+        d = tmp_path / p
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "x").write_bytes(b"1234")
+        return str(d)
+
+    base0, d0, d1 = mk("base/v0"), mk("delta/batch=0"), mk("delta/batch=1")
+    man = DeltaManifest(base0, compact_every=1)
+
+    # batch 0, first attempt: admit + compaction, then dies pre-completion
+    assert man.admit(d0) is True
+    assert man.want_compact()
+    assert d0 not in man.compact_parts(d0)  # own delta never folded
+    base1 = mk("base/v1")
+    man.finish_compact(base1, d0)
+    assert man.base == base1 and man.deltas == [d0]  # own delta survives
+    # batch 0, RETRY: probe view must still exclude own rows entirely —
+    # not via the deltas list only, but structurally (base never absorbed d0)
+    assert d0 not in man.probe_parts(d0)
+    assert man.probe_parts(d0) == [base1]
+    assert man.admit(d0) is False  # guarded: no double-append, no re-count
+    assert len(man.admit_bytes) == 1
+    # include_own views (standing queries) see the batch EXACTLY once
+    assert man.probe_parts(d0, include_own=True).count(d0) == 1
+
+    # batch 1 proceeds normally: probe sees base + d0, not d1
+    assert man.probe_parts(d1) == [base1, d0]
+    man.admit(d1)
+    base2 = mk("base/v2")
+    assert man.compact_parts(d1) == [base1, d0]
+    man.finish_compact(base2, d1)
+    assert man.deltas == [d1]
+    # vacuum only touches superseded parts
+    import os
+
+    man.vacuum()
+    assert not os.path.exists(base0) and not os.path.exists(base1)
+    assert os.path.exists(base2) and os.path.exists(d1)
+
+
+@pytest.mark.medium
+def test_streaming_delta_loops_invariant_to_compaction_cadence(spark, sf_small):
+    """compact_every is operational, never semantic, for EVERY delta loop:
+    compact_every=1 forces the compaction branch (including the standing
+    query's three-relation fold) inside the two-day replay and must
+    reproduce the no-compaction output exactly."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_entity_linkage_delta,
+        run_streaming_minhash_probe_delta,
+    )
+    from wafer_defect_data_pipeline_spark.streaming.search import (
+        run_streaming_bm25_standing,
+    )
+
+    for fn, kwargs in (
+        (run_streaming_minhash_probe_delta, {"threshold": 0.4}),
+        (run_streaming_entity_linkage_delta, {}),
+        (run_streaming_bm25_standing, {"k": 10}),
+    ):
+        never = [tuple(r) for r in fn(spark, sf_small, compact_every=9, **kwargs).collect()]
+        always = [tuple(r) for r in fn(spark, sf_small, compact_every=1, **kwargs).collect()]
+        assert len(never) > 0
+        assert always == never, fn.__name__

@@ -36,7 +36,12 @@ def main() -> None:
                 rc = 1
                 failed.append(name)
                 break
-            errs = run_pair(spark, sf, queries[name], oracles[name])
+            # guarded like driver_sim: a raising query must report FAIL,
+            # keep checking the remaining names, and still reach the ledger
+            try:
+                errs = run_pair(spark, sf, queries[name], oracles[name])
+            except Exception as exc:  # noqa: BLE001
+                errs = [f"{type(exc).__name__}: {exc}"[:300]]
             tag = "OK" if not errs else "FAIL " + "; ".join(errs)
             print(f"{name} @ {sf.rsplit('/',1)[-1]}: {tag}")
             if errs:

@@ -46,9 +46,16 @@ def main() -> None:
     from wafer_defect_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="driver-sim", extra_conf=conf or None)
-    # entry smoke: runs, >0 rows, stable schema across invocations
-    df = e.entry(spark)
-    entry_ok = len(df.collect()) > 0 and df.schema == e.entry(spark).schema
+    # entry smoke: runs, >0 rows, stable schema across invocations. Guarded
+    # so a broken entry (testdata drift, regression) still produces the
+    # FAILED summary and the ledger record — the whole point of the tool is
+    # that no sweep can run without leaving evidence.
+    try:
+        df = e.entry(spark)
+        entry_ok = len(df.collect()) > 0 and df.schema == e.entry(spark).schema
+    except Exception as exc:  # noqa: BLE001
+        entry_ok = False
+        print(f"ERROR entry: {type(exc).__name__}: {exc}"[:300], flush=True)
 
     qs, os_ = e.queries(), e.oracle_sql()
     fails: list[str] = []

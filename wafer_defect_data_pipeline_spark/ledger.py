@@ -22,10 +22,11 @@ def record_run(kind: str, tail: str, **extra: object) -> None:
     Swallows every error — a read-only checkout or full disk must not turn
     a green run red just because the ledger could not be written.
     """
-    rec = {"ts": time.time(), "kind": kind, "tail": tail}
-    rec.update(extra)
     try:
+        rec = {"ts": time.time(), "kind": kind, "tail": tail}
+        rec.update(extra)
+        line = json.dumps(rec, default=str)  # non-serializable extras stringify
         with open(_REPO_ROOT / "TESTRUNS.jsonl", "a") as f:
-            f.write(json.dumps(rec) + "\n")
-    except OSError:
+            f.write(line + "\n")
+    except Exception:  # noqa: BLE001 — the ledger must never fail the run
         pass

@@ -28,16 +28,22 @@ Two state disciplines are shipped, same probe, same oracle:
   write is paid on a CADENCE, amortized across batches, exactly like
   LSM/Delta-Lake compaction. This is the 100 TB state discipline.
 
-Idempotency: per-batch outputs go to deterministic paths
-(``out/batch=<id>``, ``delta/batch=<id>``) in overwrite mode, so a
-Structured-Streaming retry of the same ``batch_id`` overwrites its own
-previous attempt instead of double-appending; superseded index snapshots
-are vacuumed only AFTER the query terminates, so a retried batch still
-sees the pre-admit state it first probed. In the delta loop the probe
-additionally EXCLUDES the current batch's own ``delta/batch=<id>`` path
-and the manifest append is membership-guarded — a retry that died between
-the admit write and the compaction therefore re-probes the exact pre-admit
-view (no gram self-matches) and never double-counts its delta. (A multi-writer production
+Idempotency (invariants centralized in streaming/state.py): per-batch
+outputs go to deterministic paths (``out/batch=<id>``,
+``delta/batch=<id>``) in overwrite mode, so a Structured-Streaming retry
+of the same ``batch_id`` overwrites its own previous attempt instead of
+double-appending; superseded index snapshots are vacuumed only AFTER the
+query terminates. The rewrite loops derive their probe snapshot from
+``batch_id`` (``v{N}``), never from driver state mutated mid-body, so a
+retry re-probes the pre-admit view even though the admit already wrote
+``v{N+1}``. The delta loops exclude the current batch's own
+``delta/batch=<id>`` from BOTH the probe view and every compaction fold
+(folding it into the base would reintroduce the self-match through the
+new base), and the manifest append is membership-guarded — a retry that
+died anywhere in the batch body re-probes the exact pre-admit view and
+never double-counts its delta. Compaction therefore always lags the
+newest batch by one; cadence-invariance tests pin that this is
+operational, never semantic. (A multi-writer production
 deployment would put the base/delta manifest in a transaction log — Delta
 Lake's — rather than driver memory; the write discipline is the same.)
 
@@ -74,17 +80,12 @@ def _stage_days(work: str, batches: list[DataFrame]) -> str:
     return staged
 
 
-def _tree_bytes(path: str) -> int:
-    """Total bytes under ``path`` — the per-batch state-write cost a
-    BASELINE row compares across the rewrite vs delta disciplines."""
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+# The retry-correctness invariants (own-delta exclusion on BOTH the probe
+# and the compaction side, guarded manifest appends, batch-id-derived
+# snapshot paths, vacuum-after-termination) live ONCE in streaming/state.py
+# — see DeltaManifest / version_path — so the five admit loops cannot
+# drift apart on them.
+from .state import DeltaManifest, version_path
 
 
 def _vacuum(paths: list[str]) -> None:
@@ -169,27 +170,28 @@ def run_streaming_span_dedup(
 
     # index v0: history only (never re-scanned after this)
     gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
-        f"{idx_dir}/v0"
+        version_path(idx_dir, 0)
     )
-    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
     superseded: list[str] = []
 
     def probe_then_merge(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        idx = sp.read.parquet(cur["path"])
-        # probe FIRST — against the index as of the previous batch; the
-        # deterministic per-batch path + overwrite makes a retry replace
-        # its own previous attempt instead of double-appending
+        # the probe snapshot is DERIVED from batch_id (v{N}), never from
+        # driver state mutated mid-body: a retry that runs after the admit
+        # already wrote v{N+1} still probes v{N} — the pre-admit view —
+        # instead of self-matching every gram through the new snapshot
+        idx = sp.read.parquet(version_path(idx_dir, batch_id))
         incremental_duplicated_spans(
             batch_df, idx, "doc_id", "text", k=k, min_span=min_span
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        # then admit the batch for every later one
-        nxt = f"{idx_dir}/v{batch_id + 1}"
+        # then admit the batch for every later one (deterministic path +
+        # overwrite: a retry replaces its own previous attempt)
         merge_gram_index(
             idx, gram_index(batch_df, "doc_id", "text", k=k)
-        ).repartition(8, "gh").write.mode("overwrite").parquet(nxt)
-        superseded.append(cur["path"])
-        cur["path"] = nxt
+        ).repartition(8, "gh").write.mode("overwrite").parquet(
+            version_path(idx_dir, batch_id + 1)
+        )
+        superseded.append(version_path(idx_dir, batch_id))
 
     _run_file_stream(spark, staged, "doc_id long, text string", probe_then_merge)
     _vacuum(superseded)  # only after termination: a retry re-reads its snapshot
@@ -234,23 +236,16 @@ def run_streaming_span_dedup_delta(
     gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
         f"{idx_dir}/base/v0"
     )
-    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
-    superseded: list[str] = []
-    admit_bytes: list[int] = []
-    compact_bytes: list[int] = []
+    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        # retry safety: a retried batch may already have appended its own
-        # delta (the first attempt died between the admit write and the
-        # compaction), so the probe reads base ∪ {deltas of EARLIER
-        # batches only} — otherwise every k-gram of the batch would
-        # self-match and the correct output be overwritten with
-        # whole-document spans
+        # retry safety (DeltaManifest invariant): the probe reads base ∪
+        # {deltas of EARLIER batches only} — a retried batch may already
+        # have appended its own delta, and self-matching grams would
+        # overwrite the correct output with whole-document spans
         delta_path = f"{idx_dir}/delta/batch={batch_id}"
-        parts = [sp.read.parquet(state["base"])] + [
-            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
-        ]
+        parts = [sp.read.parquet(p) for p in man.probe_parts(delta_path)]
         idx = reduce(DataFrame.unionByName, parts)
         if min_index_count > 1:
             # count-threshold probes need the TRUE total per gram — a gram
@@ -269,30 +264,26 @@ def run_streaming_span_dedup_delta(
         gram_index(batch_df, "doc_id", "text", k=k).repartition(
             4, "gh"
         ).write.mode("overwrite").parquet(delta_path)
-        if delta_path not in state["deltas"]:  # guard: retry must not double-append
-            state["deltas"].append(delta_path)
-            admit_bytes.append(_tree_bytes(delta_path))
-        if len(state["deltas"]) >= compact_every:
-            # cadence compaction: fold base + deltas into a new base with
-            # the merge_gram_index count algebra (sum per gram), keyed
-            # layout preserved (repartition on gh)
-            allparts = [sp.read.parquet(state["base"])] + [
-                sp.read.parquet(p) for p in state["deltas"]
+        man.admit(delta_path)
+        if man.want_compact():
+            # cadence compaction with the merge_gram_index count algebra
+            # (sum per gram), keyed layout preserved. The CURRENT batch's
+            # delta is left out of the fold (DeltaManifest invariant):
+            # folding it into the base would reintroduce the self-match a
+            # retry's probe exclusion exists to prevent — it survives as
+            # the sole delta and folds at the NEXT batch's compaction.
+            allparts = [
+                sp.read.parquet(p) for p in man.compact_parts(delta_path)
             ]
             nxt = f"{idx_dir}/base/v{batch_id + 1}"
             reduce(DataFrame.unionByName, allparts).groupBy("gh").agg(
                 F.sum("n").alias("n")
             ).repartition(8, "gh").write.mode("overwrite").parquet(nxt)
-            compact_bytes.append(_tree_bytes(nxt))
-            superseded.extend([state["base"], *state["deltas"]])
-            state["base"], state["deltas"] = nxt, []
+            man.finish_compact(nxt, delta_path)
 
     _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
-    _vacuum(superseded)
-    if stats is not None:
-        stats["admit_bytes_per_batch"] = admit_bytes
-        stats["compact_bytes"] = compact_bytes
-        stats["base_bytes"] = _tree_bytes(state["base"])
+    man.vacuum()
+    man.fill_stats(stats)
     return (
         spark.read.parquet(out_dir)
         .select("doc_id", "span_start", "span_end", "span_len")
@@ -338,25 +329,24 @@ def run_streaming_minhash_probe(
 
     minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
         "doc_id", "sig"
-    ).write.parquet(f"{idx_dir}/v0")
-    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    ).write.parquet(version_path(idx_dir, 0))
     superseded: list[str] = []
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        idx = sp.read.parquet(cur["path"])
+        # batch-id-derived snapshot (v{N}): a retry re-probes the pre-admit
+        # view even though the first attempt already wrote v{N+1}
+        idx = sp.read.parquet(version_path(idx_dir, batch_id))
         minhash_lsh_probe(
             batch_df, idx, "doc_id", "text",
             n_hashes=16, n_bands=4, threshold=threshold,
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        nxt = f"{idx_dir}/v{batch_id + 1}"
         idx.unionByName(
             minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
                 "doc_id", "sig"
             )
-        ).write.mode("overwrite").parquet(nxt)
-        superseded.append(cur["path"])
-        cur["path"] = nxt
+        ).write.mode("overwrite").parquet(version_path(idx_dir, batch_id + 1))
+        superseded.append(version_path(idx_dir, batch_id))
 
     _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
     _vacuum(superseded)
@@ -442,18 +432,15 @@ def run_streaming_minhash_probe_delta(
     minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
         "doc_id", "sig"
     ).write.parquet(f"{idx_dir}/base/v0")
-    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
-    superseded: list[str] = []
-    admit_bytes: list[int] = []
-    compact_bytes: list[int] = []
+    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         delta_path = f"{idx_dir}/delta/batch={batch_id}"
-        parts = [sp.read.parquet(state["base"])] + [
-            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
-        ]
-        idx = reduce(DataFrame.unionByName, parts)
+        idx = reduce(
+            DataFrame.unionByName,
+            [sp.read.parquet(p) for p in man.probe_parts(delta_path)],
+        )
         minhash_lsh_probe(
             batch_df, idx, "doc_id", "text",
             n_hashes=16, n_bands=4, threshold=threshold,
@@ -461,27 +448,21 @@ def run_streaming_minhash_probe_delta(
         minhash_signatures(batch_df, "doc_id", "text", n_hashes=16).select(
             "doc_id", "sig"
         ).write.mode("overwrite").parquet(delta_path)
-        if delta_path not in state["deltas"]:  # guard: retry must not double-append
-            state["deltas"].append(delta_path)
-            admit_bytes.append(_tree_bytes(delta_path))
-        if len(state["deltas"]) >= compact_every:
-            allparts = [sp.read.parquet(state["base"])] + [
-                sp.read.parquet(p) for p in state["deltas"]
-            ]
+        man.admit(delta_path)
+        if man.want_compact():
+            # plain-union compaction (independent rows, no algebra); the
+            # current batch's delta stays out of the fold — see
+            # DeltaManifest.compact_parts
             nxt = f"{idx_dir}/base/v{batch_id + 1}"
-            reduce(DataFrame.unionByName, allparts).write.mode(
-                "overwrite"
-            ).parquet(nxt)
-            compact_bytes.append(_tree_bytes(nxt))
-            superseded.extend([state["base"], *state["deltas"]])
-            state["base"], state["deltas"] = nxt, []
+            reduce(
+                DataFrame.unionByName,
+                [sp.read.parquet(p) for p in man.compact_parts(delta_path)],
+            ).write.mode("overwrite").parquet(nxt)
+            man.finish_compact(nxt, delta_path)
 
     _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
-    _vacuum(superseded)
-    if stats is not None:
-        stats["admit_bytes_per_batch"] = admit_bytes
-        stats["compact_bytes"] = compact_bytes
-        stats["base_bytes"] = _tree_bytes(state["base"])
+    man.vacuum()
+    man.fill_stats(stats)
     return (
         spark.read.parquet(out_dir)
         .select("new_id", "index_id", "est_jaccard")
@@ -525,22 +506,21 @@ def run_streaming_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
     staged = _stage_days(work, _entity_batches(c))
 
-    c.write.parquet(f"{idx_dir}/v0")
-    cur: dict[str, str] = {"path": f"{idx_dir}/v0"}
+    c.write.parquet(version_path(idx_dir, 0))
     superseded: list[str] = []
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        idx = sp.read.parquet(cur["path"])
+        # batch-id-derived snapshot (v{N}): a retry re-probes the pre-admit
+        # view even though the first attempt already wrote v{N+1}
+        idx = sp.read.parquet(version_path(idx_dir, batch_id))
         blocking_probe(
             batch_df, idx, "id", "name", _ENTITY_BLOCK_COLS, max_distance=2
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        nxt = f"{idx_dir}/v{batch_id + 1}"
         idx.unionByName(batch_df.select("id", "name", "nk")).write.mode(
             "overwrite"
-        ).parquet(nxt)
-        superseded.append(cur["path"])
-        cur["path"] = nxt
+        ).parquet(version_path(idx_dir, batch_id + 1))
+        superseded.append(version_path(idx_dir, batch_id))
 
     _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
     _vacuum(superseded)
@@ -632,45 +612,35 @@ def run_streaming_entity_linkage_delta(
     staged = _stage_days(work, _entity_batches(c))
 
     c.write.parquet(f"{idx_dir}/base/v0")
-    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
-    superseded: list[str] = []
-    admit_bytes: list[int] = []
-    compact_bytes: list[int] = []
+    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         delta_path = f"{idx_dir}/delta/batch={batch_id}"
-        parts = [sp.read.parquet(state["base"])] + [
-            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
-        ]
-        idx = reduce(DataFrame.unionByName, parts)
+        idx = reduce(
+            DataFrame.unionByName,
+            [sp.read.parquet(p) for p in man.probe_parts(delta_path)],
+        )
         blocking_probe(
             batch_df, idx, "id", "name", _ENTITY_BLOCK_COLS, max_distance=2
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         batch_df.select("id", "name", "nk").write.mode("overwrite").parquet(
             delta_path
         )
-        if delta_path not in state["deltas"]:  # guard: retry must not double-append
-            state["deltas"].append(delta_path)
-            admit_bytes.append(_tree_bytes(delta_path))
-        if len(state["deltas"]) >= compact_every:
-            allparts = [sp.read.parquet(state["base"])] + [
-                sp.read.parquet(p) for p in state["deltas"]
-            ]
+        man.admit(delta_path)
+        if man.want_compact():
+            # plain-union compaction; current batch's delta stays out of
+            # the fold — see DeltaManifest.compact_parts
             nxt = f"{idx_dir}/base/v{batch_id + 1}"
-            reduce(DataFrame.unionByName, allparts).write.mode(
-                "overwrite"
-            ).parquet(nxt)
-            compact_bytes.append(_tree_bytes(nxt))
-            superseded.extend([state["base"], *state["deltas"]])
-            state["base"], state["deltas"] = nxt, []
+            reduce(
+                DataFrame.unionByName,
+                [sp.read.parquet(p) for p in man.compact_parts(delta_path)],
+            ).write.mode("overwrite").parquet(nxt)
+            man.finish_compact(nxt, delta_path)
 
     _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
-    _vacuum(superseded)
-    if stats is not None:
-        stats["admit_bytes_per_batch"] = admit_bytes
-        stats["compact_bytes"] = compact_bytes
-        stats["base_bytes"] = _tree_bytes(state["base"])
+    man.vacuum()
+    man.fill_stats(stats)
     return (
         spark.read.parquet(out_dir)
         .select("new_id", "index_id", "lev_dist")

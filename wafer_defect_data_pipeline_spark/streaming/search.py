@@ -28,13 +28,15 @@ State = three parquet relations per part, all delta-appendable:
 df(term) needs no stored state: postings rows are unique per (term, doc),
 so df is a count over the term-filtered union — already narrow.
 
-Idempotency matches the other loops: deterministic ``batch=<id>``
-overwrite paths for outputs and deltas, membership-guarded manifest
-appends, vacuum after termination. The probe here runs AFTER the admit on
-purpose — a standing query reports the corpus INCLUDING today's crawl —
-so retry safety needs no own-delta exclusion: re-running the batch
-rewrites the same deltas (overwrite) and re-derives the same post-admit
-view.
+Idempotency matches the other loops (invariants in
+streaming/state.DeltaManifest): deterministic ``batch=<id>`` overwrite
+paths for outputs and deltas, membership-guarded manifest appends, vacuum
+after termination. The probe here runs AFTER the admit on purpose — a
+standing query reports the corpus INCLUDING today's crawl — so the view
+is built with ``include_own=True``; retry safety still holds because the
+current batch's delta is never folded into a compacted base
+(``compact_parts`` excludes it), so the batch's rows appear in the view
+exactly once no matter where a prior attempt died.
 
 No reference analogue (the reference is a single-table batch ETL —
 /root/reference/src/preprocessing.py); extension surface per SURVEY.md
@@ -51,7 +53,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .dedup import _run_file_stream, _stage_days, _tree_bytes, _vacuum
+from .dedup import _run_file_stream, _stage_days
+from .state import DeltaManifest
 
 _K1 = 1.2
 _B = 0.75
@@ -128,9 +131,7 @@ def run_streaming_bm25_standing(
     p0.write.parquet(f"{idx_dir}/base/v0/postings")
     l0.write.parquet(f"{idx_dir}/base/v0/doclens")
     s0.write.parquet(f"{idx_dir}/base/v0/stats")
-    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
-    superseded: list[str] = []
-    admit_bytes: list[int] = []
+    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
 
     def score_standing_query(sp, parts: list[str]) -> DataFrame:
         postings = reduce(
@@ -188,37 +189,37 @@ def run_streaming_bm25_standing(
         bp.write.mode("overwrite").parquet(f"{delta_path}/postings")
         bl.write.mode("overwrite").parquet(f"{delta_path}/doclens")
         bs.write.mode("overwrite").parquet(f"{delta_path}/stats")
-        if delta_path not in state["deltas"]:  # guard: retry must not double-append
-            state["deltas"].append(delta_path)
-            admit_bytes.append(_tree_bytes(delta_path))
-        # standing query reports the corpus INCLUDING today's crawl
-        parts = [state["base"], *state["deltas"]]
+        man.admit(delta_path)  # membership-guarded: a retry never double-counts
+        # standing query reports the corpus INCLUDING today's crawl —
+        # include_own makes self-inclusion explicit AND retry-safe: even
+        # if a prior attempt's compaction already ran, the current delta
+        # is never folded into the base (DeltaManifest.compact_parts), so
+        # it appears in the view exactly once
+        parts = man.probe_parts(delta_path, include_own=True)
         score_standing_query(sp, parts).withColumn(
             "day", F.lit(batch_id + 1).cast("int")
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        if len(state["deltas"]) >= compact_every:
+        if man.want_compact():
+            fold = man.compact_parts(delta_path)
             nxt = f"{idx_dir}/base/v{batch_id + 1}"
             for rel in ("postings", "doclens"):
                 reduce(
                     DataFrame.unionByName,
-                    [sp.read.parquet(f"{p}/{rel}") for p in parts],
+                    [sp.read.parquet(f"{p}/{rel}") for p in fold],
                 ).write.mode("overwrite").parquet(f"{nxt}/{rel}")
             # stats compaction = the sum algebra, one row out
             reduce(
                 DataFrame.unionByName,
-                [sp.read.parquet(f"{p}/stats") for p in parts],
+                [sp.read.parquet(f"{p}/stats") for p in fold],
             ).agg(
                 F.sum("n_docs").cast("long").alias("n_docs"),
                 F.sum("sum_dl").cast("long").alias("sum_dl"),
             ).write.mode("overwrite").parquet(f"{nxt}/stats")
-            superseded.extend(parts)
-            state["base"], state["deltas"] = nxt, []
+            man.finish_compact(nxt, delta_path)
 
     _run_file_stream(spark, staged, "doc_id long, text string", admit_then_score)
-    _vacuum(superseded)
-    if stats_out is not None:
-        stats_out["admit_bytes_per_batch"] = admit_bytes
-        stats_out["base_bytes"] = _tree_bytes(state["base"])
+    man.vacuum()
+    man.fill_stats(stats_out)
     return (
         spark.read.parquet(out_dir)
         .select("day", "rank", "doc_id", "bm25")

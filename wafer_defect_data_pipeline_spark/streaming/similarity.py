@@ -123,9 +123,12 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
     e.write.parquet(f"{idx_dir}/base/v0")
-    state: dict = {"base": f"{idx_dir}/base/v0", "deltas": []}
-    superseded: list[str] = []
-    compact_every = 2
+    # retry-correctness invariants (own-delta exclusion on probe AND
+    # compaction, guarded appends, vacuum-after-termination) live in
+    # streaming/state.DeltaManifest, shared by all five admit loops
+    from .state import DeltaManifest
+
+    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=2)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         from functools import reduce
@@ -135,10 +138,10 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         # between its admit write and the batch's completion must probe
         # the pre-admit view, not retrieve itself at cos_sim=1
         delta_path = f"{idx_dir}/delta/batch={batch_id}"
-        parts = [sp.read.parquet(state["base"])] + [
-            sp.read.parquet(p) for p in state["deltas"] if p != delta_path
-        ]
-        idx = reduce(DataFrame.unionByName, parts)
+        idx = reduce(
+            DataFrame.unionByName,
+            [sp.read.parquet(p) for p in man.probe_parts(delta_path)],
+        )
         # default size gate: under ~2M pairs (the driver's sf0.01) the probe
         # is the HOF fold; past it the tie-exact Arrow/BLAS kernel serves
         # the SAME contract (6dp-round-before-prune, lowest-id ties —
@@ -153,20 +156,17 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         batch_df.select("vec_id", "embedding").write.mode("overwrite").parquet(
             delta_path
         )
-        if delta_path not in state["deltas"]:  # guard: retry must not double-append
-            state["deltas"].append(delta_path)
-        if len(state["deltas"]) >= compact_every:
-            # cadence compaction: plain union rewrite (no algebra), bounds
-            # the part-file count the probe's union must open
-            allparts = [sp.read.parquet(state["base"])] + [
-                sp.read.parquet(p) for p in state["deltas"]
-            ]
+        man.admit(delta_path)
+        if man.want_compact():
+            # plain-union compaction, bounds the part-file count the
+            # probe's union must open; the current batch's delta stays out
+            # of the fold (DeltaManifest invariant)
             nxt = f"{idx_dir}/base/v{batch_id + 1}"
-            reduce(DataFrame.unionByName, allparts).write.mode(
-                "overwrite"
-            ).parquet(nxt)
-            superseded.extend([state["base"], *state["deltas"]])
-            state["base"], state["deltas"] = nxt, []
+            reduce(
+                DataFrame.unionByName,
+                [sp.read.parquet(p) for p in man.compact_parts(delta_path)],
+            ).write.mode("overwrite").parquet(nxt)
+            man.finish_compact(nxt, delta_path)
 
     q = (
         spark.readStream.schema("vec_id long, embedding array<double>")
@@ -177,8 +177,7 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         .start()
     )
     q.awaitTermination()
-    for p in superseded:  # only after termination: a retry re-reads its view
-        shutil.rmtree(p, ignore_errors=True)
+    man.vacuum()  # only after termination: a retry re-reads its view
     # explicit select: partition discovery over out/batch=<id> adds a
     # synthetic `batch` column the registered schema must not carry
     return (

@@ -1,0 +1,128 @@
+"""Shared state manifest for the streaming admit loops.
+
+Five admit loops (span grams, minhash signatures, entity records, ANN
+vectors, search postings/stats) carry the same delta-append state machine:
+a base snapshot plus per-batch delta parts, a probe view, a cadence
+compaction, and post-termination vacuum. The retry-correctness invariants
+live HERE, once, instead of five hand-copied blocks that can drift:
+
+- **Own-delta exclusion, probe side**: a Structured-Streaming retry runs
+  after the first attempt may already have written ``delta/batch=N`` and
+  appended it to the manifest; a pre-admit probe must read base ∪ deltas
+  EXCLUDING the batch's own delta or every key self-matches.
+- **Own-delta exclusion, compaction side**: compaction runs inside the
+  batch body, so folding the CURRENT batch's delta into the new base
+  would reintroduce the self-match on retry through the base — the
+  current delta is therefore left OUT of every fold and kept as the sole
+  surviving delta. Compaction lags the newest batch by design; it is an
+  operational amortization, never a semantic step (cadence-invariance
+  tests pin this).
+- **Guarded append**: the manifest append is membership-checked so a
+  retry never double-counts a delta (and never double-records its bytes).
+- **Deterministic paths + overwrite**: delta and compacted-base paths are
+  pure functions of ``batch_id``, written in overwrite mode, so a retry
+  replaces its own previous attempt byte-for-byte.
+- **Vacuum after termination only**: superseded parts are deleted once
+  the query has drained — a retried batch must still find the parts it
+  first read.
+
+The REWRITE twins get the same treatment through :func:`version_path`:
+the probe snapshot is derived from ``batch_id`` (``v{batch_id}``), never
+from driver state mutated mid-body, so a retry re-probes the exact
+snapshot the first attempt did even though the admit already wrote
+``v{batch_id + 1}``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def tree_bytes(path: str) -> int:
+    """Total bytes under ``path`` — the per-batch state-write cost a
+    BASELINE row compares across the rewrite vs delta disciplines."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def version_path(idx_dir: str, batch_id: int) -> str:
+    """Deterministic snapshot path for the REWRITE loops: batch N probes
+    ``v{N}`` and admits by writing ``v{N+1}`` (overwrite). Derived from
+    ``batch_id`` alone so a retry probes the same snapshot its first
+    attempt did, regardless of what the admit already wrote."""
+    return f"{idx_dir}/v{batch_id}"
+
+
+class DeltaManifest:
+    """Base + deltas bookkeeping for one delta-append admit loop.
+
+    The caller owns all relation I/O (what a "part" contains differs per
+    loop); this class owns WHICH parts each step may read or fold.
+    """
+
+    def __init__(self, base: str, compact_every: int = 2) -> None:
+        self.base = base
+        self.deltas: list[str] = []
+        self.superseded: list[str] = []
+        self.compact_every = compact_every
+        self.admit_bytes: list[int] = []
+        self.compact_bytes: list[int] = []
+
+    def probe_parts(self, own_delta: str, include_own: bool = False) -> list[str]:
+        """Parts a probe may read: base + deltas, excluding ``own_delta``
+        unless the loop's semantics INCLUDE the current batch (standing
+        queries report the post-admit corpus; their self-inclusion is
+        intentional and retry-safe because the delta write is overwrite)."""
+        deltas = [
+            p for p in self.deltas if include_own or p != own_delta
+        ]
+        if include_own and own_delta not in deltas:
+            deltas.append(own_delta)
+        return [self.base, *deltas]
+
+    def admit(self, delta_path: str) -> bool:
+        """Membership-guarded append. Returns True iff newly appended (a
+        retry returns False and must not re-record bytes)."""
+        if delta_path in self.deltas:
+            return False
+        self.deltas.append(delta_path)
+        self.admit_bytes.append(tree_bytes(delta_path))
+        return True
+
+    def want_compact(self) -> bool:
+        return len(self.deltas) >= self.compact_every
+
+    def compact_parts(self, own_delta: str) -> list[str]:
+        """Parts a compaction may fold: base + deltas EXCLUDING the current
+        batch's delta — folding it into the base would reintroduce the
+        self-match a retry's probe exclusion exists to prevent."""
+        return [self.base, *[p for p in self.deltas if p != own_delta]]
+
+    def finish_compact(self, new_base: str, own_delta: str) -> None:
+        """Swap in the compacted base; the current batch's delta (if any)
+        survives as the sole delta, everything folded is superseded."""
+        folded = [p for p in self.deltas if p != own_delta]
+        self.superseded.extend([self.base, *folded])
+        self.compact_bytes.append(tree_bytes(new_base))
+        self.base = new_base
+        self.deltas = [p for p in self.deltas if p == own_delta]
+
+    def vacuum(self) -> None:
+        """Delete superseded parts — call ONLY after the query terminates
+        (a retried batch must still find the parts it first read)."""
+        for p in self.superseded:
+            shutil.rmtree(p, ignore_errors=True)
+        self.superseded = []
+
+    def fill_stats(self, stats: dict | None) -> None:
+        if stats is not None:
+            stats["admit_bytes_per_batch"] = self.admit_bytes
+            stats["compact_bytes"] = self.compact_bytes
+            stats["base_bytes"] = tree_bytes(self.base)
