@@ -3291,10 +3291,15 @@ def test_streaming_delta_loops_invariant_to_compaction_cadence(spark, sf_small):
         run_streaming_bm25_standing,
     )
 
+    from wafer_defect_data_pipeline_spark.streaming.similarity import (
+        run_streaming_ann_probe,
+    )
+
     for fn, kwargs in (
         (run_streaming_minhash_probe_delta, {"threshold": 0.4}),
         (run_streaming_entity_linkage_delta, {}),
         (run_streaming_bm25_standing, {"k": 10}),
+        (run_streaming_ann_probe, {"k": 3}),
     ):
         never = [tuple(r) for r in fn(spark, sf_small, compact_every=9, **kwargs).collect()]
         always = [tuple(r) for r in fn(spark, sf_small, compact_every=1, **kwargs).collect()]

@@ -52,7 +52,13 @@ def _md5_vec(prefix: str, id_col, dim: int = 64):
     )
 
 
-def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+def run_streaming_ann_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
     """Bounded replay of a two-day embedding crawl. Day 1: perturbed
     near-dups of history vectors (+0.05 on dim 0 — the semantic-dedup
     plant) plus novel md5 vectors; day 2: perturbed near-dups OF DAY 1's
@@ -128,7 +134,7 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
     # streaming/state.DeltaManifest, shared by all five admit loops
     from .state import DeltaManifest
 
-    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=2)
+    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         from functools import reduce
@@ -178,6 +184,7 @@ def run_streaming_ann_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
     )
     q.awaitTermination()
     man.vacuum()  # only after termination: a retry re-reads its view
+    man.fill_stats(stats)
     # explicit select: partition discovery over out/batch=<id> adds a
     # synthetic `batch` column the registered schema must not carry
     return (
