@@ -3305,3 +3305,216 @@ def test_streaming_delta_loops_invariant_to_compaction_cadence(spark, sf_small):
         always = [tuple(r) for r in fn(spark, sf_small, compact_every=1, **kwargs).collect()]
         assert len(never) > 0
         assert always == never, fn.__name__
+
+
+# --- round 11: durable DeltaManifest transaction log + restart recovery -----
+
+
+def test_delta_manifest_checkpoint_recover_roundtrip(tmp_path):
+    """The durable log is a full-state snapshot per batch: recover() from
+    the highest entry must reproduce base/deltas/superseded/byte-stats
+    exactly, through an admit AND a compaction."""
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    def mkpart(name: str, nbytes: int) -> str:
+        p = tmp_path / name
+        p.mkdir(parents=True)
+        (p / "part-0").write_bytes(b"x" * nbytes)
+        return str(p)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(mkpart("base/v0", 100), compact_every=2, log_dir=log)
+    man.checkpoint(-1)
+    man.admit(mkpart("delta/batch=0", 10))
+    man.checkpoint(0)
+    man.admit(mkpart("delta/batch=1", 12))
+    assert man.want_compact()
+    man.finish_compact(mkpart("base/v2", 110), str(tmp_path / "delta/batch=1"))
+    man.checkpoint(1)
+
+    rec = DeltaManifest.recover(log)
+    for f in DeltaManifest._LOG_FIELDS:
+        assert getattr(rec, f) == getattr(man, f), f
+    # and the recovered manifest keeps checkpointing to the same log
+    assert rec.log_dir == log
+
+
+def test_delta_manifest_recover_after_death_mid_batch(tmp_path):
+    """A crash BETWEEN the delta data write and the log write leaves an
+    orphaned delta dir on disk. Recovery must come back with the
+    pre-batch state (the orphan is NOT in the manifest), so the retried
+    batch re-probes the same pre-admit view its first attempt did,
+    overwrites the orphan deterministically, and admits it exactly once."""
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    def mkpart(name: str, nbytes: int) -> str:
+        p = tmp_path / name
+        p.mkdir(parents=True)
+        (p / "part-0").write_bytes(b"x" * nbytes)
+        return str(p)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(mkpart("base/v0", 100), compact_every=9, log_dir=log)
+    man.checkpoint(-1)
+    man.admit(mkpart("delta/batch=0", 10))
+    man.checkpoint(0)
+    # batch 1 died after writing its delta but BEFORE its checkpoint
+    orphan = mkpart("delta/batch=1", 11)
+
+    rec = DeltaManifest.recover(log)
+    assert rec.deltas == [str(tmp_path / "delta/batch=0")]  # orphan absent
+    # retry of batch 1: probe view excludes the orphan twice over (not in
+    # the manifest, and own-delta exclusion would drop it even if it were)
+    assert orphan not in rec.probe_parts(orphan)
+    # re-admit is counted once
+    assert rec.admit(orphan) is True
+    assert rec.admit(orphan) is False
+    assert rec.deltas.count(orphan) == 1
+
+
+def test_delta_manifest_recover_after_death_post_compaction(tmp_path):
+    """A crash AFTER compaction's data writes but before the checkpoint:
+    recovery sees the pre-compaction manifest, and because vacuum only ever
+    runs after termination, every pre-compaction part is still on disk —
+    the retried batch can replay the whole body (probe, admit, re-fold the
+    same compaction) against paths that all still exist."""
+    import os
+
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    def mkpart(name: str, nbytes: int) -> str:
+        p = tmp_path / name
+        p.mkdir(parents=True)
+        (p / "part-0").write_bytes(b"x" * nbytes)
+        return str(p)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(mkpart("base/v0", 100), compact_every=2, log_dir=log)
+    man.checkpoint(-1)
+    man.admit(mkpart("delta/batch=0", 10))
+    man.checkpoint(0)
+    man.admit(mkpart("delta/batch=1", 12))
+    mkpart("base/v2", 110)  # compaction wrote its fold ...
+    # ... and the process died before finish_compact's state change was
+    # checkpointed (finish_compact itself is driver-memory; the durable
+    # boundary is the checkpoint)
+    rec = DeltaManifest.recover(log)
+    assert rec.base == str(tmp_path / "base/v0")
+    assert rec.deltas == [str(tmp_path / "delta/batch=0")]
+    # every part the retried batch will read still exists (vacuum never ran)
+    for p in [rec.base, *rec.deltas]:
+        assert os.path.isdir(p), p
+
+
+def test_tree_bytes_is_bounded(tmp_path):
+    """Stats are diagnostics, never semantics: above the file-count bound
+    the walk stops and reports -1 instead of paying a driver-side O(files)
+    scan per admit on a large accumulated index tree."""
+    from wafer_defect_data_pipeline_spark.streaming.state import tree_bytes
+
+    for i in range(20):
+        (tmp_path / f"f{i}").write_bytes(b"x" * 5)
+    assert tree_bytes(str(tmp_path)) == 100  # exact below the bound
+    assert tree_bytes(str(tmp_path), max_files=10) == -1  # bounded above
+
+
+def test_streaming_span_restart_matches_single_run(spark, sf_small):
+    """Kill-between-days recovery, end to end: day 2 runs in a FRESH query
+    lifetime with the manifest rebuilt from the durable transaction log and
+    Spark's checkpointLocation skipping day 1's file. Output must be
+    bit-equal to the single-run delta twin, and the recovered manifest must
+    carry day 1's byte ledger into day 2 (proof the state crossed the
+    restart through the log, not through driver memory)."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_span_dedup_delta,
+        run_streaming_span_dedup_delta_restart,
+    )
+
+    single = run_streaming_span_dedup_delta(
+        spark, sf_small, k=20, min_span=40
+    ).collect()
+    stats: dict = {}
+    restarted = run_streaming_span_dedup_delta_restart(
+        spark, sf_small, k=20, min_span=40, stats=stats
+    ).collect()
+    assert len(single) > 0
+    assert [tuple(r) for r in restarted] == [tuple(r) for r in single]
+    # two admits recorded on the FINAL recovered manifest: day 1's entry
+    # survived the restart only because the log carried it
+    assert len(stats["admit_bytes_per_batch"]) == 2
+
+
+def test_streaming_minhash_restart_matches_single_run(spark, sf_small):
+    """Same kill-between-days drill for the minhash admit loop."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_minhash_probe_delta,
+        run_streaming_minhash_probe_delta_restart,
+    )
+
+    single = run_streaming_minhash_probe_delta(spark, sf_small, threshold=0.4).collect()
+    stats: dict = {}
+    restarted = run_streaming_minhash_probe_delta_restart(
+        spark, sf_small, threshold=0.4, stats=stats
+    ).collect()
+    assert len(single) > 0
+    assert [tuple(r) for r in restarted] == [tuple(r) for r in single]
+    assert len(stats["admit_bytes_per_batch"]) == 2
+
+
+# --- round 11: executed PNG codec (compressed-image honesty gate closed) ----
+
+
+def test_png_codec_roundtrip_exercises_all_filters():
+    """png_encode rotates the filter type per row (row % 5), so a >=5-row
+    round-trip proves every unfilter branch (None/Sub/Up/Average/Paeth);
+    CRC corruption and non-truecolor headers must be rejected, and the
+    JPEG gate must stay honest."""
+    import numpy as np
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    b = png_encode(a)
+    assert b.startswith(b"\x89PNG\r\n\x1a\n")
+    assert (png_decode(b) == a).all()
+    # encoder really emitted all five filter types (first byte per scanline)
+    import struct
+    import zlib
+
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        if b[pos + 4 : pos + 8] == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + size]
+        pos += 12 + size
+    raw = zlib.decompress(bytes(idat))
+    stride = 9 * 3
+    filters = {raw[r * (1 + stride)] for r in range(7)}
+    assert filters == {0, 1, 2, 3, 4}
+    # CRC corruption detected
+    bad = bytearray(b)
+    bad[20] ^= 0xFF  # a byte inside IHDR's body
+    with _pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+
+
+def test_png_decode_stats_match_ppm_twin(spark, sf_small):
+    """The PNG and PPM fixtures encode the SAME closed-form pixels, so the
+    decoded stats must be identical row-for-row — the compressed path
+    (inflate + unfilter) agrees with the uncompressed one end to end."""
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_png_payload,
+        attach_ppm_payload,
+        decode_image,
+    )
+
+    d = read_table(spark, sf_small, "documents").limit(50)
+    png = decode_image(attach_png_payload(d)).orderBy("doc_id").collect()
+    ppm = decode_image(attach_ppm_payload(d)).orderBy("doc_id").collect()
+    assert len(png) == 50
+    assert [tuple(r) for r in png] == [tuple(r) for r in ppm]

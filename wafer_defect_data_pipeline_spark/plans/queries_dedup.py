@@ -728,6 +728,27 @@ register(
 )
 
 
+def _streaming_minhash_probe_restart(spark, sf_dir):
+    """The RESTART drill for the minhash admit loop
+    (streaming/dedup.run_streaming_minhash_probe_delta_restart): the same
+    staged days and per-batch body as the delta twin, but each day runs as
+    its own query lifetime — the DeltaManifest is rebuilt from its durable
+    transaction log between days (no driver state survives) and Spark's
+    checkpointLocation offset tracking skips the processed file. Output is
+    bit-equal to the single-run twins; the SAME staged oracle hash-checks
+    the recovery path."""
+    from ..streaming.dedup import run_streaming_minhash_probe_delta_restart
+
+    return run_streaming_minhash_probe_delta_restart(spark, sf_dir, threshold=0.4)
+
+
+register(
+    "dedup_streaming_minhash_probe_restart",
+    _streaming_minhash_probe_restart,
+    _STREAMING_MINHASH_ORACLE,
+)
+
+
 # --- asymmetric containment: wrapper / quote detection ----------------------
 def _containment_pairs(spark, sf_dir):
     """Directed near-containment pairs: containment(A in B) =
@@ -1515,6 +1536,27 @@ register(
 register(
     "dedup_streaming_incremental_spans_delta",
     _streaming_incremental_spans_delta,
+    _STREAMING_SPANS_ORACLE,
+)
+
+
+def _streaming_incremental_spans_restart(spark, sf_dir):
+    """The RESTART drill for the span admit loop
+    (streaming/dedup.run_streaming_span_dedup_delta_restart): same staged
+    days and per-batch body as the delta twin, but day 2 runs in a FRESH
+    query lifetime with the DeltaManifest recovered from its durable
+    transaction log (idx/_log/batch=N.json) and Spark's checkpointLocation
+    skipping day 1's file — the kill-between-days durability proof. Output
+    is bit-equal to the single-run twins; the SAME staged oracle
+    hash-checks the recovery path."""
+    from ..streaming.dedup import run_streaming_span_dedup_delta_restart
+
+    return run_streaming_span_dedup_delta_restart(spark, sf_dir, k=20, min_span=40)
+
+
+register(
+    "dedup_streaming_incremental_spans_restart",
+    _streaming_incremental_spans_restart,
     _STREAMING_SPANS_ORACLE,
 )
 

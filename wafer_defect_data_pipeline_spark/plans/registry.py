@@ -92,8 +92,16 @@ def _load_all() -> None:
 # registration order; a listed name missing from the registry is a hard
 # error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) new or changed this round
-    "dedup_streaming_incremental_spans_delta",  # NEW: O(batch) delta admit loop
+    # (a) new or changed this round (r11): the restart drills (durable
+    # DeltaManifest transaction log + checkpointLocation-real recovery),
+    # their delta/rewrite siblings (shared bodies refactored into
+    # factories), the hyperplane-LSH promotion to an exact oracle (staged
+    # seed-42 hyperplanes), and the PNG decode path
+    "dedup_streaming_incremental_spans_restart",  # NEW: kill-between-days recovery
+    "dedup_streaming_minhash_probe_restart",  # NEW: kill-between-days recovery
+    "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
+    "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode
+    "dedup_streaming_incremental_spans_delta",  # body refactored into factory
     "dedup_streaming_incremental_spans",  # rewrite twin, shared-oracle refactor
     "similarity_streaming_ann_probe",  # delta discipline + retry idempotency
     "entity_matches_multipass",  # NEW: rotated-key multi-pass SNM

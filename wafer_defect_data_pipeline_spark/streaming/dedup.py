@@ -43,9 +43,20 @@ new base), and the manifest append is membership-guarded — a retry that
 died anywhere in the batch body re-probes the exact pre-admit view and
 never double-counts its delta. Compaction therefore always lags the
 newest batch by one; cadence-invariance tests pin that this is
-operational, never semantic. (A multi-writer production
-deployment would put the base/delta manifest in a transaction log — Delta
-Lake's — rather than driver memory; the write discipline is the same.)
+operational, never semantic.
+
+Durability (round 11): the manifest is no longer driver-memory-only — each
+delta loop persists it as a versioned transaction log next to the index
+(``idx/_log/batch=<id>.json``, atomic write, one full-state snapshot per
+batch; see streaming/state.py). The ``*_restart`` runners prove the story
+end-to-end: each day runs as its OWN query lifetime, the manifest is
+rebuilt via ``DeltaManifest.recover`` (no driver state survives the
+"crash"), and a shared Structured-Streaming ``checkpointLocation`` lets
+Spark's offset tracking skip already-processed files — output bit-equal to
+the single-run twins under the same staged oracles. (A MULTI-writer
+deployment would still want a lock service or Delta Lake's optimistic
+log-conflict protocol on top; the single-writer daily-crawl loop here is
+the reference's operating mode.)
 
 No reference analogue (the reference is a single-table batch ETL —
 ``/root/reference/src/preprocessing.py``); this is extension-surface
@@ -63,20 +74,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _stage_days(work: str, batches: list[DataFrame]) -> str:
-    """Write each batch as ONE parquet file under ``work/in`` with strictly
-    increasing mtimes: the file-stream source replays oldest-first, so
-    micro-batch order == day order."""
+def _stage_one_day(work: str, b: DataFrame, i: int) -> str:
+    """Write batch ``i`` as ONE parquet file under ``work/in`` with a
+    strictly increasing mtime: the file-stream source replays oldest-first,
+    so micro-batch order == day order. Restart runners call this
+    incrementally — day 2's file only appears after day 1's query lifetime
+    has drained, exactly like a real crawl directory."""
     staged = f"{work}/in"
-    os.makedirs(staged)
+    os.makedirs(staged, exist_ok=True)
+    tmp = f"{work}/day{i}"
+    b.coalesce(1).write.parquet(tmp)
+    [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    dst = f"{staged}/day{i}.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return staged
+
+
+def _stage_days(work: str, batches: list[DataFrame]) -> str:
     for i, b in enumerate(batches, start=1):
-        tmp = f"{work}/day{i}"
-        b.coalesce(1).write.parquet(tmp)
-        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = f"{staged}/day{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        staged = _stage_one_day(work, b, i)
     return staged
 
 
@@ -137,6 +155,42 @@ def _run_file_stream(spark: SparkSession, staged: str, schema: str, body) -> Non
         .start()
     )
     q.awaitTermination()
+
+
+def _run_days_with_restarts(
+    spark: SparkSession,
+    work: str,
+    batches: list[DataFrame],
+    schema: str,
+    body_of,
+    log_dir: str,
+) -> "DeltaManifest":
+    """Run each staged day as its OWN query lifetime — the restart drill.
+
+    Day ``i``'s file is staged only after day ``i-1``'s query has drained
+    (a real crawl directory), every lifetime starts a FRESH
+    ``DeltaManifest.recover`` from the durable log (no driver state
+    survives the "crash"), and all lifetimes share one Structured-Streaming
+    ``checkpointLocation`` so Spark's own offset tracking skips
+    already-processed files and keeps assigning monotonically increasing
+    ``batch_id``s — the deterministic ``batch=<id>`` paths and the
+    batch-derived log entries stay valid across restarts. Returns the
+    final recovered manifest (for vacuum/stats)."""
+    ckpt = f"{work}/ckpt"
+    for i, b in enumerate(batches, start=1):
+        staged = _stage_one_day(work, b, i)
+        man = DeltaManifest.recover(log_dir)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+            .writeStream.foreachBatch(body_of(man))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return DeltaManifest.recover(log_dir)
 
 
 def run_streaming_span_dedup(
@@ -236,7 +290,35 @@ def run_streaming_span_dedup_delta(
     gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
         f"{idx_dir}/base/v0"
     )
-    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every,
+        log_dir=f"{idx_dir}/_log",
+    )
+    man.checkpoint(-1)  # genesis entry: base exists before the log names it
+
+    body = _span_delta_body(out_dir, idx_dir, man, k, min_span, min_index_count)
+    _run_file_stream(spark, staged, "doc_id long, text string", body)
+    man.vacuum()
+    man.fill_stats(stats)
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _span_delta_body(
+    out_dir: str,
+    idx_dir: str,
+    man: "DeltaManifest",
+    k: int,
+    min_span: int,
+    min_index_count: int,
+):
+    """The per-batch body shared by the single-run delta loop and the
+    restart runner (one definition — the restart drill must exercise the
+    EXACT production body, not a test-only copy)."""
+    from ..operators.dedup import gram_index, incremental_duplicated_spans
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -280,8 +362,51 @@ def run_streaming_span_dedup_delta(
                 F.sum("n").alias("n")
             ).repartition(8, "gh").write.mode("overwrite").parquet(nxt)
             man.finish_compact(nxt, delta_path)
+        # durable log entry LAST — after every data write it references;
+        # deterministic path + atomic replace make the retry overwrite-safe
+        man.checkpoint(batch_id)
 
-    _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
+    return probe_then_admit
+
+
+def run_streaming_span_dedup_delta_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The restart drill for the span admit loop: the SAME two-day replay
+    and per-batch body as :func:`run_streaming_span_dedup_delta`, but each
+    day runs as its OWN Structured-Streaming query lifetime — the loop
+    "dies" after day 1 and a fresh driver resumes for day 2 with (a) the
+    ``DeltaManifest`` rebuilt from its durable transaction log
+    (``idx/_log/batch=N.json``) and (b) Spark's own ``checkpointLocation``
+    offset tracking skipping day 1's already-processed file. Output is
+    bit-equal to the single-run twin, so the SAME staged DuckDB oracle
+    hash-checks it — the kill-between-days recovery proof the 100 TB
+    multi-day streaming story requires (a real crawl job restarts daily)."""
+    from ..operators.dedup import gram_index
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_spansr_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/spans", f"{work}/idx"
+
+    gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
+        f"{idx_dir}/base/v0"
+    )
+    log_dir = f"{idx_dir}/_log"
+    DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every, log_dir=log_dir
+    ).checkpoint(-1)
+
+    man = _run_days_with_restarts(
+        spark, work, _span_batches(d), "doc_id long, text string",
+        lambda m: _span_delta_body(out_dir, idx_dir, m, k, min_span, 1),
+        log_dir,
+    )
     man.vacuum()
     man.fill_stats(stats)
     return (
@@ -432,7 +557,27 @@ def run_streaming_minhash_probe_delta(
     minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
         "doc_id", "sig"
     ).write.parquet(f"{idx_dir}/base/v0")
-    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every,
+        log_dir=f"{idx_dir}/_log",
+    )
+    man.checkpoint(-1)
+
+    body = _minhash_delta_body(out_dir, idx_dir, man, threshold)
+    _run_file_stream(spark, staged, "doc_id long, text string", body)
+    man.vacuum()
+    man.fill_stats(stats)
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "index_id", "est_jaccard")
+        .orderBy("new_id", "index_id")
+    )
+
+
+def _minhash_delta_body(out_dir: str, idx_dir: str, man: "DeltaManifest", threshold: float):
+    """Per-batch body shared by the single-run minhash delta loop and the
+    restart runner (one definition, same rationale as _span_delta_body)."""
+    from ..operators.dedup import minhash_lsh_probe, minhash_signatures
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -459,8 +604,44 @@ def run_streaming_minhash_probe_delta(
                 [sp.read.parquet(p) for p in man.compact_parts(delta_path)],
             ).write.mode("overwrite").parquet(nxt)
             man.finish_compact(nxt, delta_path)
+        man.checkpoint(batch_id)  # durable log entry last (see span body)
 
-    _run_file_stream(spark, staged, "doc_id long, text string", probe_then_admit)
+    return probe_then_admit
+
+
+def run_streaming_minhash_probe_delta_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Restart drill for the minhash admit loop — same two-day replay and
+    per-batch body as :func:`run_streaming_minhash_probe_delta`, each day
+    its own query lifetime with the manifest recovered from the durable
+    transaction log and Spark's ``checkpointLocation`` skipping processed
+    files (see :func:`run_streaming_span_dedup_delta_restart`). Bit-equal
+    output; the SAME staged oracle hash-checks it."""
+    from ..operators.dedup import minhash_signatures
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_mhr_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
+
+    minhash_signatures(d, "doc_id", "text", n_hashes=16).select(
+        "doc_id", "sig"
+    ).write.parquet(f"{idx_dir}/base/v0")
+    log_dir = f"{idx_dir}/_log"
+    DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every, log_dir=log_dir
+    ).checkpoint(-1)
+
+    man = _run_days_with_restarts(
+        spark, work, _minhash_batches(d), "doc_id long, text string",
+        lambda m: _minhash_delta_body(out_dir, idx_dir, m, threshold),
+        log_dir,
+    )
     man.vacuum()
     man.fill_stats(stats)
     return (
@@ -612,7 +793,11 @@ def run_streaming_entity_linkage_delta(
     staged = _stage_days(work, _entity_batches(c))
 
     c.write.parquet(f"{idx_dir}/base/v0")
-    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every,
+        log_dir=f"{idx_dir}/_log",
+    )
+    man.checkpoint(-1)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -637,6 +822,7 @@ def run_streaming_entity_linkage_delta(
                 [sp.read.parquet(p) for p in man.compact_parts(delta_path)],
             ).write.mode("overwrite").parquet(nxt)
             man.finish_compact(nxt, delta_path)
+        man.checkpoint(batch_id)  # durable log entry last (see span body)
 
     _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
     man.vacuum()

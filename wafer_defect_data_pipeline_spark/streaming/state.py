@@ -31,19 +31,43 @@ the probe snapshot is derived from ``batch_id`` (``v{batch_id}``), never
 from driver state mutated mid-body, so a retry re-probes the exact
 snapshot the first attempt did even though the admit already wrote
 ``v{batch_id + 1}``.
+
+**Durability (round 11)**: with ``log_dir`` set, the manifest persists
+itself as a versioned transaction log next to the index —
+``{log_dir}/batch={id}.json``, one full-state snapshot per batch, written
+atomically (tmp + ``os.replace``) at a deterministic batch-derived path so
+a retry overwrites its own previous log entry. :meth:`DeltaManifest.
+recover` rebuilds driver state from the highest-batch entry, so a loop
+that dies between days restarts with the exact parts view it had — the
+Delta-Lake-style log the module docstring in ``streaming/dedup.py``
+promised. A crash BETWEEN the data write and the log write is safe by the
+same invariants as a Structured-Streaming retry: the orphaned
+``delta/batch=N`` is not in the recovered manifest, the retried batch
+re-probes without it (own-delta exclusion would have excluded it anyway)
+and overwrites it deterministically before re-admitting.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 
-def tree_bytes(path: str) -> int:
+def tree_bytes(path: str, max_files: int = 100_000) -> int:
     """Total bytes under ``path`` — the per-batch state-write cost a
-    BASELINE row compares across the rewrite vs delta disciplines."""
+    BASELINE row compares across the rewrite vs delta disciplines.
+
+    Stats are diagnostics, never semantics: above ``max_files`` files the
+    walk stops and returns ``-1`` ("not measured") instead of letting a
+    driver-side O(files) scan become a hidden per-admit cost on a large
+    accumulated index tree."""
     total = 0
+    seen = 0
     for root, _dirs, files in os.walk(path):
+        seen += len(files)
+        if seen > max_files:
+            return -1
         for f in files:
             try:
                 total += os.path.getsize(os.path.join(root, f))
@@ -67,13 +91,64 @@ class DeltaManifest:
     loop); this class owns WHICH parts each step may read or fold.
     """
 
-    def __init__(self, base: str, compact_every: int = 2) -> None:
+    def __init__(
+        self, base: str, compact_every: int = 2, log_dir: str | None = None
+    ) -> None:
         self.base = base
         self.deltas: list[str] = []
         self.superseded: list[str] = []
         self.compact_every = compact_every
         self.admit_bytes: list[int] = []
         self.compact_bytes: list[int] = []
+        self.log_dir = log_dir
+
+    # --- durable transaction log -------------------------------------------
+    _LOG_FIELDS = (
+        "base", "deltas", "superseded", "compact_every",
+        "admit_bytes", "compact_bytes",
+    )
+
+    def checkpoint(self, batch_id: int) -> None:
+        """Persist the full manifest state as ``{log_dir}/batch={id}.json``.
+
+        Called LAST in a batch body (after the data writes it describes —
+        the log must never reference a part that does not exist yet).
+        Atomic (tmp + ``os.replace``) and at a batch-derived deterministic
+        path, so a Structured-Streaming retry overwrites its own previous
+        entry instead of appending a duplicate. No-op without ``log_dir``.
+        """
+        if self.log_dir is None:
+            return
+        os.makedirs(self.log_dir, exist_ok=True)
+        state = {f: getattr(self, f) for f in self._LOG_FIELDS}
+        state["batch_id"] = batch_id
+        tmp = os.path.join(self.log_dir, f".batch={batch_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(self.log_dir, f"batch={batch_id}.json"))
+
+    @classmethod
+    def recover(cls, log_dir: str) -> "DeltaManifest":
+        """Rebuild driver state from the highest-batch log entry — the
+        restart path: a loop killed between days resumes with the exact
+        base/deltas view its last completed batch checkpointed. Raises
+        ``FileNotFoundError`` when no log entry exists (callers write a
+        ``batch=-1`` genesis entry right after the initial base)."""
+        entries = [
+            f for f in os.listdir(log_dir)
+            if f.startswith("batch=") and f.endswith(".json")
+        ]
+        if not entries:
+            raise FileNotFoundError(f"no manifest log entries under {log_dir}")
+        latest = max(entries, key=lambda f: int(f[len("batch="):-len(".json")]))
+        with open(os.path.join(log_dir, latest)) as fh:
+            state = json.load(fh)
+        man = cls(state["base"], state["compact_every"], log_dir=log_dir)
+        man.deltas = list(state["deltas"])
+        man.superseded = list(state["superseded"])
+        man.admit_bytes = list(state["admit_bytes"])
+        man.compact_bytes = list(state["compact_bytes"])
+        return man
 
     def probe_parts(self, own_delta: str, include_own: bool = False) -> list[str]:
         """Parts a probe may read: base + deltas, excluding ``own_delta``
