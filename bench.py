@@ -131,33 +131,49 @@ def main() -> None:
     # warm-up: JVM classloading + codegen + parquet footer reads
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # two runs per query: first pays one-time costs (codegen, classloading,
-    # MLlib init), second is the steady-state number a long-running cluster
-    # sees. "queries"/"value" report warm; "cold" keeps the first-run times.
+    # four runs per query: the first pays one-time costs (codegen,
+    # classloading, MLlib init) and is recorded as "cold"; the next THREE
+    # are steady-state and "queries"/"value" report their MEDIAN, with the
+    # min/max spread kept alongside (r10 verdict process note: three rounds
+    # burned effort re-litigating one-shot readings as host noise — the
+    # harness now self-adjudicates by recording the spread it observed).
     # Per-query isolation: one failing query must never erase the round's
     # entire performance record (r2 lesson — a single exception at query 8
     # left BENCH_r02.json with rc=1 and no timings). Failures are reported
     # as named entries in "errors", their timings as null, and the process
     # always exits 0 with one parseable JSON line.
     sf = _sf_from_dir(sf_dir)
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3"))
     headline = [n for n in HEADLINE if not (sf >= 1 and n in SCALE_RETIRED)]
     cold: dict[str, float | None] = {}
     warm: dict[str, float | None] = {}
+    warm_runs: dict[str, list[float]] = {}
+    spread: dict[str, list[float] | None] = {}
     errors: dict[str, str] = {}
     for name in headline:
         fn = registry.get(name)
         if fn is None:
             continue
-        for target in (cold, warm):
-            try:
+        times: list[float] = []
+        try:
+            for i in range(1 + n_warm):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                target[name] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
-                cold.setdefault(name, None)
-                warm[name] = None
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break  # cold failed -> don't bother with warm
+                t = round(time.perf_counter() - t0, 3)
+                if i == 0:
+                    cold[name] = t
+                else:
+                    times.append(t)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            cold.setdefault(name, None)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        if times:
+            warm_runs[name] = times
+            warm[name] = sorted(times)[len(times) // 2]  # median
+            spread[name] = [min(times), max(times)]
+        else:
+            warm[name] = None
+            spread[name] = None
 
     total = round(sum(v for v in warm.values() if v is not None), 3)
     out = {
@@ -166,6 +182,9 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "cold": cold,
+        "warm_runs": warm_runs,
+        "spread": spread,
+        "warm_protocol": f"median of {n_warm} warm runs after 1 cold run",
         "sf": _sf_from_dir(sf_dir),
     }
     if canary:
@@ -180,10 +199,16 @@ def main() -> None:
     # chars for the 34-query headline set, safely under the capture window.
     with open(os.path.join(_REPO_ROOT, "BENCH_local.json"), "w") as f:
         json.dump(out, f, indent=1)
+    ratios = [
+        mx / mn for mn, mx in (v for v in spread.values() if v) if mn > 0
+    ]
     compact = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        # worst observed warm max/min ratio this run — a reading is only
+        # suspicious if it exceeds what the run itself showed as host noise
+        "spread_max_ratio": round(max(ratios), 2) if ratios else None,
         "sf": _sf_from_dir(sf_dir),
         "queries": {
             n: (round(v, 2) if v is not None else None) for n, v in warm.items()

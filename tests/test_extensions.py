@@ -3518,3 +3518,26 @@ def test_png_decode_stats_match_ppm_twin(spark, sf_small):
     ppm = decode_image(attach_ppm_payload(d)).orderBy("doc_id").collect()
     assert len(png) == 50
     assert [tuple(r) for r in png] == [tuple(r) for r in ppm]
+
+
+def test_ledger_path_resolution(tmp_path, monkeypatch):
+    """The ledger must land in a recognizable repo checkout (or an explicit
+    env override) — never silently into site-packages (r10 advice)."""
+    from wafer_defect_data_pipeline_spark.ledger import _ledger_path
+
+    monkeypatch.setenv("SPARK_GRAFT_LEDGER_DIR", str(tmp_path))
+    assert _ledger_path() == tmp_path / "TESTRUNS.jsonl"
+    monkeypatch.delenv("SPARK_GRAFT_LEDGER_DIR")
+    # package parent here IS the repo checkout (.git marker)
+    p = _ledger_path()
+    assert p.name == "TESTRUNS.jsonl"
+    assert (p.parent / ".git").exists() or (p.parent / "TESTRUNS.jsonl").exists()
+    # and with no markers anywhere, it refuses rather than guessing
+    import wafer_defect_data_pipeline_spark.ledger as led
+
+    monkeypatch.setattr(led, "__file__", str(tmp_path / "pkg" / "ledger.py"))
+    monkeypatch.chdir(tmp_path)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        led._ledger_path()

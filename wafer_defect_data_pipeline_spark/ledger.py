@@ -10,10 +10,31 @@ appends must never fail the run they record.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
-_REPO_ROOT = Path(__file__).resolve().parent.parent
+
+def _ledger_path() -> Path:
+    """Resolve where TESTRUNS.jsonl lives (r10 advice: the package-relative
+    path silently writes into site-packages under a non-editable install,
+    and the swallow-everything policy would hide that). Order:
+
+    1. ``$SPARK_GRAFT_LEDGER_DIR`` — explicit override.
+    2. The package parent, ONLY when it is recognizably the repo checkout
+       (has TESTRUNS.jsonl or the .git marker) — the editable-install case.
+    3. The current working directory, same marker check.
+    4. Otherwise raise — record_run's catch turns that into a silent skip,
+       which is now a deliberate "no repo to record into", not a stray
+       file in site-packages.
+    """
+    env = os.environ.get("SPARK_GRAFT_LEDGER_DIR")
+    if env:
+        return Path(env) / "TESTRUNS.jsonl"
+    for cand in (Path(__file__).resolve().parent.parent, Path.cwd()):
+        if (cand / "TESTRUNS.jsonl").exists() or (cand / ".git").exists():
+            return cand / "TESTRUNS.jsonl"
+    raise FileNotFoundError("no repo checkout to host TESTRUNS.jsonl")
 
 
 def record_run(kind: str, tail: str, **extra: object) -> None:
@@ -26,7 +47,7 @@ def record_run(kind: str, tail: str, **extra: object) -> None:
         rec = {"ts": time.time(), "kind": kind, "tail": tail}
         rec.update(extra)
         line = json.dumps(rec, default=str)  # non-serializable extras stringify
-        with open(_REPO_ROOT / "TESTRUNS.jsonl", "a") as f:
+        with open(_ledger_path(), "a") as f:
             f.write(line + "\n")
     except Exception:  # noqa: BLE001 — the ledger must never fail the run
         pass

@@ -275,6 +275,13 @@ _MLLIB_MINHASH_COEFS = [
 ]
 
 
+def _mllib_coef_values() -> str:
+    """VALUES rows generated from _MLLIB_MINHASH_COEFS — single source of
+    truth shared by the staged oracle (r10 advice: the inline literal copy
+    could silently drift from the staged table)."""
+    return ", ".join(f"({t}, {a}, {b})" for t, a, b in _MLLIB_MINHASH_COEFS)
+
+
 def _mllib_minhash(spark, sf_dir):
     """MLlib MinHashLSH estimator path with a DETERMINISTIC vocabulary.
 
@@ -339,7 +346,7 @@ def _mllib_minhash(spark, sf_dir):
 register(
     "dedup_mllib_minhash_lsh",
     _mllib_minhash,
-    r"""
+    rf"""
     WITH both_rows AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -363,10 +370,7 @@ register(
       FROM (SELECT doc_id, unnest(shingles) AS sh_term FROM sh_ok) d
       JOIN vocab v USING (sh_term)
     ), coef(t, a, b) AS (
-      VALUES (0, 1562431131, 117392763), (1, 1467211249, 102948884),
-             (2, 662969971, 2023087525), (3, 595021506, 1519796918),
-             (4, 1429255520, 196118093), (5, 1939977183, 969067502),
-             (6, 791955277, 819572292), (7, 592164477, 1482678032)
+      VALUES {_mllib_coef_values()}
     ), dochash AS (
       SELECT doc_id, t, min(((1 + idx) * a + b) % 2038074743) AS h
       FROM docidx CROSS JOIN coef GROUP BY doc_id, t

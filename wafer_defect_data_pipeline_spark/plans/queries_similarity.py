@@ -262,8 +262,27 @@ register(
 )
 
 
-# --- embedding near-dup via hyperplane LSH (rows-only; recall + exactness
-# covered by the test against the exact all-pairs verifier) -----------------
+# --- embedding near-dup via hyperplane LSH (PROMOTED to an exact oracle in
+# r11 — the dedup_mllib_minhash_lsh recipe: the seed-42 hyperplanes are
+# deterministic, so they are staged as VALUES literals generated from the
+# SAME numpy call the operator runs (single source of truth, no drift) and
+# the banded candidate join + exact-cosine verify replay in SQL. The one
+# float hazard — a projection so close to zero that cross-engine sum-order
+# ulps could flip its sign bit — is absent by measurement: min |projection|
+# over sf0.1 corpus ∪ planted is 1.76e-5, ten orders of magnitude above the
+# ~1e-15 fold-order error of 64-term double sums.) ---------------------------
+def _lsh_hyperplane_values(n_bits: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """(bit, pos, c) VALUES rows for the seed-42 PCG64 hyperplanes —
+    f-string-interpolated into the oracle so the operator's numpy draw is
+    the single source of truth. repr() round-trips float64 exactly."""
+    import numpy as np
+
+    h = np.random.default_rng(seed).standard_normal((n_bits, dim))
+    return ",".join(
+        f"({b},{p},{h[b, p]!r})" for b in range(n_bits) for p in range(dim)
+    )
+
+
 def _lsh_pairs(spark, sf_dir):
     from ..operators.similarity import cosine_lsh_pairs
 
@@ -278,7 +297,44 @@ def _lsh_pairs(spark, sf_dir):
     return cosine_lsh_pairs(both, threshold=0.95).orderBy("id_a", "id_b")
 
 
-register("similarity_lsh_pairs", _lsh_pairs, None, exact_twin="similarity_neardup_pairs")
+register(
+    "similarity_lsh_pairs",
+    _lsh_pairs,
+    f"""
+    WITH h(bit, pos, c) AS (VALUES {_lsh_hyperplane_values()}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    allv AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+      FROM e WHERE vec_id % 25 = 0
+    ), proj AS (
+      SELECT b.vec_id, h.bit, sum(b.v[h.pos + 1] * h.c) AS s
+      FROM allv b, h GROUP BY b.vec_id, h.bit
+    ), sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS sg
+      FROM proj GROUP BY vec_id
+    ), bands AS (
+      SELECT vec_id, bb, substring(sg, CAST(bb * 4 + 1 AS INTEGER), 4) AS key
+      FROM sig, range(4) t(bb)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b ON a.bb = b.bb AND a.key = b.key
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_sum(list_transform(list_zip(va.v, vb.v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS cos_sim
+    FROM cand JOIN allv va ON cand.id_a = va.vec_id
+              JOIN allv vb ON cand.id_b = vb.vec_id
+    WHERE round(list_sum(list_transform(list_zip(va.v, vb.v), p -> p[1] * p[2]))
+                / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
 
 
 # --- covariance matrix (distributed BLAS partial outer products) -----------
