@@ -3541,3 +3541,39 @@ def test_ledger_path_resolution(tmp_path, monkeypatch):
 
     with _pytest.raises(FileNotFoundError):
         led._ledger_path()
+
+
+# --- round 11: graph-ANN recall bound (scale configuration) -----------------
+
+
+def test_nsw_scale_config_recall_bound(spark, sf_small):
+    """The documented scale configuration (k_build=16/n_probe=3 graph,
+    md5-sampled coarse entries, beam 16) must keep recall@5 >= 0.9 vs the
+    exact integer-L2 ground truth — the speed-vs-recall tradeoff BASELINE
+    records at sf1 (0.973) pinned at test scale so a regression in the
+    graph build, the sampled seeding, or the beam loop surfaces here."""
+    from wafer_defect_data_pipeline_spark.operators.graph_ann import (
+        knn_graph,
+        nsw_search,
+    )
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        exact_int_l2_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    truth = exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=5)
+    truth = truth.localCheckpoint(eager=False)
+    n_truth = truth.count()
+    g = knn_graph(e, dim=64, k_build=16, n_probe=3, n_cells=16)
+    approx = nsw_search(
+        g, e, q, dim=64, beam_width=16, n_hops=4, k_top=5, n_entry=16,
+        entry_sample_mod=5,
+    )
+    hits = (
+        approx.select("query_id", "corpus_id")
+        .join(truth.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    assert n_truth > 0
+    assert hits / n_truth >= 0.9, f"recall@5 = {hits / n_truth:.3f}"

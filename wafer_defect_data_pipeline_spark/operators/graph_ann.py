@@ -236,11 +236,32 @@ def nsw_search(
     n_hops: int = 4,
     k_top: int = 5,
     n_entry: int = 4,
+    entry_sample_mod: int | None = None,
 ) -> DataFrame:
     """Fixed-hop beam search over ``graph`` → ``(query_id, rank,
     corpus_id, l2_dist)``. Self-hits are excluded (a query that exists in
     the corpus never reports itself), matching
-    :func:`~.quantization.exact_int_l2_topk`."""
+    :func:`~.quantization.exact_int_l2_topk`.
+
+    Entry points (the recall lever at scale): with the default
+    ``entry_sample_mod=None`` every query starts from the same ``n_entry``
+    lowest-id nodes — fine at thousands of vectors, but the k-NN graph has
+    only LOCAL edges (no NSW long links), so a fixed-hop beam from fixed
+    entries is reachability-limited: measured recall@5 at sf1 (20k
+    vectors) is 0.14-0.25 across beam widths 4-16 (BASELINE.md round-11
+    table). Setting ``entry_sample_mod=m`` switches to COARSE-TO-FINE
+    entries, the role HNSW's upper layers play: each query brute-force
+    scores the deterministic ``xxhash64(id) % m == 0`` node sample
+    (~n/m nodes — pick m ≈ √n so the coarse pass stays ~√n per query) and
+    starts the beam from its ``n_entry`` nearest sample nodes, which lands
+    the beam inside the right neighborhood before any hop is spent.
+    Measured at sf1 (BASELINE.md round-11): sampled entries alone lift
+    recall@5 to 0.86 at beam 16 on the default k_build=8/n_probe=2 graph;
+    the remaining gap is GRAPH quality, so the scale recipe pairs them
+    with a denser build — k_build=16, n_probe=3, beam 16 reaches 0.973 at
+    sf1, 11x faster than exact. The sampled pass is exact integer L2 over
+    an md5-uniform sample, so the whole search stays deterministic and
+    SQL-replayable (``similarity_nsw_scale_topk``)."""
     # Pin the graph: every hop joins against it, and an unpinned lineage
     # would re-run the whole kNN build once per hop (the star-CC lesson —
     # a lazily-checkpointed frame feeding a loop must be materialized by a
@@ -264,16 +285,36 @@ def nsw_search(
             .agg(F.sum(delta * delta).alias("dist"))
         )
 
-    entries = (
-        corpus.select(F.col(id_col).alias("node")).orderBy("node").limit(n_entry)
-    )
-    beam = (
-        queries.select(F.col(id_col).alias("query_id"))
-        .crossJoin(F.broadcast(entries))
-        .filter(F.col("query_id") != F.col("node"))
-    )
-    beam = score(beam)
     w = W.partitionBy("query_id").orderBy("dist", "node")
+    if entry_sample_mod:
+        # coarse-to-fine: per-query entries from the ~n/m deterministic
+        # node sample (see docstring) — the beam starts inside the right
+        # neighborhood instead of hoping fixed global entries reach it.
+        # Sampling hash is the repo's md5 uniform (not xxhash64) so the
+        # membership replays exactly in the DuckDB oracle.
+        sample = corpus.select(F.col(id_col).alias("node")).filter(
+            F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10)
+            .cast("long") % F.lit(entry_sample_mod) == 0
+        )
+        beam = (
+            score(
+                queries.select(F.col(id_col).alias("query_id"))
+                .crossJoin(F.broadcast(sample))
+                .filter(F.col("query_id") != F.col("node"))
+            )
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_entry)
+            .select("query_id", "node", "dist")
+        )
+    else:
+        entries = (
+            corpus.select(F.col(id_col).alias("node")).orderBy("node").limit(n_entry)
+        )
+        beam = score(
+            queries.select(F.col(id_col).alias("query_id"))
+            .crossJoin(F.broadcast(entries))
+            .filter(F.col("query_id") != F.col("node"))
+        )
     beam = (
         beam.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= beam_width)

@@ -909,10 +909,18 @@ register(
 
 
 # --- graph ANN: k-NN graph + fixed-hop beam search (NSW-style) ---------------
-def _nsw_sql() -> str:
+def _nsw_sql(
+    beam_width: int = 12,
+    k_build: int = 8,
+    n_probe: int = 2,
+    n_entry: int = 4,
+    entry_mod: int | None = None,
+) -> str:
     """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
     chain one (candidates -> score -> beam) CTE triple per hop. Integer
-    distances end to end, so the replay is bit-exact."""
+    distances end to end, so the replay is bit-exact. ``entry_mod`` set
+    replays the coarse-to-fine sampled-entry mode (md5-uniform node
+    sample, per-query top-``n_entry`` seeds) the scale config uses."""
     hops = 4
     score = (
         "SELECT c.query_id, c.node,"
@@ -924,8 +932,26 @@ def _nsw_sql() -> str:
     beam = (
         "SELECT query_id, node, dist FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id"
-        " ORDER BY dist, node) AS r FROM {scored}) t WHERE r <= 12"
+        f" ORDER BY dist, node) AS r FROM {{scored}}) t WHERE r <= {beam_width}"
     )
+    if entry_mod is None:
+        entries_sql = (
+            f"SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT {n_entry}"
+        )
+        beam0_sql = beam.format(scored="beam0s")
+    else:
+        # md5-uniform sample (exactly nsw_search's sampled-entry filter),
+        # per-query top-n_entry seeds from the scored sample
+        entries_sql = (
+            "SELECT vec_id AS node FROM embeddings WHERE "
+            "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {entry_mod} = 0"
+        )
+        beam0_sql = (
+            "SELECT query_id, node, dist FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY dist, node) AS r FROM beam0s) t WHERE r <= {n_entry}"
+        )
     parts = [f"""
     ex AS (
       SELECT vec_id, u.pos - 1 AS pos,
@@ -981,7 +1007,7 @@ def _nsw_sql() -> str:
     ), cells AS (
       SELECT query_id AS cand, code AS cell FROM cellr WHERE r = 1
     ), bprobes AS (
-      SELECT query_id AS src, code AS cell FROM cellr WHERE r <= 2
+      SELECT query_id AS src, code AS cell FROM cellr WHERE r <= {n_probe}
     ), cand AS (
       SELECT b.src, c.cand
       FROM bprobes b JOIN cells c ON c.cell = b.cell
@@ -995,7 +1021,7 @@ def _nsw_sql() -> str:
     ), edges0 AS (
       SELECT src, cand AS dst, dist FROM (
         SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist, cand) AS r
-        FROM bdist) t WHERE r <= 8
+        FROM bdist) t WHERE r <= {k_build}
     ), edges AS (
       SELECT src, dst, min(dist) AS dist FROM (
         SELECT src, dst, dist FROM edges0
@@ -1005,12 +1031,12 @@ def _nsw_sql() -> str:
     ), qsub AS (
       SELECT vec_id AS query_id, pos AS j, iv AS qv FROM ex WHERE vec_id % 50 = 0
     ), entries AS (
-      SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 4
+      {entries_sql}
     ), beam0c AS (
       SELECT q.query_id, e.node FROM qs q CROSS JOIN entries e
       WHERE e.node <> q.query_id
     ), beam0s AS ({score.format(cand='beam0c')}
-    ), beam0 AS ({beam.format(scored='beam0s')}
+    ), beam0 AS ({beam0_sql}
     )"""]
     for h in range(1, hops + 1):
         prev = f"beam{h - 1}"
@@ -1082,6 +1108,35 @@ def _nsw_probe_prebuilt(spark, sf_dir):
 
 
 register("similarity_nsw_probe_prebuilt", _nsw_probe_prebuilt, _nsw_sql())
+
+
+def _nsw_scale_topk(spark, sf_dir):
+    """The graph-ANN SCALE configuration (r10 verdict item 8 follow-up):
+    denser build (k_build=16, n_probe=3) + coarse-to-fine sampled entries
+    (md5-uniform node sample, per-query top-16 seeds) + beam 16. The
+    default config's fixed 4 lowest-id entries are reachability-limited on
+    the local-edge k-NN graph — measured recall@5 at sf1 is 0.25 at beam
+    16 — while this configuration reaches 0.973 at sf1, 11x faster than
+    exact brute force, 0.98 at sf0.001/sf0.01 (BASELINE.md round-11 table,
+    pytest-bounded >= 0.9). Deterministic end to end (integer L2, md5
+    sample, id tie-breaks), so the same unrolled oracle replays build,
+    sampled seeding, AND search bit-exactly."""
+    from ..operators.graph_ann import knn_graph, nsw_search
+
+    e = read_table(spark, sf_dir, "embeddings")
+    g = knn_graph(e, dim=64, k_build=16, n_probe=3, n_cells=16)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return nsw_search(
+        g, e, q, dim=64, beam_width=16, n_hops=4, k_top=5, n_entry=16,
+        entry_sample_mod=5,
+    ).orderBy("query_id", "rank")
+
+
+register(
+    "similarity_nsw_scale_topk",
+    _nsw_scale_topk,
+    _nsw_sql(beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5),
+)
 
 
 # --- streaming ANN admit loop (probe-then-admit; see streaming/similarity) --

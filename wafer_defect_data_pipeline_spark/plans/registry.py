@@ -77,20 +77,17 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 10 front-loads:
-# (a) queries NEW or CHANGED this round — the delta-append streaming span
-# loop (r9's dead code, now registered against the shared staged oracle),
-# its rewrite twin (registration refactored onto the shared constant), the
-# ANN admit loop (delta discipline + retry idempotency), multi-pass
-# sorted-neighborhood, the MLlib-MinHash promotion to an exact oracle
-# (deterministic vocabulary + staged seed-42 coefficients), LPA (internal
-# symmetrize), the LR trio (loss clamp) and the CSV sink (defaultFS-aware
-# BOM guard), plus their family siblings sharing touched helpers; (b) the
-# 5 remaining rows-only queries so each keeps a fresh executes-cleanly
-# row; (c) REPRESENTATIVES OF EVERY FAMILY with older last-seen driver
-# rows so the 238-oracle matrix doesn't age. Names not listed follow in
-# registration order; a listed name missing from the registry is a hard
-# error (catches renames).
+# row ever predates the implementation it vouches for. Round 11 front-loads:
+# (a) queries NEW or CHANGED this round — the restart drills (durable
+# DeltaManifest transaction log + checkpointLocation-real recovery), the
+# hyperplane-LSH and graph-ANN-scale promotions/additions, the PNG decode
+# path, every delta loop whose body gained the durable checkpoint call,
+# and the r10 cohort whose helpers were touched; (b) the 4 remaining
+# rows-only queries so each keeps a fresh executes-cleanly row; (c)
+# REPRESENTATIVES OF EVERY FAMILY with older last-seen driver rows so the
+# 248-oracle matrix doesn't age. Names not listed follow in registration
+# order; a listed name missing from the registry is a hard error (catches
+# renames).
 _PRIORITY: list[str] = [
     # (a) new or changed this round (r11): the restart drills (durable
     # DeltaManifest transaction log + checkpointLocation-real recovery),
@@ -100,6 +97,7 @@ _PRIORITY: list[str] = [
     "dedup_streaming_incremental_spans_restart",  # NEW: kill-between-days recovery
     "dedup_streaming_minhash_probe_restart",  # NEW: kill-between-days recovery
     "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
+    "similarity_nsw_scale_topk",  # NEW: sampled-entry scale config, recall 0.97@sf1
     "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode
     "dedup_streaming_incremental_spans_delta",  # body refactored into factory
     "dedup_streaming_incremental_spans",  # rewrite twin, shared-oracle refactor
@@ -145,8 +143,9 @@ _PRIORITY: list[str] = [
     "similarity_bruteforce_topk_arrow",
     "text_contamination_spans",
     "text_decontaminate_strip",
-    # (b) rows-only refresh (weaker rows — keep them recent anyway)
-    "similarity_lsh_pairs",
+    # (b) rows-only refresh (weaker rows — keep them recent anyway;
+    # similarity_lsh_pairs left this list in r11 — promoted to an exact
+    # oracle with staged hyperplanes, now in section (a))
     "text_bpe_token_stats",
     "text_bpe_learned_merges",
     "events_stateful_profile",

@@ -131,7 +131,11 @@ def run_streaming_bm25_standing(
     p0.write.parquet(f"{idx_dir}/base/v0/postings")
     l0.write.parquet(f"{idx_dir}/base/v0/doclens")
     s0.write.parquet(f"{idx_dir}/base/v0/stats")
-    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every,
+        log_dir=f"{idx_dir}/_log",
+    )
+    man.checkpoint(-1)
 
     def score_standing_query(sp, parts: list[str]) -> DataFrame:
         postings = reduce(
@@ -216,6 +220,7 @@ def run_streaming_bm25_standing(
                 F.sum("sum_dl").cast("long").alias("sum_dl"),
             ).write.mode("overwrite").parquet(f"{nxt}/stats")
             man.finish_compact(nxt, delta_path)
+        man.checkpoint(batch_id)  # durable log entry last (see streaming/dedup)
 
     _run_file_stream(spark, staged, "doc_id long, text string", admit_then_score)
     man.vacuum()

@@ -134,7 +134,11 @@ def run_streaming_ann_probe(
     # streaming/state.DeltaManifest, shared by all five admit loops
     from .state import DeltaManifest
 
-    man = DeltaManifest(f"{idx_dir}/base/v0", compact_every=compact_every)
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every,
+        log_dir=f"{idx_dir}/_log",
+    )
+    man.checkpoint(-1)
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         from functools import reduce
@@ -173,6 +177,7 @@ def run_streaming_ann_probe(
                 [sp.read.parquet(p) for p in man.compact_parts(delta_path)],
             ).write.mode("overwrite").parquet(nxt)
             man.finish_compact(nxt, delta_path)
+        man.checkpoint(batch_id)  # durable log entry last (see streaming/dedup)
 
     q = (
         spark.readStream.schema("vec_id long, embedding array<double>")
