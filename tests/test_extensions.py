@@ -3577,3 +3577,22 @@ def test_nsw_scale_config_recall_bound(spark, sf_small):
     )
     assert n_truth > 0
     assert hits / n_truth >= 0.9, f"recall@5 = {hits / n_truth:.3f}"
+
+
+def test_streaming_entity_restart_matches_single_run(spark, sf_small):
+    """Kill-between-days drill for the entity-linkage admit loop (same
+    shape as the span/minhash restarts: manifest recovered from the
+    durable log, checkpointLocation skips the processed file)."""
+    from wafer_defect_data_pipeline_spark.streaming.dedup import (
+        run_streaming_entity_linkage_delta,
+        run_streaming_entity_linkage_delta_restart,
+    )
+
+    single = run_streaming_entity_linkage_delta(spark, sf_small).collect()
+    stats: dict = {}
+    restarted = run_streaming_entity_linkage_delta_restart(
+        spark, sf_small, stats=stats
+    ).collect()
+    assert len(single) > 0
+    assert [tuple(r) for r in restarted] == [tuple(r) for r in single]
+    assert len(stats["admit_bytes_per_batch"]) == 2

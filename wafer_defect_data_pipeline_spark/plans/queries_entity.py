@@ -474,6 +474,26 @@ register(
 )
 
 
+def _streaming_linkage_restart(spark, sf_dir):
+    """The RESTART drill for the entity-linkage admit loop
+    (streaming/dedup.run_streaming_entity_linkage_delta_restart): same
+    staged days and per-batch body as the delta twin, but each day runs in
+    its own query lifetime — the DeltaManifest is rebuilt from its durable
+    transaction log between days and Spark's checkpointLocation skips the
+    processed file. Output is bit-equal; the SAME staged oracle hash-checks
+    the recovery path."""
+    from ..streaming.dedup import run_streaming_entity_linkage_delta_restart
+
+    return run_streaming_entity_linkage_delta_restart(spark, sf_dir)
+
+
+register(
+    "entity_streaming_linkage_restart",
+    _streaming_linkage_restart,
+    _STREAMING_LINKAGE_ORACLE,
+)
+
+
 def _incremental_clusters(spark, sf_dir):
     """Day-2 entity maintenance WITHOUT re-clustering history: day 1
     resolves base+v1 (blocking + CC), day 2's v2 records arrive and only

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     # seed-42 hyperplanes), and the PNG decode path
     "dedup_streaming_incremental_spans_restart",  # NEW: kill-between-days recovery
     "dedup_streaming_minhash_probe_restart",  # NEW: kill-between-days recovery
+    "entity_streaming_linkage_restart",  # NEW: kill-between-days recovery
     "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
     "similarity_nsw_scale_topk",  # NEW: sampled-entry scale config, recall 0.97@sf1
     "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode

@@ -799,6 +799,22 @@ def run_streaming_entity_linkage_delta(
     )
     man.checkpoint(-1)
 
+    body = _entity_delta_body(out_dir, idx_dir, man)
+    _run_file_stream(spark, staged, "id long, name string, nk int", body)
+    man.vacuum()
+    man.fill_stats(stats)
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "index_id", "lev_dist")
+        .orderBy("new_id", "index_id")
+    )
+
+
+def _entity_delta_body(out_dir: str, idx_dir: str, man: "DeltaManifest"):
+    """Per-batch body shared by the single-run entity delta loop and the
+    restart runner (one definition, same rationale as _span_delta_body)."""
+    from ..operators.entity import blocking_probe
+
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         delta_path = f"{idx_dir}/delta/batch={batch_id}"
@@ -824,7 +840,42 @@ def run_streaming_entity_linkage_delta(
             man.finish_compact(nxt, delta_path)
         man.checkpoint(batch_id)  # durable log entry last (see span body)
 
-    _run_file_stream(spark, staged, "id long, name string, nk int", probe_then_admit)
+    return probe_then_admit
+
+
+def run_streaming_entity_linkage_delta_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Restart drill for the entity-linkage admit loop — same two-day
+    replay and per-batch body as :func:`run_streaming_entity_linkage_delta`,
+    each day its own query lifetime with the manifest recovered from the
+    durable transaction log and Spark's ``checkpointLocation`` skipping
+    processed files (see :func:`run_streaming_span_dedup_delta_restart`).
+    Bit-equal output; the SAME staged oracle hash-checks it."""
+    from ..sources import read_table
+
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    work = f"/tmp/wdps_stream_err_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/pairs", f"{work}/idx"
+
+    c.write.parquet(f"{idx_dir}/base/v0")
+    log_dir = f"{idx_dir}/_log"
+    DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every, log_dir=log_dir
+    ).checkpoint(-1)
+
+    man = _run_days_with_restarts(
+        spark, work, _entity_batches(c), "id long, name string, nk int",
+        lambda m: _entity_delta_body(out_dir, idx_dir, m),
+        log_dir,
+    )
     man.vacuum()
     man.fill_stats(stats)
     return (
