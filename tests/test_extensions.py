@@ -3406,6 +3406,86 @@ def test_delta_manifest_recover_after_death_post_compaction(tmp_path):
         assert os.path.isdir(p), p
 
 
+def test_delta_manifest_conflict_guard_kills_stale_writer(tmp_path):
+    """Optimistic-concurrency half of the log protocol: a zombie driver
+    whose replacement already checkpointed later batches must FAIL its
+    publish (ManifestConflictError), not fork the manifest history.
+    Re-publishing the head itself (the Structured-Streaming retry case)
+    stays allowed."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.streaming.state import (
+        DeltaManifest,
+        ManifestConflictError,
+    )
+
+    def mkpart(name: str, nbytes: int) -> str:
+        p = tmp_path / name
+        p.mkdir(parents=True)
+        (p / "part-0").write_bytes(b"x" * nbytes)
+        return str(p)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(mkpart("base/v0", 100), compact_every=9, log_dir=log)
+    man.checkpoint(-1)
+    man.admit(mkpart("delta/batch=0", 10))
+    man.checkpoint(0)
+
+    # the "zombie": a driver that recovered at batch 0 and stalled ...
+    zombie = DeltaManifest.recover(log)
+    # ... while its replacement progressed to batch 1
+    fresh = DeltaManifest.recover(log)
+    fresh.admit(mkpart("delta/batch=1", 12))
+    fresh.checkpoint(1)
+    # retry-of-head republish is allowed (deterministic path, same content)
+    fresh.checkpoint(1)
+    # the zombie waking up and publishing batch 0 behind the head must die
+    zombie.admit(str(tmp_path / "delta/batch=0"))
+    with _pytest.raises(ManifestConflictError):
+        zombie.checkpoint(0)
+    # and the log head is untouched by the failed publish
+    assert DeltaManifest.recover(log).deltas == fresh.deltas
+
+
+def test_delta_manifest_time_travel_recover(spark, tmp_path):
+    """Each log entry is a full-state snapshot, so recover(as_of_batch=N)
+    is an exact as-of read: the day-1 view must reproduce day-1's gram
+    counts from the parts that entry names — valid while vacuum has not
+    destroyed them (the retention bound, same as Delta Lake)."""
+    from functools import reduce
+
+    import pytest as _pytest
+    from pyspark.sql import DataFrame
+
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    base = str(tmp_path / "base/v0")
+    d0, d1 = str(tmp_path / "delta/batch=0"), str(tmp_path / "delta/batch=1")
+    spark.createDataFrame([("a", 2), ("b", 1)], "gh string, n int").write.parquet(base)
+    spark.createDataFrame([("b", 3), ("c", 1)], "gh string, n int").write.parquet(d0)
+    spark.createDataFrame([("c", 4)], "gh string, n int").write.parquet(d1)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(base, compact_every=9, log_dir=log)
+    man.checkpoint(-1)
+    man.admit(d0)
+    man.checkpoint(0)
+    man.admit(d1)
+    man.checkpoint(1)
+
+    asof = DeltaManifest.recover(log, as_of_batch=0)
+    assert asof.deltas == [d0]  # day-2's delta is not in the as-of view
+    view = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(p) for p in [asof.base, *asof.deltas]],
+    ).groupBy("gh").sum("n").collect()
+    assert {(r[0], r[1]) for r in view} == {("a", 2), ("b", 4), ("c", 1)}
+    # genesis travel and out-of-range travel behave
+    assert DeltaManifest.recover(log, as_of_batch=-1).deltas == []
+    with _pytest.raises(FileNotFoundError):
+        DeltaManifest.recover(log, as_of_batch=-2)
+
+
 def test_tree_bytes_is_bounded(tmp_path):
     """Stats are diagnostics, never semantics: above the file-count bound
     the walk stops and reports -1 instead of paying a driver-side O(files)
@@ -3455,6 +3535,48 @@ def test_streaming_minhash_restart_matches_single_run(spark, sf_small):
     stats: dict = {}
     restarted = run_streaming_minhash_probe_delta_restart(
         spark, sf_small, threshold=0.4, stats=stats
+    ).collect()
+    assert len(single) > 0
+    assert [tuple(r) for r in restarted] == [tuple(r) for r in single]
+    assert len(stats["admit_bytes_per_batch"]) == 2
+
+
+def test_streaming_ann_restart_matches_single_run(spark, sf_small):
+    """Kill-between-days drill for the ANN admit loop: day 2 probes must
+    retrieve day 1's admitted vectors through the RECOVERED manifest (the
+    near-dup plant's true neighbour exists only via the admission step), so
+    bit-equality with the single-run twin proves the vector index
+    bookkeeping crossed the restart through the durable log."""
+    from wafer_defect_data_pipeline_spark.streaming.similarity import (
+        run_streaming_ann_probe,
+        run_streaming_ann_probe_restart,
+    )
+
+    single = run_streaming_ann_probe(spark, sf_small, k=3).collect()
+    stats: dict = {}
+    restarted = run_streaming_ann_probe_restart(
+        spark, sf_small, k=3, stats=stats
+    ).collect()
+    assert len(single) > 0
+    assert [tuple(r) for r in restarted] == [tuple(r) for r in single]
+    assert len(stats["admit_bytes_per_batch"]) == 2
+
+
+def test_streaming_bm25_standing_restart_matches_single_run(spark, sf_small):
+    """Kill-between-days drill for the standing-query loop: day 2's page is
+    scored against postings/doclens/corpus-stats parts the RECOVERED
+    manifest lists (including day 1's deltas — the df/N/avgdl shifts cross
+    the restart through the log), and day 1's already-written page
+    survives. Bit-equality with the single-run twin pins all of it."""
+    from wafer_defect_data_pipeline_spark.streaming.search import (
+        run_streaming_bm25_standing,
+        run_streaming_bm25_standing_restart,
+    )
+
+    single = run_streaming_bm25_standing(spark, sf_small, k=10).collect()
+    stats: dict = {}
+    restarted = run_streaming_bm25_standing_restart(
+        spark, sf_small, k=10, stats_out=stats
     ).collect()
     assert len(single) > 0
     assert [tuple(r) for r in restarted] == [tuple(r) for r in single]

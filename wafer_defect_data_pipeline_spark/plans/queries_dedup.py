@@ -1544,6 +1544,70 @@ register(
 )
 
 
+def _streaming_spans_time_travel(spark, sf_dir):
+    """Time-travel reads over the versioned gram index
+    (streaming/dedup.run_streaming_span_dedup_time_travel): the delta
+    admit loop runs with vacuum deferred, then every checkpointed version
+    is recovered as-of (``DeltaManifest.recover(as_of_batch=N)`` — each
+    log entry is a full-state snapshot) and its view aggregated. The
+    oracle recomputes each day's corpus from scratch, so hash-equality
+    proves the day-1 view read AFTER day 2's admit-and-compaction still
+    equals the gram index of (history ∪ batch 1) exactly — the
+    Delta-Lake-style as-of contract, with vacuum as the retention bound."""
+    from ..streaming.dedup import run_streaming_span_dedup_time_travel
+
+    return run_streaming_span_dedup_time_travel(spark, sf_dir, k=20)
+
+
+register(
+    "dedup_streaming_spans_time_travel",
+    _streaming_spans_time_travel,
+    r"""
+    WITH day1nov AS (
+      SELECT doc_id + 3000000 AS new_id,
+             'batchone novel payload number ' || CAST(doc_id AS VARCHAR)
+               || ' padding alpha beta gamma delta epsilon' AS text
+      FROM documents WHERE doc_id % 20 = 10
+    ), b1 AS (
+      SELECT new_id AS doc_id, text FROM day1nov
+      UNION ALL
+      SELECT doc_id + 6000000, substring(text, 31)
+      FROM documents WHERE doc_id % 20 = 0
+    ), b2 AS (
+      SELECT new_id + 1000000 AS doc_id, text FROM day1nov
+      UNION ALL
+      SELECT doc_id + 5000000,
+             'daytwo novel doc ' || CAST(doc_id AS VARCHAR) || ' qqz'
+      FROM documents WHERE doc_id % 20 = 5
+    ), g0 AS (
+      SELECT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS g
+      FROM documents c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), g1 AS (
+      SELECT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS g
+      FROM b1 c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    ), g2 AS (
+      SELECT substring(c.text, CAST(t.p AS INTEGER) + 1, 20) AS g
+      FROM b2 c, unnest(range(0, CAST(length(c.text) AS BIGINT) - 19)) AS t(p)
+      WHERE length(c.text) >= 20
+    )
+    SELECT CAST(0 AS INT) AS as_of_day,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS total_n
+    FROM g0
+    UNION ALL
+    SELECT 1, CAST(count(DISTINCT g) AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM (SELECT g FROM g0 UNION ALL SELECT g FROM g1) u1
+    UNION ALL
+    SELECT 2, CAST(count(DISTINCT g) AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM (SELECT g FROM g0 UNION ALL SELECT g FROM g1
+          UNION ALL SELECT g FROM g2) u2
+    ORDER BY as_of_day
+    """,
+)
+
+
 def _streaming_incremental_spans_restart(spark, sf_dir):
     """The RESTART drill for the span admit loop
     (streaming/dedup.run_streaming_span_dedup_delta_restart): same staged

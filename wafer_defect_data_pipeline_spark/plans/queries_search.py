@@ -540,10 +540,7 @@ def _bm25_standing(spark, sf_dir):
     return run_streaming_bm25_standing(spark, sf_dir, k=10)
 
 
-register(
-    "text_bm25_standing_query",
-    _bm25_standing,
-    rf"""
+_BM25_STANDING_ORACLE = rf"""
     WITH b1 AS (
       SELECT doc_id + 3000000 AS doc_id, text || ' day one refresh' AS text
       FROM documents WHERE doc_id % 20 = 10
@@ -595,5 +592,30 @@ register(
     )
     SELECT day, rank, doc_id, bm25 FROM ranked WHERE rank <= 10
     ORDER BY day, rank
-    """,
+    """
+
+register(
+    "text_bm25_standing_query",
+    _bm25_standing,
+    _BM25_STANDING_ORACLE,
+)
+
+
+def _bm25_standing_restart(spark, sf_dir):
+    """The RESTART drill for the standing-query loop
+    (streaming/search.run_streaming_bm25_standing_restart): same staged
+    days and per-batch body as the single-run twin, but each day runs in
+    its own query lifetime — the DeltaManifest is rebuilt from its durable
+    transaction log between days and Spark's checkpointLocation skips the
+    processed file. Output is bit-equal; the SAME staged oracle (full
+    per-day corpus recompute) hash-checks the recovery path."""
+    from ..streaming.search import run_streaming_bm25_standing_restart
+
+    return run_streaming_bm25_standing_restart(spark, sf_dir, k=10)
+
+
+register(
+    "text_bm25_standing_restart",
+    _bm25_standing_restart,
+    _BM25_STANDING_ORACLE,
 )

@@ -1162,10 +1162,7 @@ _MD5V = lambda pfx: (  # noqa: E731 — local SQL-fragment builder
     f"CAST(concat('0x', substring(md5(concat('{pfx}', CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) AS INT) / 256.0)"
 )
 
-register(
-    "similarity_streaming_ann_probe",
-    _streaming_ann_probe,
-    f"""
+_ANN_PROBE_ORACLE = f"""
     WITH hist AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), near1 AS (
@@ -1211,5 +1208,30 @@ register(
     )
     SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cos_sim
     FROM ranked ORDER BY query_id, rank
-    """,
+    """
+
+register(
+    "similarity_streaming_ann_probe",
+    _streaming_ann_probe,
+    _ANN_PROBE_ORACLE,
+)
+
+
+def _streaming_ann_restart(spark, sf_dir):
+    """The RESTART drill for the ANN admit loop
+    (streaming/similarity.run_streaming_ann_probe_restart): same staged
+    days and per-batch body as the single-run twin, but each day runs in
+    its own query lifetime — the DeltaManifest is rebuilt from its durable
+    transaction log between days and Spark's checkpointLocation skips the
+    processed file. Output is bit-equal; the SAME staged oracle hash-checks
+    the recovery path."""
+    from ..streaming.similarity import run_streaming_ann_probe_restart
+
+    return run_streaming_ann_probe_restart(spark, sf_dir, k=3)
+
+
+register(
+    "similarity_streaming_ann_restart",
+    _streaming_ann_restart,
+    _ANN_PROBE_ORACLE,
 )

@@ -97,6 +97,9 @@ _PRIORITY: list[str] = [
     "dedup_streaming_incremental_spans_restart",  # NEW: kill-between-days recovery
     "dedup_streaming_minhash_probe_restart",  # NEW: kill-between-days recovery
     "entity_streaming_linkage_restart",  # NEW: kill-between-days recovery
+    "similarity_streaming_ann_restart",  # NEW: kill-between-days recovery (all 5 loops)
+    "text_bm25_standing_restart",  # NEW: kill-between-days recovery (all 5 loops)
+    "dedup_streaming_spans_time_travel",  # NEW: as-of reads from the manifest log
     "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
     "similarity_nsw_scale_topk",  # NEW: sampled-entry scale config, recall 0.97@sf1
     "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode

@@ -53,10 +53,14 @@ end-to-end: each day runs as its OWN query lifetime, the manifest is
 rebuilt via ``DeltaManifest.recover`` (no driver state survives the
 "crash"), and a shared Structured-Streaming ``checkpointLocation`` lets
 Spark's offset tracking skip already-processed files — output bit-equal to
-the single-run twins under the same staged oracles. (A MULTI-writer
-deployment would still want a lock service or Delta Lake's optimistic
-log-conflict protocol on top; the single-writer daily-crawl loop here is
-the reference's operating mode.)
+the single-run twins under the same staged oracles — all FIVE admit loops
+(span, minhash, entity, ANN, standing BM25) carry one. The log also
+enforces the single-writer half of optimistic concurrency (a zombie
+driver publishing behind the head dies with ManifestConflictError) and
+serves time-travel reads (``DeltaManifest.recover(as_of_batch=N)``); a
+true MULTI-writer deployment would still add a lock service or CAS on
+the log entry itself — the single-writer daily-crawl loop here is the
+reference's operating mode.
 
 No reference analogue (the reference is a single-table batch ETL —
 ``/root/reference/src/preprocessing.py``); this is extension-surface
@@ -414,6 +418,68 @@ def run_streaming_span_dedup_delta_restart(
         .select("doc_id", "span_start", "span_end", "span_len")
         .orderBy("doc_id", "span_start")
     )
+
+
+def run_streaming_span_dedup_time_travel(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    compact_every: int = 2,
+) -> DataFrame:
+    """Time-travel reads over the versioned gram index: run the SAME
+    two-day delta admit loop as :func:`run_streaming_span_dedup_delta`,
+    DEFER the vacuum, then ``DeltaManifest.recover(as_of_batch=N)`` each
+    checkpointed version and aggregate the index view it names. Returns
+    one row per version — ``(as_of_day, n_grams, total_n)`` with day 0 =
+    genesis (history only), day 1 = after day 1's admit, day 2 = after
+    day 2's admit (post-compaction, so the view is the compacted base ∪
+    the surviving delta).
+
+    The contract this pins: every log entry is a FULL as-of snapshot, so
+    the day-1 view read AFTER day 2 was admitted must equal the gram
+    index of (history ∪ batch 1) exactly — counts included, because
+    compaction's fold never touched parts a travel target still names
+    (vacuum, which would, runs only after the reads). The DuckDB oracle
+    recomputes each day's corpus from scratch. Aggregates are a bounded
+    driver readout (one 2-long row per version) so the superseded parts
+    can be vacuumed before returning."""
+    from ..operators.dedup import gram_index
+    from ..sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_spanstt_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/spans", f"{work}/idx"
+    staged = _stage_days(work, _span_batches(d))
+
+    gram_index(d, "doc_id", "text", k=k).repartition(8, "gh").write.parquet(
+        f"{idx_dir}/base/v0"
+    )
+    log_dir = f"{idx_dir}/_log"
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every, log_dir=log_dir
+    )
+    man.checkpoint(-1)
+    _run_file_stream(
+        spark, staged, "doc_id long, text string",
+        _span_delta_body(out_dir, idx_dir, man, k, 40, 1),
+    )
+
+    rows = []
+    for day, as_of in ((0, -1), (1, 0), (2, 1)):
+        m = DeltaManifest.recover(log_dir, as_of_batch=as_of)
+        view = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(p) for p in (m.base, *m.deltas)],
+        )
+        agg = view.agg(
+            F.count_distinct("gh").alias("n_grams"),
+            F.sum("n").cast("long").alias("total_n"),
+        ).collect()[0]
+        rows.append((day, agg["n_grams"], agg["total_n"]))
+    man.vacuum()  # travel horizon ends here, Delta-Lake-retention style
+    return spark.createDataFrame(
+        rows, "as_of_day int, n_grams bigint, total_n bigint"
+    ).orderBy("as_of_day")
 
 
 def run_streaming_minhash_probe(

@@ -37,6 +37,9 @@ is built with ``include_own=True``; retry safety still holds because the
 current batch's delta is never folded into a compacted base
 (``compact_parts`` excludes it), so the batch's rows appear in the view
 exactly once no matter where a prior attempt died.
+:func:`run_streaming_bm25_standing_restart` is the kill-between-days
+drill: each day in its own query lifetime, manifest rebuilt from the
+durable log, shared ``checkpointLocation`` — same staged oracle.
 
 No reference analogue (the reference is a single-table batch ETL —
 /root/reference/src/preprocessing.py); extension surface per SURVEY.md
@@ -103,6 +106,116 @@ def _index_parts(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return postings, doclens, stats
 
 
+def _score_standing_query(sp, parts: list[str], k: int) -> DataFrame:
+    postings = reduce(
+        DataFrame.unionByName, [sp.read.parquet(f"{p}/postings") for p in parts]
+    ).filter(F.col("term").isin(_QUERY_TERMS))
+    doclens = reduce(
+        DataFrame.unionByName, [sp.read.parquet(f"{p}/doclens") for p in parts]
+    )
+    st = (
+        reduce(
+            DataFrame.unionByName, [sp.read.parquet(f"{p}/stats") for p in parts]
+        )
+        .agg(
+            F.sum("n_docs").cast("double").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        )
+    )
+    df_ = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf").cast("double") * (_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(df_), on="term")
+        .join(doclens, on="doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", F.round(contrib, 6).cast("decimal(18,6)").alias("c"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
+            .alias("rank"),
+            "doc_id",
+            "bm25",
+        )
+    )
+
+
+def _bm25_body(out_dir: str, idx_dir: str, man: DeltaManifest, k: int):
+    """The per-batch body shared by the single-run standing-query loop and
+    the restart runner (one definition — the restart drill must exercise
+    the EXACT production body, not a test-only copy)."""
+
+    def admit_then_score(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        delta_path = f"{idx_dir}/delta/batch={batch_id}"
+        bp, bl, bs = _index_parts(batch_df)
+        bp.write.mode("overwrite").parquet(f"{delta_path}/postings")
+        bl.write.mode("overwrite").parquet(f"{delta_path}/doclens")
+        bs.write.mode("overwrite").parquet(f"{delta_path}/stats")
+        man.admit(delta_path)  # membership-guarded: a retry never double-counts
+        # standing query reports the corpus INCLUDING today's crawl —
+        # include_own makes self-inclusion explicit AND retry-safe: even
+        # if a prior attempt's compaction already ran, the current delta
+        # is never folded into the base (DeltaManifest.compact_parts), so
+        # it appears in the view exactly once
+        parts = man.probe_parts(delta_path, include_own=True)
+        _score_standing_query(sp, parts, k).withColumn(
+            "day", F.lit(batch_id + 1).cast("int")
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if man.want_compact():
+            fold = man.compact_parts(delta_path)
+            nxt = f"{idx_dir}/base/v{batch_id + 1}"
+            for rel in ("postings", "doclens"):
+                reduce(
+                    DataFrame.unionByName,
+                    [sp.read.parquet(f"{p}/{rel}") for p in fold],
+                ).write.mode("overwrite").parquet(f"{nxt}/{rel}")
+            # stats compaction = the sum algebra, one row out
+            reduce(
+                DataFrame.unionByName,
+                [sp.read.parquet(f"{p}/stats") for p in fold],
+            ).agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            ).write.mode("overwrite").parquet(f"{nxt}/stats")
+            man.finish_compact(nxt, delta_path)
+        man.checkpoint(batch_id)  # durable log entry last (see streaming/dedup)
+
+    return admit_then_score
+
+
+def _write_base(idx_dir: str, p0, l0, s0) -> str:
+    base = f"{idx_dir}/base/v0"
+    p0.write.parquet(f"{base}/postings")
+    l0.write.parquet(f"{base}/doclens")
+    s0.write.parquet(f"{base}/stats")
+    return base
+
+
+def _read_pages(spark: SparkSession, out_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(out_dir)
+        .select("day", "rank", "doc_id", "bm25")
+        .orderBy("day", "rank")
+    )
+
+
 def run_streaming_bm25_standing(
     spark: SparkSession,
     sf_dir: str,
@@ -127,106 +240,55 @@ def run_streaming_bm25_standing(
     out_dir, idx_dir = f"{work}/hits", f"{work}/idx"
     staged = _stage_days(work, _search_batches(d))
 
-    p0, l0, s0 = _index_parts(d)
-    p0.write.parquet(f"{idx_dir}/base/v0/postings")
-    l0.write.parquet(f"{idx_dir}/base/v0/doclens")
-    s0.write.parquet(f"{idx_dir}/base/v0/stats")
+    base = _write_base(idx_dir, *_index_parts(d))
     man = DeltaManifest(
-        f"{idx_dir}/base/v0", compact_every=compact_every,
-        log_dir=f"{idx_dir}/_log",
+        base, compact_every=compact_every, log_dir=f"{idx_dir}/_log"
     )
     man.checkpoint(-1)
 
-    def score_standing_query(sp, parts: list[str]) -> DataFrame:
-        postings = reduce(
-            DataFrame.unionByName, [sp.read.parquet(f"{p}/postings") for p in parts]
-        ).filter(F.col("term").isin(_QUERY_TERMS))
-        doclens = reduce(
-            DataFrame.unionByName, [sp.read.parquet(f"{p}/doclens") for p in parts]
-        )
-        st = (
-            reduce(
-                DataFrame.unionByName, [sp.read.parquet(f"{p}/stats") for p in parts]
-            )
-            .agg(
-                F.sum("n_docs").cast("double").alias("n_docs"),
-                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
-            )
-        )
-        df_ = postings.groupBy("term").agg(
-            F.count(F.lit(1)).cast("double").alias("df")
-        )
-        idf = F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        )
-        contrib = idf * (
-            F.col("tf").cast("double") * (_K1 + 1.0)
-            / (
-                F.col("tf").cast("double")
-                + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
-            )
-        )
-        scored = (
-            postings.join(F.broadcast(df_), on="term")
-            .join(doclens, on="doc_id")
-            .crossJoin(F.broadcast(st))
-            .select("doc_id", F.round(contrib, 6).cast("decimal(18,6)").alias("c"))
-        )
-        return (
-            scored.groupBy("doc_id")
-            .agg(F.sum("c").cast("double").alias("bm25"))
-            .orderBy(F.desc("bm25"), "doc_id")
-            .limit(k)
-            .select(
-                F.row_number()
-                .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
-                .alias("rank"),
-                "doc_id",
-                "bm25",
-            )
-        )
-
-    def admit_then_score(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        delta_path = f"{idx_dir}/delta/batch={batch_id}"
-        bp, bl, bs = _index_parts(batch_df)
-        bp.write.mode("overwrite").parquet(f"{delta_path}/postings")
-        bl.write.mode("overwrite").parquet(f"{delta_path}/doclens")
-        bs.write.mode("overwrite").parquet(f"{delta_path}/stats")
-        man.admit(delta_path)  # membership-guarded: a retry never double-counts
-        # standing query reports the corpus INCLUDING today's crawl —
-        # include_own makes self-inclusion explicit AND retry-safe: even
-        # if a prior attempt's compaction already ran, the current delta
-        # is never folded into the base (DeltaManifest.compact_parts), so
-        # it appears in the view exactly once
-        parts = man.probe_parts(delta_path, include_own=True)
-        score_standing_query(sp, parts).withColumn(
-            "day", F.lit(batch_id + 1).cast("int")
-        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        if man.want_compact():
-            fold = man.compact_parts(delta_path)
-            nxt = f"{idx_dir}/base/v{batch_id + 1}"
-            for rel in ("postings", "doclens"):
-                reduce(
-                    DataFrame.unionByName,
-                    [sp.read.parquet(f"{p}/{rel}") for p in fold],
-                ).write.mode("overwrite").parquet(f"{nxt}/{rel}")
-            # stats compaction = the sum algebra, one row out
-            reduce(
-                DataFrame.unionByName,
-                [sp.read.parquet(f"{p}/stats") for p in fold],
-            ).agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("sum_dl").cast("long").alias("sum_dl"),
-            ).write.mode("overwrite").parquet(f"{nxt}/stats")
-            man.finish_compact(nxt, delta_path)
-        man.checkpoint(batch_id)  # durable log entry last (see streaming/dedup)
-
-    _run_file_stream(spark, staged, "doc_id long, text string", admit_then_score)
+    _run_file_stream(
+        spark, staged, "doc_id long, text string",
+        _bm25_body(out_dir, idx_dir, man, k),
+    )
     man.vacuum()
     man.fill_stats(stats_out)
-    return (
-        spark.read.parquet(out_dir)
-        .select("day", "rank", "doc_id", "bm25")
-        .orderBy("day", "rank")
+    return _read_pages(spark, out_dir)
+
+
+def run_streaming_bm25_standing_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    compact_every: int = 3,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """The kill-between-days restart drill for the standing-query loop:
+    the SAME two-day replay and per-batch body as
+    :func:`run_streaming_bm25_standing`, but each day runs as its OWN
+    Structured-Streaming query lifetime — the loop "dies" after day 1 and
+    a fresh driver resumes for day 2 with (a) the ``DeltaManifest``
+    rebuilt from its durable transaction log (``idx/_log/batch=N.json``)
+    and (b) Spark's own ``checkpointLocation`` offset tracking skipping
+    day 1's already-processed file. Output is bit-equal to the single-run
+    twin (including day 1's page, already written before the "crash"), so
+    the SAME staged DuckDB oracle hash-checks it — the alerting shape a
+    multi-day standing query actually runs under."""
+    from ..sources import read_table
+    from .dedup import _run_days_with_restarts
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = f"/tmp/wdps_stream_bm25r_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/hits", f"{work}/idx"
+
+    base = _write_base(idx_dir, *_index_parts(d))
+    log_dir = f"{idx_dir}/_log"
+    DeltaManifest(base, compact_every=compact_every, log_dir=log_dir).checkpoint(-1)
+
+    man = _run_days_with_restarts(
+        spark, work, _search_batches(d), "doc_id long, text string",
+        lambda m: _bm25_body(out_dir, idx_dir, m, k),
+        log_dir,
     )
+    man.vacuum()
+    man.fill_stats(stats_out)
+    return _read_pages(spark, out_dir)

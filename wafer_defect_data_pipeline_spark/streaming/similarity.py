@@ -52,35 +52,14 @@ def _md5_vec(prefix: str, id_col, dim: int = 64):
     )
 
 
-def run_streaming_ann_probe(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    compact_every: int = 2,
-    stats: dict | None = None,
-) -> DataFrame:
-    """Bounded replay of a two-day embedding crawl. Day 1: perturbed
-    near-dups of history vectors (+0.05 on dim 0 — the semantic-dedup
-    plant) plus novel md5 vectors; day 2: perturbed near-dups OF DAY 1's
-    novel vectors (their true nearest neighbour exists only via the
-    admission step) plus genuinely new vectors. Oldest-mtime-first, one
-    file per micro-batch. Returns top-``k`` retrievals for every batch
-    query: ``(query_id, rank, corpus_id, cos_sim)``.
-    """
-    import os
-    import shutil
-
-    from ..functions.arrays import as_double
-    from ..operators.similarity import brute_force_topk
-    from ..sources import read_table
-
-    e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("embedding")
-    )
-    work = f"/tmp/wdps_stream_ann_{uuid.uuid4().hex[:8]}"
-    staged, out_dir, idx_dir = f"{work}/in", f"{work}/hits", f"{work}/idx"
-    os.makedirs(staged)
-
+def _ann_batches(e: DataFrame) -> list[DataFrame]:
+    """The staged two-day embedding crawl shared by the ANN admit loops
+    (and their DuckDB oracle — the vector expressions here and in the
+    registered SQL must stay in lockstep). Day 1: perturbed near-dups of
+    history vectors (+0.05 on dim 0 — the semantic-dedup plant) plus
+    novel md5 vectors; day 2: perturbed near-dups OF DAY 1's novel
+    vectors (their true nearest neighbour exists only via the admission
+    step) plus genuinely new vectors."""
     near1 = e.filter(F.col("vec_id") % 40 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.transform(
@@ -118,27 +97,14 @@ def run_streaming_ann_probe(
         )
     )
     batch2 = near2.unionByName(new2)
+    return [batch1, batch2]
 
-    for i, b in enumerate((batch1, batch2), start=1):
-        tmp = f"{work}/day{i}"
-        b.coalesce(1).write.parquet(tmp)
-        [part] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = f"{staged}/day{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
-    e.write.parquet(f"{idx_dir}/base/v0")
-    # retry-correctness invariants (own-delta exclusion on probe AND
-    # compaction, guarded appends, vacuum-after-termination) live in
-    # streaming/state.DeltaManifest, shared by all five admit loops
-    from .state import DeltaManifest
-
-    man = DeltaManifest(
-        f"{idx_dir}/base/v0", compact_every=compact_every,
-        log_dir=f"{idx_dir}/_log",
-    )
-    man.checkpoint(-1)
+def _ann_body(out_dir: str, idx_dir: str, man, k: int):
+    """The per-batch body shared by the single-run ANN loop and the
+    restart runner (one definition — the restart drill must exercise the
+    EXACT production body, not a test-only copy)."""
+    from ..operators.similarity import brute_force_topk
 
     def probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         from functools import reduce
@@ -179,17 +145,10 @@ def run_streaming_ann_probe(
             man.finish_compact(nxt, delta_path)
         man.checkpoint(batch_id)  # durable log entry last (see streaming/dedup)
 
-    q = (
-        spark.readStream.schema("vec_id long, embedding array<double>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .writeStream.foreachBatch(probe_then_admit)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    man.vacuum()  # only after termination: a retry re-reads its view
-    man.fill_stats(stats)
+    return probe_then_admit
+
+
+def _ann_read_hits(spark: SparkSession, out_dir: str) -> DataFrame:
     # explicit select: partition discovery over out/batch=<id> adds a
     # synthetic `batch` column the registered schema must not carry
     return (
@@ -197,3 +156,96 @@ def run_streaming_ann_probe(
         .select("query_id", "rank", "corpus_id", "cos_sim")
         .orderBy("query_id", "rank")
     )
+
+
+def run_streaming_ann_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Bounded replay of the two-day embedding crawl
+    (:func:`_ann_batches`), oldest-mtime-first, one file per micro-batch.
+    Returns top-``k`` retrievals for every batch query:
+    ``(query_id, rank, corpus_id, cos_sim)``.
+    """
+    from ..functions.arrays import as_double
+    from ..sources import read_table
+    from .dedup import _stage_days
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("embedding")
+    )
+    work = f"/tmp/wdps_stream_ann_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/hits", f"{work}/idx"
+    staged = _stage_days(work, _ann_batches(e))
+
+    e.write.parquet(f"{idx_dir}/base/v0")
+    # retry-correctness invariants (own-delta exclusion on probe AND
+    # compaction, guarded appends, vacuum-after-termination) live in
+    # streaming/state.DeltaManifest, shared by all five admit loops
+    from .state import DeltaManifest
+
+    man = DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every,
+        log_dir=f"{idx_dir}/_log",
+    )
+    man.checkpoint(-1)
+
+    body = _ann_body(out_dir, idx_dir, man, k)
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(body)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    man.vacuum()  # only after termination: a retry re-reads its view
+    man.fill_stats(stats)
+    return _ann_read_hits(spark, out_dir)
+
+
+def run_streaming_ann_probe_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    compact_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The kill-between-days restart drill for the ANN admit loop: the
+    SAME two-day replay and per-batch body as
+    :func:`run_streaming_ann_probe`, but each day runs as its OWN
+    Structured-Streaming query lifetime — the loop "dies" after day 1 and
+    a fresh driver resumes for day 2 with (a) the ``DeltaManifest``
+    rebuilt from its durable transaction log (``idx/_log/batch=N.json``)
+    and (b) Spark's own ``checkpointLocation`` offset tracking skipping
+    day 1's already-processed file. Output is bit-equal to the single-run
+    twin, so the SAME staged DuckDB oracle hash-checks it."""
+    from ..functions.arrays import as_double
+    from ..sources import read_table
+    from .dedup import _run_days_with_restarts
+    from .state import DeltaManifest
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("embedding")
+    )
+    work = f"/tmp/wdps_stream_annr_{uuid.uuid4().hex[:8]}"
+    out_dir, idx_dir = f"{work}/hits", f"{work}/idx"
+
+    e.write.parquet(f"{idx_dir}/base/v0")
+    log_dir = f"{idx_dir}/_log"
+    DeltaManifest(
+        f"{idx_dir}/base/v0", compact_every=compact_every, log_dir=log_dir
+    ).checkpoint(-1)
+
+    man = _run_days_with_restarts(
+        spark, work, _ann_batches(e), "vec_id long, embedding array<double>",
+        lambda m: _ann_body(out_dir, idx_dir, m, k),
+        log_dir,
+    )
+    man.vacuum()
+    man.fill_stats(stats)
+    return _ann_read_hits(spark, out_dir)

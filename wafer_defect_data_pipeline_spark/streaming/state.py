@@ -45,6 +45,13 @@ same invariants as a Structured-Streaming retry: the orphaned
 ``delta/batch=N`` is not in the recovered manifest, the retried batch
 re-probes without it (own-delta exclusion would have excluded it anyway)
 and overwrites it deterministically before re-admitting.
+
+Two further log protocols (round 11): ``checkpoint`` carries the
+single-writer half of optimistic concurrency — a stale/zombie driver
+publishing BEHIND the log head raises :class:`ManifestConflictError`
+instead of forking history — and ``recover(as_of_batch=N)`` is an exact
+time-travel read (every entry is a full-state snapshot; ``vacuum()``
+bounds the travel horizon exactly as Delta Lake retention does).
 """
 
 from __future__ import annotations
@@ -52,6 +59,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+
+
+class ManifestConflictError(RuntimeError):
+    """A stale writer tried to publish a log entry BEHIND the log's head.
+
+    Single-writer loops never see this: a Structured-Streaming retry of
+    batch N re-publishes ``batch=N`` while the head is still N (allowed —
+    deterministic path, atomic replace, same-content discipline). A head
+    PAST the batch being checkpointed means another driver (a zombie's
+    replacement, or a misconfigured second writer) already admitted later
+    batches — publishing would fork the manifest history, so the stale
+    writer must die instead. This is the single-writer half of Delta
+    Lake's optimistic log-conflict protocol; a true multi-writer
+    deployment would add a lock service or CAS on the log entry itself.
+    """
 
 
 def tree_bytes(path: str, max_files: int = 100_000) -> int:
@@ -116,9 +138,21 @@ class DeltaManifest:
         Atomic (tmp + ``os.replace``) and at a batch-derived deterministic
         path, so a Structured-Streaming retry overwrites its own previous
         entry instead of appending a duplicate. No-op without ``log_dir``.
+
+        Optimistic-concurrency guard: raises :class:`ManifestConflictError`
+        when the log head is already PAST ``batch_id`` — a zombie driver
+        whose replacement has admitted later batches must die rather than
+        fork the manifest history (re-publishing the head itself is the
+        legitimate retry case and stays allowed).
         """
         if self.log_dir is None:
             return
+        head = self._head_entry()
+        if head is not None and head > batch_id:
+            raise ManifestConflictError(
+                f"stale writer: log head is batch={head}, refusing to "
+                f"publish batch={batch_id} behind it ({self.log_dir})"
+            )
         os.makedirs(self.log_dir, exist_ok=True)
         state = {f: getattr(self, f) for f in self._LOG_FIELDS}
         state["batch_id"] = batch_id
@@ -127,19 +161,48 @@ class DeltaManifest:
             json.dump(state, fh)
         os.replace(tmp, os.path.join(self.log_dir, f"batch={batch_id}.json"))
 
+    def _head_entry(self) -> int | None:
+        """Highest batch_id in the log, or None when the log is empty /
+        absent (genesis)."""
+        if self.log_dir is None or not os.path.isdir(self.log_dir):
+            return None
+        ids = [
+            int(f[len("batch="):-len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("batch=") and f.endswith(".json")
+        ]
+        return max(ids) if ids else None
+
     @classmethod
-    def recover(cls, log_dir: str) -> "DeltaManifest":
+    def recover(
+        cls, log_dir: str, as_of_batch: int | None = None
+    ) -> "DeltaManifest":
         """Rebuild driver state from the highest-batch log entry — the
         restart path: a loop killed between days resumes with the exact
         base/deltas view its last completed batch checkpointed. Raises
         ``FileNotFoundError`` when no log entry exists (callers write a
-        ``batch=-1`` genesis entry right after the initial base)."""
+        ``batch=-1`` genesis entry right after the initial base).
+
+        ``as_of_batch`` is the TIME-TRAVEL read: recover the state the
+        manifest checkpointed at the highest batch ``<= as_of_batch``
+        (each log entry is a full-state snapshot, so no replay is
+        needed). Valid only while the parts that entry names still exist
+        — ``vacuum()`` bounds the travel horizon exactly as Delta Lake's
+        retention does; callers keeping history readable defer vacuum."""
         entries = [
             f for f in os.listdir(log_dir)
             if f.startswith("batch=") and f.endswith(".json")
         ]
+        if as_of_batch is not None:
+            entries = [
+                f for f in entries
+                if int(f[len("batch="):-len(".json")]) <= as_of_batch
+            ]
         if not entries:
-            raise FileNotFoundError(f"no manifest log entries under {log_dir}")
+            raise FileNotFoundError(
+                f"no manifest log entries under {log_dir}"
+                + (f" at or before batch={as_of_batch}" if as_of_batch is not None else "")
+            )
         latest = max(entries, key=lambda f: int(f[len("batch="):-len(".json")]))
         with open(os.path.join(log_dir, latest)) as fh:
             state = json.load(fh)
