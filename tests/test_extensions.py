@@ -3586,6 +3586,48 @@ def test_streaming_bm25_standing_restart_matches_single_run(spark, sf_small):
 # --- round 11: executed PNG codec (compressed-image honesty gate closed) ----
 
 
+def test_jpeg_codec_baseline_roundtrip():
+    """The T.81 baseline grayscale codec: (1) constant-per-block fixtures
+    round-trip BIT-EXACTLY (all energy in DC, K.1 DC quantizer 16 divides
+    the 16k coefficient — the property the exact oracle stands on); (2) a
+    smooth gradient round-trips within a small quantization error (the
+    lossy path is real, not a bypass); (3) full-entropy noise exercises
+    the AC run-length/ZRL/EOB and byte-stuffing paths structurally; (4)
+    the honesty gate stays for progressive and multi-component headers."""
+    import numpy as np
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    for i in (0, 1, 5, 17, 123, 999):
+        nbx, nby = 1 + i % 3, 1 + i % 2
+        arr = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+        for b in range(nbx * nby):
+            by, bx = divmod(b, nbx)
+            k = (i + 7 * b) % 128 - 64
+            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+        assert (jpeg_decode(jpeg_encode(arr)) == arr).all(), i
+
+    x = np.linspace(0, 255, 32)
+    grad = (np.add.outer(x, x) / 2).astype(np.uint8)
+    err = np.abs(jpeg_decode(jpeg_encode(grad)).astype(int) - grad.astype(int))
+    assert err.max() <= 8 and err.mean() <= 3  # lossy but tight on smooth input
+
+    noise = np.random.default_rng(11).integers(0, 256, (16, 24)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(noise))
+    assert dec.shape == noise.shape  # AC/ZRL/EOB + stuffing survived
+
+    good = jpeg_encode(np.full((8, 8), 200, dtype=np.uint8))
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode(progressive)
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG not a jpeg")
+
+
 def test_png_codec_roundtrip_exercises_all_filters():
     """png_encode rotates the filter type per row (row % 5), so a >=5-row
     round-trip proves every unfilter branch (None/Sub/Up/Average/Paeth);

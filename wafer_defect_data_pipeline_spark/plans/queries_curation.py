@@ -1581,3 +1581,83 @@ register(
     ORDER BY table_name
     """,
 )
+
+
+# --- token-budget corpus selection (r11): the data-mixing primitive --------
+# "Take the best-quality documents per language until the token budget is
+# spent" — the greedy selection every mixture-weighted pretraining corpus
+# build runs per domain/language bucket. One window pass: rank docs by
+# quality (desc, doc_id tiebreak) within each language, running token sum,
+# keep rows whose cumulative count stays inside the budget. Scale shape:
+# a single shuffle on lang (the window key); no driver-side loop, no
+# collect — at 100 TB the same plan runs with lang (or domain) as the
+# partition column. Budget chosen to BITE at every test scale (sf0.001's
+# smallest language bucket carries ~4k tokens): a bucket whose docs all
+# fit would make the query vacuous.
+_TOKEN_BUDGET = 2_000
+
+
+def _token_budget_select(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= _TOKEN_BUDGET
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.min("quality") + F.lit(0.0)).alias("min_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "curation_token_budget_select",
+    _token_budget_select,
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             greatest(length(text), 1) AS n_chars_g,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g'))) AS n_punct,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, n_tokens,
+             round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.4 * least(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                               / greatest(len(toks), 1) * 4.0, 1.0)
+                 + 0.2 * (1.0 - least(n_punct / n_chars_g * 5.0, 1.0)), 6) AS quality
+      FROM t
+    ), c AS (
+      SELECT lang, n_tokens, quality,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(quality) + 0.0 AS min_quality
+    FROM c WHERE cum <= {_TOKEN_BUDGET}
+    GROUP BY lang ORDER BY lang
+    """,
+)

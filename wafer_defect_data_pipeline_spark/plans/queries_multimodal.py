@@ -170,6 +170,52 @@ register(
 )
 
 
+# --- EXECUTED transform-coded path (r11): baseline JPEG codec ---------------
+# The JPEG gate was the last NotImplementedError in the image family; the
+# T.81 baseline sequential grayscale pipeline (FDCT, Annex-K.1 quantize,
+# zigzag, K.3/K.5 Huffman with byte stuffing — operators/multimodal.
+# jpeg_encode/jpeg_decode) now EXECUTES both directions. Lossy codecs
+# normally defeat exact oracles; the fixture makes the loss zero by
+# construction: constant-per-8x8-block images put all energy in the DC
+# coefficient (AC terms are fp noise << the quantization half-step), the
+# K.1 DC quantizer is 16 and the block value is 128 + 2k with k integer,
+# so FDCT -> quantize -> Huffman -> decode returns the source pixels
+# bit-exactly and every statistic is closed-form in the id. Remaining
+# gate: progressive scans and subsampled color (NotImplementedError).
+def _jpeg_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import attach_jpeg_payload, decode_image
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image(attach_jpeg_payload(d)).orderBy("doc_id")
+
+
+register(
+    "multimodal_jpeg_decode_stats",
+    _jpeg_decode_stats,
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS BIGINT) AS nbx,
+             CAST(1 + doc_id % 2 AS BIGINT) AS nby
+      FROM documents
+    ), k AS (
+      SELECT p.doc_id, p.nbx, p.nby,
+             avg(CAST((p.doc_id + 7 * t.b) % 128 - 64 AS DOUBLE)) AS avg_k
+      FROM p, unnest(range(0, p.nbx * p.nby)) AS t(b)
+      GROUP BY p.doc_id, p.nbx, p.nby
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INTEGER) AS width,
+           CAST(8 * nby AS INTEGER) AS height,
+           'L' AS mode,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_r,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_g,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_b
+    FROM k ORDER BY doc_id
+    """,
+)
+
+
 # --- EXECUTED audio path: stdlib RIFF/PCM codec, oracle-checked -------------
 # Same design as the image query: fixture WAVs are arithmetic ramps
 # s_i = (id%50) + i over n = 100 + id%7 samples, so mean = base + (n-1)/2

@@ -100,6 +100,8 @@ _PRIORITY: list[str] = [
     "similarity_streaming_ann_restart",  # NEW: kill-between-days recovery (all 5 loops)
     "text_bm25_standing_restart",  # NEW: kill-between-days recovery (all 5 loops)
     "dedup_streaming_spans_time_travel",  # NEW: as-of reads from the manifest log
+    "multimodal_jpeg_decode_stats",  # NEW: executed baseline JPEG codec
+    "curation_token_budget_select",  # NEW: token-budget mixture selection
     "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
     "similarity_nsw_scale_topk",  # NEW: sampled-entry scale config, recall 0.97@sf1
     "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode
