@@ -3628,6 +3628,44 @@ def test_jpeg_codec_baseline_roundtrip():
         jpeg_decode(b"\x89PNG not a jpeg")
 
 
+def test_jpeg_codec_color_444_roundtrip():
+    """The 4:4:4 color path: gray-in-RGB constant blocks round-trip
+    BIT-EXACTLY through the full 3-component pipeline (BT.601 both ways,
+    MCU interleave, per-component DC predictors, dual quant + Huffman
+    tables) — the property the color oracle stands on; genuinely
+    chromatic smooth input round-trips within a small quantization error
+    (the chroma tables and second table set really execute); subsampled
+    headers stay gated."""
+    import numpy as np
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    for i in (0, 7, 255):
+        nbx, nby = 1 + i % 3, 1 + i % 2
+        g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+        for b in range(nbx * nby):
+            by, bx = divmod(b, nbx)
+            k = (i + 7 * b) % 128 - 64
+            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+        rgb = np.stack([g, g, g], axis=-1)
+        assert (jpeg_decode(jpeg_encode(rgb)) == rgb).all(), i
+
+    x = np.linspace(0, 255, 32)
+    r = np.add.outer(x, x) / 2
+    rgb = np.stack([r, 255 - r, np.full_like(r, 90.0)], axis=-1).astype(np.uint8)
+    err = np.abs(jpeg_decode(jpeg_encode(rgb)).astype(int) - rgb.astype(int))
+    assert err.max() <= 10 and err.mean() <= 4
+
+    color = jpeg_encode(rgb)
+    subsampled = color.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]), 1)
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode(subsampled)
+
+
 def test_png_codec_roundtrip_exercises_all_filters():
     """png_encode rotates the filter type per row (row % 5), so a >=5-row
     round-trip proves every unfilter branch (None/Sub/Up/Average/Paeth);

@@ -322,9 +322,24 @@ _JPEG_ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+# Annex K.2 (chroma quantization) — used by the 4:4:4 color path
+_JPEG_QTABLE_C = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
 # Annex K.3 (DC luminance): BITS (codes per length 1..16), then HUFFVAL
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
+# Annex K.4 (DC chrominance)
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
 # Annex K.5 (AC luminance)
 _JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _JPEG_AC_VALS = [
@@ -341,6 +356,27 @@ _JPEG_AC_VALS = [
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Annex K.6 (AC chrominance). NB: the DHT segment always carries the
+# table, so the round-trip is self-describing — the constant matters for
+# interop labeling, not correctness.
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
@@ -398,75 +434,123 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
+def _rgb_to_ycbcr(a):
+    """JFIF full-range BT.601, rounded to uint8 planes."""
+    import numpy as np
+
+    r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    y, cb, cr = (p.astype(np.float64) for p in (y, cb, cr))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.rint(p), 0, 255) for p in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def _jpeg_encode_block(bw, blk, q, dc_codes, ac_codes, pred, m):
+    import numpy as np
+
+    coef = m @ (blk.astype(np.float64) - 128.0) @ m.T
+    qc = np.rint(coef / q).astype(np.int64)
+    zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
+    s, bits = _jpeg_magnitude(zz[0] - pred)
+    bw.put(*dc_codes[s])
+    if s:
+        bw.put(bits, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s, bits = _jpeg_magnitude(zz[i])
+        bw.put(*ac_codes[run * 16 + s])
+        bw.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def jpeg_encode(arr) -> bytes:
-    """uint8 grayscale array [h, w] (dims multiples of 8) -> baseline
-    sequential JFIF-less JPEG bytes: level shift, 2-D FDCT per 8x8 block,
-    Annex-K.1 quantization, zigzag, DC differencing, K.3/K.5 Huffman with
-    byte stuffing. The full §F.1 pipeline — nothing table-driven is
+    """uint8 array [h, w] (grayscale) or [h, w, 3] (RGB -> 4:4:4 YCbCr),
+    dims multiples of 8 -> baseline sequential JFIF-less JPEG bytes:
+    level shift, 2-D FDCT per 8x8 block, Annex-K.1/K.2 quantization,
+    zigzag, per-component DC differencing, K.3-K.6 Huffman with byte
+    stuffing; color interleaves Y/Cb/Cr blocks per MCU (all sampling
+    factors 1x1). The full §F.1 pipeline — nothing table-driven is
     shortcut even though the fixture corpus only populates DC terms."""
     import struct
 
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 2:
-        raise ValueError("baseline grayscale JPEG encodes 2-D arrays")
-    h, w = a.shape
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
+        raise ValueError("baseline JPEG encodes [h,w] or [h,w,3] arrays")
+    h, w = a.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("fixture encoder requires multiples of 8")
+    color = a.ndim == 3
     m = _jpeg_dct_matrix()
-    q = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
-    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    q_l = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    q_c = np.asarray(_JPEG_QTABLE_C, dtype=np.float64).reshape(8, 8)
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    # (plane, quant, dc table, ac table) per component, MCU-interleaved
+    if color:
+        planes = _rgb_to_ycbcr(a)
+        comps = [(planes[0], q_l, dc_l, ac_l), (planes[1], q_c, dc_c, ac_c),
+                 (planes[2], q_c, dc_c, ac_c)]
+    else:
+        comps = [(a, q_l, dc_l, ac_l)]
 
     bw = _JpegBitWriter()
-    pred = 0
+    preds = [0] * len(comps)
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            blk = a[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = m @ blk @ m.T
-            qc = np.rint(coef / q).astype(np.int64)
-            zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
-            s, bits = _jpeg_magnitude(zz[0] - pred)
-            pred = zz[0]
-            bw.put(*dc_codes[s])
-            if s:
-                bw.put(bits, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s, bits = _jpeg_magnitude(zz[i])
-                bw.put(*ac_codes[run * 16 + s])
-                bw.put(bits, s)
-                run = 0
-            if last_nz < 63:
-                bw.put(*ac_codes[0x00])  # EOB
+            for ci, (plane, q, dc_codes, ac_codes) in enumerate(comps):
+                preds[ci] = _jpeg_encode_block(
+                    bw, plane[by : by + 8, bx : bx + 8], q, dc_codes,
+                    ac_codes, preds[ci], m,
+                )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    dqt = bytes([0]) + bytes(_JPEG_QTABLE[i] for i in _JPEG_ZIGZAG)
-    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
-    return (
-        b"\xff\xd8"
-        + seg(0xFFDB, dqt)
-        + seg(0xFFC0, sof)
-        + seg(0xFFC4, dht_dc)
-        + seg(0xFFC4, dht_ac)
-        + seg(0xFFDA, sos)
-        + bytes(bw.out)
-        + b"\xff\xd9"
-    )
+    out = b"\xff\xd8"
+    out += seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE[i] for i in _JPEG_ZIGZAG))
+    if color:
+        out += seg(0xFFDB, bytes([1]) + bytes(_JPEG_QTABLE_C[i] for i in _JPEG_ZIGZAG))
+        sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    else:
+        sof_comps = bytes([1, 0x11, 0])
+        sos_comps = bytes([1, 0x00])
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if color:
+        out += seg(0xFFC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C))
+        out += seg(0xFFC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
+    out += seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
+    return out + bytes(bw.out) + b"\xff\xd9"
 
 
 class _JpegBitReader:
@@ -515,14 +599,38 @@ def _jpeg_extend(bits: int, s: int) -> int:
     return bits if s == 0 or bits >> (s - 1) else bits - (1 << s) + 1
 
 
+def _jpeg_decode_block(br, dc_tbl, ac_tbl, pred: int) -> tuple[list[int], int]:
+    zz = [0] * 64
+    s = _jpeg_decode_huffman(br, dc_tbl)
+    pred += _jpeg_extend(br.bits(s), s) if s else 0
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = _jpeg_decode_huffman(br, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += sym >> 4
+        size_ = sym & 0x0F
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        zz[i] = _jpeg_extend(br.bits(size_), size_)
+        i += 1
+    return zz, pred
+
+
 def jpeg_decode(b: bytes):
-    """Baseline sequential single-component JPEG bytes -> uint8 [h, w].
+    """Baseline sequential JPEG bytes -> uint8 [h, w] (one component) or
+    [h, w, 3] (three components, 4:4:4, YCbCr -> RGB).
 
     Real §F.2 decode: marker walk (APPn/COM skipped), DQT (8-bit tables),
-    SOF0 (grayscale only — SOF2 progressive and multi-component scans are
-    rejected with the narrowed honesty gate), DHT canonical-code rebuild,
-    entropy decode with byte unstuffing, DC prediction + EXTEND, ZRL/EOB
-    runs, dezigzag, dequantize, 2-D IDCT, level shift, round, clip."""
+    SOF0 (SOF2 progressive and subsampled color are rejected with the
+    narrowed honesty gate), DHT canonical-code rebuild, entropy decode
+    with byte unstuffing, MCU-interleaved components with per-component
+    DC prediction + EXTEND, ZRL/EOB runs, dezigzag, dequantize, 2-D IDCT,
+    level shift, round, clip."""
     import struct
 
     import numpy as np
@@ -533,7 +641,7 @@ def jpeg_decode(b: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comp_q = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
     scan = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -555,14 +663,17 @@ def jpeg_decode(b: bytes):
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit single-component (grayscale) baseline JPEG "
-                    "decodes here; color needs YCbCr + subsampling"
+                    "only 8-bit 1- or 3-component baseline JPEG decodes here"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
-            comp_q = body[8]
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                sof_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError(
                 "progressive/extended JPEG unsupported (baseline SOF0 only)"
@@ -579,55 +690,49 @@ def jpeg_decode(b: bytes):
                     inv[(length, code)] = sym
                 htables[(tc, th)] = inv
                 off += 17 + nvals
-        elif marker == 0xDA:  # SOS — single scan to EOI for baseline
+        elif marker == 0xDA:  # SOS — single interleaved scan for baseline
             ncomp_s = body[0]
-            if ncomp_s != 1:
-                raise NotImplementedError("multi-component scan unsupported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            scan = (td, ta, pos + 2 + size)
+            if ncomp_s != len(sof_comps):
+                raise NotImplementedError("multi-scan JPEG unsupported")
+            tabs = {}
+            for c in range(ncomp_s):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                tabs[cid] = (tt >> 4, tt & 0x0F)
+            scan = (tabs, pos + 2 + size)
             break
         elif marker in (0xD8, 0xD9):
             pass
         pos += 2 + size
     if scan is None or h is None:
         raise ValueError("missing SOF0/SOS")
-    td, ta, data_start = scan
+    tabs, data_start = scan
     end = b.rfind(b"\xff\xd9")
     br = _JpegBitReader(b[data_start : end if end > data_start else len(b)])
-    dc_tbl, ac_tbl = htables[(0, td)], htables[(1, ta)]
-    q = np.asarray(qtables[comp_q], dtype=np.float64).reshape(8, 8)
     m = _jpeg_dct_matrix()
     nbx, nby = (w + 7) // 8, (h + 7) // 8
-    out = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
-    pred = 0
+    planes = [np.empty((nby * 8, nbx * 8), dtype=np.uint8) for _ in sof_comps]
+    comp_state = []
+    for cid, tq in sof_comps:
+        td, ta = tabs[cid]
+        comp_state.append(
+            (htables[(0, td)], htables[(1, ta)],
+             np.asarray(qtables[tq], dtype=np.float64).reshape(8, 8))
+        )
+    preds = [0] * len(sof_comps)
     for by in range(nby):
         for bx in range(nbx):
-            zz = [0] * 64
-            s = _jpeg_decode_huffman(br, dc_tbl)
-            pred += _jpeg_extend(br.bits(s), s) if s else 0
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                sym = _jpeg_decode_huffman(br, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += sym >> 4
-                size_ = sym & 0x0F
-                if i > 63:
-                    raise ValueError("AC run past end of block")
-                zz[i] = _jpeg_extend(br.bits(size_), size_)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            for k, z in enumerate(_JPEG_ZIGZAG):
-                coef[z] = zz[k]
-            pix = m.T @ (coef.reshape(8, 8) * q) @ m + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(pix), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+            for ci, (dc_tbl, ac_tbl, q) in enumerate(comp_state):
+                zz, preds[ci] = _jpeg_decode_block(br, dc_tbl, ac_tbl, preds[ci])
+                coef = np.zeros(64, dtype=np.float64)
+                for k, z in enumerate(_JPEG_ZIGZAG):
+                    coef[z] = zz[k]
+                pix = m.T @ (coef.reshape(8, 8) * q) @ m + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(pix), 0, 255
+                ).astype(np.uint8)
+    if len(planes) == 1:
+        return planes[0][:h, :w]
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])[:h, :w]
 
 
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -655,6 +760,37 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     k = (i + 7 * b) % 128 - 64
                     arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
                 payloads.append(jpeg_encode(arr))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COLOR (4:4:4) JPEG fixtures with an exact oracle.
+
+    Same constant-per-block design as :func:`attach_jpeg_payload`, but the
+    pixels enter as gray-in-RGB (R = G = B = 128 + 2k): BT.601 forward
+    conversion maps that to Y = 128 + 2k exactly (the luma weights sum to
+    1) and Cb = Cr = 128 exactly, so the chroma components carry
+    level-shift-zero constant blocks (DC 0 under the K.2 quantizer) and
+    the inverse conversion reproduces R = G = B = Y bit-exactly. The
+    whole 3-component MCU-interleave / per-component predictor / dual
+    quant+Huffman table machinery executes with zero loss — decoded stats
+    stay closed-form in the id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                nbx, nby = 1 + i % 3, 1 + i % 2
+                g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+                for b in range(nbx * nby):
+                    by, bx = divmod(b, nbx)
+                    k = (i + 7 * b) % 128 - 64
+                    g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+                payloads.append(jpeg_encode(np.stack([g, g, g], axis=-1)))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
@@ -694,9 +830,14 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
                 g = jpeg_decode(b)
             except NotImplementedError:
                 raise NotImplementedError(
-                    "progressive/color JPEG decode needs a codec library "
-                    "(PIL/opencv); the stdlib path covers baseline grayscale"
+                    "progressive/subsampled JPEG decode needs a codec library "
+                    "(PIL/opencv); the stdlib path covers baseline grayscale "
+                    "and 4:4:4 color"
                 )
+            if g.ndim == 3:
+                h, w, _ = g.shape
+                m = g.reshape(-1, 3).mean(axis=0) if h * w else np.zeros(3)
+                return w, h, "RGB", float(m[0]), float(m[1]), float(m[2])
             h, w = g.shape
             mean = float(g.mean()) if h * w else 0.0
             return w, h, "L", mean, mean, mean

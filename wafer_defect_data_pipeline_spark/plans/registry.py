@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "dedup_streaming_spans_time_travel",  # NEW: as-of reads from the manifest log
     "multimodal_jpeg_decode_stats",  # NEW: executed baseline JPEG codec
     "curation_token_budget_select",  # NEW: token-budget mixture selection
+    "multimodal_jpeg_color_decode_stats",  # NEW: 4:4:4 color JPEG path
     "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
     "similarity_nsw_scale_topk",  # NEW: sampled-entry scale config, recall 0.97@sf1
     "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode
