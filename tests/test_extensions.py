@@ -3486,6 +3486,38 @@ def test_delta_manifest_time_travel_recover(spark, tmp_path):
         DeltaManifest.recover(log, as_of_batch=-2)
 
 
+def test_delta_manifest_log_pruning_keeps_recovery(tmp_path):
+    """Log retention: pruning old entries leaves the head (and recovery)
+    intact while shrinking the time-travel horizon — the log stays
+    O(keep_last) on a multi-year stream, and the head is never removed
+    even with keep_last=0."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    def mkpart(name: str, nbytes: int) -> str:
+        p = tmp_path / name
+        p.mkdir(parents=True)
+        (p / "part-0").write_bytes(b"x" * nbytes)
+        return str(p)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(mkpart("base/v0", 100), compact_every=9, log_dir=log)
+    man.checkpoint(-1)
+    for i in range(5):
+        man.admit(mkpart(f"delta/batch={i}", 10 + i))
+        man.checkpoint(i)
+
+    assert man.prune_log(keep_last=2) == 4  # entries -1,0,1,2 removed
+    rec = DeltaManifest.recover(log)  # head (batch 4) untouched
+    assert rec.deltas == man.deltas
+    DeltaManifest.recover(log, as_of_batch=3)  # still inside the horizon
+    with _pytest.raises(FileNotFoundError):  # horizon shrank with the prune
+        DeltaManifest.recover(log, as_of_batch=1)
+    assert man.prune_log(keep_last=0) == 1  # keeps the head regardless
+    assert DeltaManifest.recover(log).deltas == man.deltas
+
+
 def test_tree_bytes_is_bounded(tmp_path):
     """Stats are diagnostics, never semantics: above the file-count bound
     the walk stops and reports -1 instead of paying a driver-side O(files)

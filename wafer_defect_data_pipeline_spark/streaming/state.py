@@ -51,7 +51,9 @@ single-writer half of optimistic concurrency — a stale/zombie driver
 publishing BEHIND the log head raises :class:`ManifestConflictError`
 instead of forking history — and ``recover(as_of_batch=N)`` is an exact
 time-travel read (every entry is a full-state snapshot; ``vacuum()``
-bounds the travel horizon exactly as Delta Lake retention does).
+bounds the travel horizon exactly as Delta Lake retention does), with
+``prune_log`` as the retention knob for the log itself (old entries
+serve only time travel — the head alone carries recovery).
 """
 
 from __future__ import annotations
@@ -212,6 +214,29 @@ class DeltaManifest:
         man.admit_bytes = list(state["admit_bytes"])
         man.compact_bytes = list(state["compact_bytes"])
         return man
+
+    def prune_log(self, keep_last: int = 30) -> int:
+        """Retention for the log itself: every entry is a FULL-state
+        snapshot (recovery needs only the head), so entries older than the
+        last ``keep_last`` serve time travel alone — delete them and the
+        as-of horizon shrinks with them, exactly like vacuum bounds the
+        data horizon. A multi-year daily stream keeps the log O(keep_last)
+        instead of O(days). Returns the number of entries removed. Never
+        removes the head."""
+        if self.log_dir is None or not os.path.isdir(self.log_dir):
+            return 0
+        ids = sorted(
+            int(f[len("batch="):-len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("batch=") and f.endswith(".json")
+        )
+        doomed = ids[:-keep_last] if keep_last > 0 else ids[:-1]
+        for i in doomed:
+            try:
+                os.remove(os.path.join(self.log_dir, f"batch={i}.json"))
+            except OSError:
+                pass
+        return len(doomed)
 
     def probe_parts(self, own_delta: str, include_own: bool = False) -> list[str]:
         """Parts a probe may read: base + deltas, excluding ``own_delta``
