@@ -3446,6 +3446,29 @@ def test_delta_manifest_conflict_guard_kills_stale_writer(tmp_path):
     # and the log head is untouched by the failed publish
     assert DeltaManifest.recover(log).deltas == fresh.deltas
 
+    # TOCTOU half (ADVICE r11): a zombie that PASSES the head scan but is
+    # overtaken during its publish window must die at the post-publish
+    # recheck rather than continue as a second live writer. Simulate the
+    # race by advancing the head from inside the zombie's own window: the
+    # pre-check sees head == batch_id (allowed), the post-check sees the
+    # competitor's later entry.
+    racer = DeltaManifest.recover(log)
+    orig = racer._head_entry
+    calls = {"n": 0}
+
+    def racing_head():
+        h = orig()
+        if calls["n"] == 0:  # pre-check passes at the stale head ...
+            calls["n"] += 1
+            return 1
+        return h  # ... post-check sees the advanced head
+
+    racer._head_entry = racing_head
+    fresh.admit(mkpart("delta/batch=2", 9))
+    fresh.checkpoint(2)
+    with _pytest.raises(ManifestConflictError, match="while"):
+        racer.checkpoint(1)
+
 
 def test_delta_manifest_time_travel_recover(spark, tmp_path):
     """Each log entry is a full-state snapshot, so recover(as_of_batch=N)
@@ -3693,9 +3716,57 @@ def test_jpeg_codec_color_444_roundtrip():
     assert err.max() <= 10 and err.mean() <= 4
 
     color = jpeg_encode(rgb)
-    subsampled = color.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]), 1)
+    oversampled = color.replace(bytes([1, 0x11, 0]), bytes([1, 0x31, 0]), 1)
+    with _pytest.raises(NotImplementedError):  # factors >2 stay gated
+        jpeg_decode(oversampled)
+
+
+def test_jpeg_codec_420_subsampled_roundtrip():
+    """The 4:2:0 path (r12): gray-in-RGB constant blocks round-trip
+    BIT-EXACTLY through 2x2-luma MCUs with box-downsampled chroma —
+    neutral chroma (128) survives the downsample/quantize/upsample chain
+    at any subsampling, the property the 420 oracle stands on. Restart
+    markers (DRI + RSTn predictor resets) round-trip at several
+    intervals; genuinely chromatic input is lossy-but-close (the
+    subsample really executes); ADVICE r11 regressions: standalone
+    markers before SOS are walked without a length word, and 16-bit DQT
+    raises NotImplementedError (honesty-gate class), not ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    for i in (0, 3, 11, 254):
+        nbx, nby = 2 * (1 + i % 2), 2 * (1 + i % 3)
+        g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+        for b in range(nbx * nby):
+            by, bx = divmod(b, nbx)
+            k = (i + 7 * b) % 128 - 64
+            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+        rgb = np.stack([g, g, g], axis=-1)
+        assert (jpeg_decode(jpeg_encode(rgb, subsample="420")) == rgb).all(), i
+        for ri in (1, 2, 7):  # restart markers: byte realign + DC reset
+            enc = jpeg_encode(rgb, subsample="420", restart_interval=ri)
+            assert b"\xff\xdd" in enc and (jpeg_decode(enc) == rgb).all(), (i, ri)
+        assert (jpeg_decode(jpeg_encode(g, restart_interval=2)) == g).all(), i
+
+    x = np.linspace(0, 255, 32)
+    r = np.add.outer(x, x) / 2
+    rgb = np.stack([r, 255 - r, np.full_like(r, 90.0)], axis=-1).astype(np.uint8)
+    err = np.abs(jpeg_decode(jpeg_encode(rgb, subsample="420")).astype(int) - rgb.astype(int))
+    assert err.max() <= 20 and err.mean() <= 5  # chroma genuinely decimated
+
+    good = jpeg_encode(np.full((8, 8), 200, dtype=np.uint8))
+    weird = good[:2] + b"\xff\x01\xff\xd0" + good[2:]  # TEM + stray RST0
+    assert (jpeg_decode(weird) == 200).all()
+    bad = bytearray(good)
+    assert bad[2:4] == b"\xff\xdb"
+    bad[6] = 0x10  # 16-bit DQT precision nibble
     with _pytest.raises(NotImplementedError):
-        jpeg_decode(subsampled)
+        jpeg_decode(bytes(bad))
 
 
 def test_png_codec_roundtrip_exercises_all_filters():

@@ -163,3 +163,28 @@ def test_compact_parquet_reduces_file_count(spark, wafer_csv, tmp_path):
     assert n_out == 1  # tiny dataset -> single right-sized file
     back = spark.read.parquet(str(tmp_path / "compact"))
     assert back.count() == df.count()
+
+
+def test_default_data_path_resolution(spark, wafer_csv, tmp_path, monkeypatch, capsys):
+    """S3 parity (reference data_loader.py:23-27): ``data_path=None`` resolves
+    to ``<repo root>/dataset.csv`` — the same "two levels up from the loader"
+    rule the reference's DataLoader uses — so ``main()`` runs with no args
+    exactly like the reference's ``main()`` (main.py:135-137)."""
+    from pathlib import Path
+
+    import wafer_defect_data_pipeline_spark.sources.csv as csv_mod
+    from wafer_defect_data_pipeline_spark.cli import main
+
+    # the shipped constant points at the project root, not inside the package
+    pkg_root = Path(csv_mod.__file__).resolve().parent.parent
+    assert csv_mod.DEFAULT_DATA_PATH == pkg_root.parent / "dataset.csv"
+
+    # redirect the default to a fixture dataset.csv and invoke main() bare
+    monkeypatch.setattr(csv_mod, "DEFAULT_DATA_PATH", Path(wafer_csv))
+    out = main(output_dir=str(tmp_path / "out"), save_processed=False, show_summary=False)
+    assert out.count() > 0 and "KMeans_Cluster" in out.columns
+
+    # without the redirect and no root dataset.csv, the error names the default
+    monkeypatch.setattr(csv_mod, "DEFAULT_DATA_PATH", tmp_path / "absent.csv")
+    with pytest.raises(FileNotFoundError, match="absent.csv"):
+        load_data(spark, None)

@@ -36,7 +36,7 @@ def _print_summary(label: str, df: DataFrame) -> int:
 
 
 def main(
-    data_path: str,
+    data_path: str | None = None,
     output_dir: str = "processed_data",
     save_processed: bool = True,
     show_summary: bool = True,
@@ -91,7 +91,12 @@ def main(
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("data_path", help="wafer CSV path")
+    p.add_argument(
+        "data_path",
+        nargs="?",
+        default=None,
+        help="wafer CSV path (default: <repo root>/dataset.csv, reference parity)",
+    )
     p.add_argument("--output-dir", default="processed_data")
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--no-summary", action="store_true")

@@ -10,10 +10,11 @@ nearest-neighbor resize, re-encode), RIFF/PCM audio (chunk walk, sample
 stats), and YUV4MPEG2 video (frame-marker walk, luma stats, frame
 sampling) — plus PNG (truecolor-8), whose DEFLATE+filter pipeline is
 implementable with stdlib zlib + numpy, closing the compressed-image gap
-with an EXECUTED path. Transform-coded formats (the JPEG family) fall
-through to PIL when importable and raise NotImplementedError otherwise —
-a DCT/entropy decoder is not reproducible from the stdlib, and the gate is
-kept honest rather than faked.
+with an EXECUTED path. Baseline sequential JPEG (grayscale, 4:4:4 and
+4:2:0 color, restart markers) is EXECUTED too via the T.81 codec below;
+the one remaining transform-coded variant (progressive scans) falls
+through to PIL when importable and raises NotImplementedError otherwise —
+the gate is kept honest rather than faked.
 """
 
 from __future__ import annotations
@@ -294,15 +295,16 @@ def png_decode(b: bytes):
     return out.reshape(h, w, 3)
 
 
-# --- Baseline JPEG codec (ITU T.81 §F baseline sequential, grayscale) ------
+# --- Baseline JPEG codec (ITU T.81 §F baseline sequential) -----------------
 # The last honesty gate, now executed: the DCT / quantize / zigzag /
 # Huffman pipeline is plain numpy + byte arithmetic — no codec library.
-# Scope is deliberately the BASELINE SEQUENTIAL, SINGLE-COMPONENT profile
-# (8-bit, no chroma subsampling): the fixture corpus is grayscale, and
-# progressive scans / multi-component color stay behind the (narrowed)
-# NotImplementedError gate. Tables are the T.81 Annex K standards: K.1
-# luminance quantization (DC slot 16 — load-bearing for the exact oracle,
-# see attach_jpeg_payload), K.3 DC and K.5 AC Huffman.
+# Scope is the BASELINE SEQUENTIAL profile (8-bit): single-component
+# grayscale, 4:4:4 color, and subsampled color with sampling factors in
+# {1, 2} (4:2:0 / 4:2:2 / 4:4:0), with DRI/RSTn restart intervals.
+# Progressive scans stay behind the (narrowed) NotImplementedError gate.
+# Tables are the T.81 Annex K standards: K.1 luminance quantization (DC
+# slot 16 — load-bearing for the exact oracle, see attach_jpeg_payload),
+# K.3 DC and K.5 AC Huffman.
 
 _JPEG_QTABLE = [
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -485,14 +487,20 @@ def _jpeg_encode_block(bw, blk, q, dc_codes, ac_codes, pred, m):
     return zz[0]
 
 
-def jpeg_encode(arr) -> bytes:
-    """uint8 array [h, w] (grayscale) or [h, w, 3] (RGB -> 4:4:4 YCbCr),
+def jpeg_encode(arr, subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """uint8 array [h, w] (grayscale) or [h, w, 3] (RGB -> YCbCr),
     dims multiples of 8 -> baseline sequential JFIF-less JPEG bytes:
     level shift, 2-D FDCT per 8x8 block, Annex-K.1/K.2 quantization,
     zigzag, per-component DC differencing, K.3-K.6 Huffman with byte
-    stuffing; color interleaves Y/Cb/Cr blocks per MCU (all sampling
-    factors 1x1). The full §F.1 pipeline — nothing table-driven is
-    shortcut even though the fixture corpus only populates DC terms."""
+    stuffing. Color interleaves Y/Cb/Cr blocks per MCU: ``subsample=
+    "444"`` uses 1x1 sampling everywhere (one block per component per
+    MCU); ``"420"`` uses 2x2 luma sampling with 2x2-mean-downsampled
+    chroma (four Y blocks + Cb + Cr per 16x16 MCU, dims multiples of
+    16 — the dominant real-world JPEG shape). ``restart_interval > 0``
+    emits a DRI segment and RST0-7 markers every N MCUs (byte-aligned,
+    DC predictors reset — T.81 §F.1.2.3 / §B.2.4.4). The full §F.1
+    pipeline — nothing table-driven is shortcut even though the fixture
+    corpus only populates DC terms."""
     import struct
 
     import numpy as np
@@ -501,9 +509,14 @@ def jpeg_encode(arr) -> bytes:
     if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
         raise ValueError("baseline JPEG encodes [h,w] or [h,w,3] arrays")
     h, w = a.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("fixture encoder requires multiples of 8")
     color = a.ndim == 3
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub420 = color and subsample == "420"
+    if sub420 and (h % 16 or w % 16):
+        raise ValueError("4:2:0 fixture encoder requires multiples of 16")
+    if not sub420 and (h % 8 or w % 8):
+        raise ValueError("fixture encoder requires multiples of 8")
     m = _jpeg_dct_matrix()
     q_l = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     q_c = np.asarray(_JPEG_QTABLE_C, dtype=np.float64).reshape(8, 8)
@@ -512,23 +525,46 @@ def jpeg_encode(arr) -> bytes:
     dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
     ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
 
-    # (plane, quant, dc table, ac table) per component, MCU-interleaved
+    # (plane, hi, vi, quant, dc table, ac table) per component
     if color:
-        planes = _rgb_to_ycbcr(a)
-        comps = [(planes[0], q_l, dc_l, ac_l), (planes[1], q_c, dc_c, ac_c),
-                 (planes[2], q_c, dc_c, ac_c)]
+        y, cb, cr = _rgb_to_ycbcr(a)
+        if sub420:
+            # 2x2 mean downsample (JFIF-style box filter), rounded to uint8
+            def down(p):
+                return np.clip(
+                    np.rint(p.astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))),
+                    0, 255,
+                ).astype(np.uint8)
+
+            comps = [(y, 2, 2, q_l, dc_l, ac_l), (down(cb), 1, 1, q_c, dc_c, ac_c),
+                     (down(cr), 1, 1, q_c, dc_c, ac_c)]
+        else:
+            comps = [(y, 1, 1, q_l, dc_l, ac_l), (cb, 1, 1, q_c, dc_c, ac_c),
+                     (cr, 1, 1, q_c, dc_c, ac_c)]
     else:
-        comps = [(a, q_l, dc_l, ac_l)]
+        comps = [(a, 1, 1, q_l, dc_l, ac_l)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
 
     bw = _JpegBitWriter()
     preds = [0] * len(comps)
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for ci, (plane, q, dc_codes, ac_codes) in enumerate(comps):
-                preds[ci] = _jpeg_encode_block(
-                    bw, plane[by : by + 8, bx : bx + 8], q, dc_codes,
-                    ac_codes, preds[ci], m,
-                )
+    mcu_n = 0
+    for my in range(nmy):
+        for mx in range(nmx):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()  # byte-align, then a raw (unstuffed) RSTn marker
+                bw.out += bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
+                preds = [0] * len(comps)
+            for ci, (plane, hi, vi, q, dc_codes, ac_codes) in enumerate(comps):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        by, bx = (my * vi + byy) * 8, (mx * hi + bxx) * 8
+                        preds[ci] = _jpeg_encode_block(
+                            bw, plane[by : by + 8, bx : bx + 8], q, dc_codes,
+                            ac_codes, preds[ci], m,
+                        )
+            mcu_n += 1
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -537,8 +573,9 @@ def jpeg_encode(arr) -> bytes:
     out = b"\xff\xd8"
     out += seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE[i] for i in _JPEG_ZIGZAG))
     if color:
+        samp_y = (hmax << 4) | vmax
         out += seg(0xFFDB, bytes([1]) + bytes(_JPEG_QTABLE_C[i] for i in _JPEG_ZIGZAG))
-        sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sof_comps = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
         sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11])
     else:
         sof_comps = bytes([1, 0x11, 0])
@@ -549,6 +586,8 @@ def jpeg_encode(arr) -> bytes:
     if color:
         out += seg(0xFFC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C))
         out += seg(0xFFC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
     return out + bytes(bw.out) + b"\xff\xd9"
 
@@ -581,6 +620,18 @@ class _JpegBitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Consume an RSTn marker: drop pad bits to the byte boundary, then
+        expect the raw (unstuffed) 0xFF 0xD0+n pair (T.81 §F.2.1.3.1)."""
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + n
+        ):
+            raise ValueError(f"missing expected RST{n} marker in JPEG scan")
+        self.pos += 2
 
 
 def _jpeg_decode_huffman(br: "_JpegBitReader", table: dict[tuple[int, int], int]) -> int:
@@ -623,14 +674,19 @@ def _jpeg_decode_block(br, dc_tbl, ac_tbl, pred: int) -> tuple[list[int], int]:
 
 def jpeg_decode(b: bytes):
     """Baseline sequential JPEG bytes -> uint8 [h, w] (one component) or
-    [h, w, 3] (three components, 4:4:4, YCbCr -> RGB).
+    [h, w, 3] (three components, YCbCr -> RGB; 4:4:4 and subsampled
+    layouts with per-component sampling factors in {1, 2} — 4:2:0,
+    4:2:2, 4:4:0 — chroma upsampled by pixel replication).
 
-    Real §F.2 decode: marker walk (APPn/COM skipped), DQT (8-bit tables),
-    SOF0 (SOF2 progressive and subsampled color are rejected with the
-    narrowed honesty gate), DHT canonical-code rebuild, entropy decode
-    with byte unstuffing, MCU-interleaved components with per-component
-    DC prediction + EXTEND, ZRL/EOB runs, dezigzag, dequantize, 2-D IDCT,
-    level shift, round, clip."""
+    Real §F.2 decode: marker walk (APPn/COM skipped, standalone
+    TEM/RSTn/SOI/EOI advanced without a length word — T.81 §B.1.1.3),
+    DQT (8-bit tables; 16-bit stays behind the honesty gate), SOF0
+    (SOF1/2/3 rejected with the narrowed honesty gate), DHT
+    canonical-code rebuild, DRI restart intervals (predictor reset +
+    byte realign at each RSTn), entropy decode with byte unstuffing,
+    MCU-interleaved components with per-component DC prediction +
+    EXTEND, ZRL/EOB runs, dezigzag, dequantize, 2-D IDCT, level shift,
+    round, clip."""
     import struct
 
     import numpy as np
@@ -641,12 +697,19 @@ def jpeg_decode(b: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
+    sof_comps: list[tuple[int, int, int, int]] = []  # (comp id, hi, vi, quant id)
+    restart_interval = 0
     scan = None
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = b[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone markers carry no length word (TEM, RSTn, SOI, EOI)
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            break
         (size,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + size]
         if marker == 0xDB:  # DQT
@@ -654,7 +717,9 @@ def jpeg_decode(b: bytes):
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
                 if pq != 0:
-                    raise ValueError("16-bit quantization tables unsupported")
+                    raise NotImplementedError(
+                        "16-bit quantization tables unsupported (8-bit baseline only)"
+                    )
                 zz = list(body[off + 1 : off + 65])
                 tbl = [0] * 64
                 for i, z in enumerate(_JPEG_ZIGZAG):
@@ -669,11 +734,14 @@ def jpeg_decode(b: bytes):
                 )
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    hi = vi = 1  # single-component scans are non-interleaved
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG unsupported (4:4:4 only)"
+                        "JPEG sampling factors above 2 unsupported"
                     )
-                sof_comps.append((cid, tq))
+                sof_comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError(
                 "progressive/extended JPEG unsupported (baseline SOF0 only)"
@@ -690,6 +758,8 @@ def jpeg_decode(b: bytes):
                     inv[(length, code)] = sym
                 htables[(tc, th)] = inv
                 off += 17 + nvals
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — single interleaved scan for baseline
             ncomp_s = body[0]
             if ncomp_s != len(sof_comps):
@@ -700,8 +770,6 @@ def jpeg_decode(b: bytes):
                 tabs[cid] = (tt >> 4, tt & 0x0F)
             scan = (tabs, pos + 2 + size)
             break
-        elif marker in (0xD8, 0xD9):
-            pass
         pos += 2 + size
     if scan is None or h is None:
         raise ValueError("missing SOF0/SOS")
@@ -709,30 +777,50 @@ def jpeg_decode(b: bytes):
     end = b.rfind(b"\xff\xd9")
     br = _JpegBitReader(b[data_start : end if end > data_start else len(b)])
     m = _jpeg_dct_matrix()
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    planes = [np.empty((nby * 8, nbx * 8), dtype=np.uint8) for _ in sof_comps]
+    hmax = max(c[1] for c in sof_comps)
+    vmax = max(c[2] for c in sof_comps)
+    nmx, nmy = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.empty((nmy * vi * 8, nmx * hi * 8), dtype=np.uint8)
+        for _, hi, vi, _tq in sof_comps
+    ]
     comp_state = []
-    for cid, tq in sof_comps:
+    for cid, hi, vi, tq in sof_comps:
         td, ta = tabs[cid]
         comp_state.append(
-            (htables[(0, td)], htables[(1, ta)],
+            (hi, vi, htables[(0, td)], htables[(1, ta)],
              np.asarray(qtables[tq], dtype=np.float64).reshape(8, 8))
         )
     preds = [0] * len(sof_comps)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (dc_tbl, ac_tbl, q) in enumerate(comp_state):
-                zz, preds[ci] = _jpeg_decode_block(br, dc_tbl, ac_tbl, preds[ci])
-                coef = np.zeros(64, dtype=np.float64)
-                for k, z in enumerate(_JPEG_ZIGZAG):
-                    coef[z] = zz[k]
-                pix = m.T @ (coef.reshape(8, 8) * q) @ m + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.rint(pix), 0, 255
-                ).astype(np.uint8)
+    mcu_n = 0
+    for my in range(nmy):
+        for mx in range(nmx):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart((mcu_n // restart_interval - 1) % 8)
+                preds = [0] * len(sof_comps)
+            for ci, (hi, vi, dc_tbl, ac_tbl, q) in enumerate(comp_state):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz, preds[ci] = _jpeg_decode_block(br, dc_tbl, ac_tbl, preds[ci])
+                        coef = np.zeros(64, dtype=np.float64)
+                        for k, z in enumerate(_JPEG_ZIGZAG):
+                            coef[z] = zz[k]
+                        pix = m.T @ (coef.reshape(8, 8) * q) @ m + 128.0
+                        by, bx = (my * vi + byy) * 8, (mx * hi + bxx) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = np.clip(
+                            np.rint(pix), 0, 255
+                        ).astype(np.uint8)
+            mcu_n += 1
     if len(planes) == 1:
         return planes[0][:h, :w]
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])[:h, :w]
+    up = []
+    for (cid, hi, vi, tq), p in zip(sof_comps, planes):
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        up.append(p[: nmy * vmax * 8, : nmx * hmax * 8])
+    return _ycbcr_to_rgb(up[0], up[1], up[2])[:h, :w]
 
 
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -796,17 +884,51 @@ def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id") -> DataFram
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
+def attach_jpeg_420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 4:2:0 chroma-subsampled JPEG fixtures with an exact
+    oracle, encoded with restart markers (DRI interval 2) so the decode
+    exercises RSTn predictor resets as well.
+
+    Gray-in-RGB pixels (R = G = B = 128 + 2k per 8x8 luma block) keep the
+    lossy path exactly invertible at ANY subsampling: neutral chroma is
+    the constant 128 everywhere, so the 2x2 box downsample, the K.2
+    quantizer, and the pixel-replication upsample all reproduce 128
+    bit-exactly while the 2x2-luma MCU interleave (four Y blocks + Cb +
+    Cr per 16x16 MCU) runs the real §F.1/§F.2 machinery both ways.
+    Images span ``(1 + id%2)`` x ``(1 + id%3)`` MCUs of 16x16."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                nbx, nby = 2 * (1 + i % 2), 2 * (1 + i % 3)
+                g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+                for b in range(nbx * nby):
+                    by, bx = divmod(b, nbx)
+                    k = (i + 7 * b) % 128 - 64
+                    g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+                payloads.append(
+                    jpeg_encode(np.stack([g, g, g], axis=-1), subsample="420",
+                                restart_interval=2)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Decode image bytes -> (width, height, mode, per-channel means) via
     mapInPandas.
 
     PPM (P6) payloads decode through the built-in numpy codec above, PNG
-    (truecolor-8) through the zlib codec, and baseline sequential
-    grayscale JPEG through the T.81 Huffman/DCT codec — all fully
-    executable in this environment, no external library. The remaining
-    JPEG variants (progressive scans, multi-component color with chroma
-    subsampling) fall through to PIL when importable; without PIL they
-    raise NotImplementedError (the narrowed honesty gate).
+    (truecolor-8) through the zlib codec, and baseline sequential JPEG
+    (grayscale, 4:4:4 and subsampled color incl. 4:2:0, restart markers)
+    through the T.81 Huffman/DCT codec — all fully executable in this
+    environment, no external library. The remaining JPEG variant
+    (progressive scans) falls through to PIL when importable; without
+    PIL it raises NotImplementedError (the narrowed honesty gate).
     """
     import io
 
@@ -830,9 +952,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
                 g = jpeg_decode(b)
             except NotImplementedError:
                 raise NotImplementedError(
-                    "progressive/subsampled JPEG decode needs a codec library "
+                    "progressive JPEG decode needs a codec library "
                     "(PIL/opencv); the stdlib path covers baseline grayscale "
-                    "and 4:4:4 color"
+                    "and 4:4:4 / 4:2:0 color with restart markers"
                 )
             if g.ndim == 3:
                 h, w, _ = g.shape

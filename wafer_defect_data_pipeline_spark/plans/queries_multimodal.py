@@ -254,6 +254,47 @@ register(
 )
 
 
+# The 4:2:0 SUBSAMPLED twin (r12): the dominant real-world JPEG shape —
+# 2x2 luma sampling, box-downsampled chroma, four Y blocks + Cb + Cr per
+# 16x16 MCU — encoded with DRI restart intervals (RSTn every 2 MCUs) so
+# the decode also exercises predictor resets + bit-reader realignment.
+# Gray-in-RGB keeps chroma constant at 128, which survives ANY
+# subsampling exactly, so the lossy path stays exactly invertible and
+# the id arithmetic still predicts the RGB means in closed form.
+def _jpeg_420_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import attach_jpeg_420_payload, decode_image
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image(attach_jpeg_420_payload(d)).orderBy("doc_id")
+
+
+register(
+    "multimodal_jpeg_420_decode_stats",
+    _jpeg_420_decode_stats,
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(2 * (1 + doc_id % 2) AS BIGINT) AS nbx,
+             CAST(2 * (1 + doc_id % 3) AS BIGINT) AS nby
+      FROM documents
+    ), k AS (
+      SELECT p.doc_id, p.nbx, p.nby,
+             avg(CAST((p.doc_id + 7 * t.b) % 128 - 64 AS DOUBLE)) AS avg_k
+      FROM p, unnest(range(0, p.nbx * p.nby)) AS t(b)
+      GROUP BY p.doc_id, p.nbx, p.nby
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INTEGER) AS width,
+           CAST(8 * nby AS INTEGER) AS height,
+           'RGB' AS mode,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_r,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_g,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_b
+    FROM k ORDER BY doc_id
+    """,
+)
+
+
 # --- EXECUTED audio path: stdlib RIFF/PCM codec, oracle-checked -------------
 # Same design as the image query: fixture WAVs are arithmetic ramps
 # s_i = (id%50) + i over n = 100 + id%7 samples, so mean = base + (n-1)/2

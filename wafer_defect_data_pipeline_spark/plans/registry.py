@@ -89,7 +89,11 @@ def _load_all() -> None:
 # order; a listed name missing from the registry is a hard error (catches
 # renames).
 _PRIORITY: list[str] = [
-    # (a) new or changed this round (r11): the restart drills (durable
+    # (a) new or changed THIS round (r12): the 4:2:0 chroma-subsampled JPEG
+    # decode (2x2 luma MCUs + box-downsampled chroma + DRI/RSTn restart
+    # markers — narrows the codec honesty gate to progressive scans only)
+    "multimodal_jpeg_420_decode_stats",  # NEW r12: 4:2:0 + restart markers
+    # (a, r11) new or changed last round: the restart drills (durable
     # DeltaManifest transaction log + checkpointLocation-real recovery),
     # their delta/rewrite siblings (shared bodies refactored into
     # factories), the hyperplane-LSH promotion to an exact oracle (staged

@@ -16,10 +16,16 @@ from pyspark.sql import types as T
 
 from ..schema import WAFER_SCHEMA
 
+# S3 default-path parity (reference data_loader.py:23-27): ``data_path=None``
+# resolves to ``<project root>/dataset.csv``, where project root is the parent
+# of the package directory — the same "two levels up from the loader module"
+# rule the reference uses.
+DEFAULT_DATA_PATH = Path(__file__).resolve().parent.parent.parent / "dataset.csv"
+
 
 def load_wafer_csv(
     spark: SparkSession,
-    data_path: str,
+    data_path: str | None = None,
     schema: T.StructType | None = None,
     encoding: str = "utf-8",
     infer_schema: bool = False,
@@ -30,9 +36,9 @@ def load_wafer_csv(
     twice) and pins column types independent of file contents — at 100 TB an
     inference pass over the data is a full extra job.
     """
-    p = Path(data_path)
+    p = Path(data_path) if data_path is not None else DEFAULT_DATA_PATH
     if not p.exists():
-        raise FileNotFoundError(f"Data file not found: {data_path}")
+        raise FileNotFoundError(f"Data file not found: {p}")
     reader = spark.read.option("header", True).option("encoding", encoding)
     if infer_schema or schema is False:
         reader = reader.option("inferSchema", True)
@@ -40,10 +46,12 @@ def load_wafer_csv(
         reader = reader.schema(schema or WAFER_SCHEMA)
     df = reader.csv(str(p))
     if df.isEmpty():
-        raise ValueError(f"Data file is empty: {data_path}")
+        raise ValueError(f"Data file is empty: {p}")
     return df
 
 
-def load_data(spark: SparkSession, data_path: str, encoding: str = "utf-8") -> DataFrame:
+def load_data(
+    spark: SparkSession, data_path: str | None = None, encoding: str = "utf-8"
+) -> DataFrame:
     """Functional wrapper matching the reference's ``load_data`` surface."""
     return load_wafer_csv(spark, data_path, encoding=encoding)

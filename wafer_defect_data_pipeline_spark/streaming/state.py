@@ -145,7 +145,18 @@ class DeltaManifest:
         when the log head is already PAST ``batch_id`` — a zombie driver
         whose replacement has admitted later batches must die rather than
         fork the manifest history (re-publishing the head itself is the
-        legitimate retry case and stays allowed).
+        legitimate retry case and stays allowed). The guard is
+        check-publish-RECHECK, not CAS: a zombie that passes the head scan
+        can still land its ``os.replace`` concurrently with the
+        replacement's, so the head is re-read AFTER the publish and a
+        conflict raised if another writer advanced past ``batch_id`` in
+        the window. The zombie's entry for its own batch may have been
+        durably (re-)published by then — harmless, it is byte-equal to
+        what that batch legitimately checkpointed — but the zombie itself
+        dies here instead of continuing to the next batch. True
+        mutual-exclusion publishing needs a lock service or a
+        rename-is-atomic-and-exclusive store, which the documented
+        single-writer-per-log_dir scope deliberately avoids.
         """
         if self.log_dir is None:
             return
@@ -162,6 +173,13 @@ class DeltaManifest:
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, os.path.join(self.log_dir, f"batch={batch_id}.json"))
+        head = self._head_entry()
+        if head is not None and head > batch_id:
+            raise ManifestConflictError(
+                f"concurrent writer advanced the log to batch={head} while "
+                f"batch={batch_id} was publishing ({self.log_dir}); dying "
+                "rather than forking the manifest history"
+            )
 
     def _head_entry(self) -> int | None:
         """Highest batch_id in the log, or None when the log is empty /
