@@ -282,22 +282,31 @@ def _mllib_coef_values() -> str:
     return ", ".join(f"({t}, {a}, {b})" for t, a, b in _MLLIB_MINHASH_COEFS)
 
 
-def _mllib_minhash(spark, sf_dir):
-    """MLlib MinHashLSH estimator path with a DETERMINISTIC vocabulary.
+# HashingTF-style fixed feature space for the MLlib twin (r11 verdict #2):
+# indices come from a hash of the shingle, not a global vocabulary, so no
+# single-partition row_number window and no vocab count() job exist in the
+# plan. 2^20 keeps collisions rare at this corpus size; collisions are
+# SEMANTICS, not error — MLlib's keyDistance is Jaccard over nonzero index
+# sets, and the oracle mirrors the same hashed-index sets exactly.
+_MLLIB_FEATURE_DIM = 1 << 20
 
-    CountVectorizer's vocabulary orders ties arbitrarily (count-desc sort
-    over an RDD), and MinHash values depend on feature INDICES — so the
-    replayable form assigns indices by global shingle sort order
-    (row_number over ORDER BY shingle), which DuckDB reproduces exactly.
-    The single-partition window is a correctness-query concession: the
-    scale path for banded minhash is operators/dedup.py's
-    ``minhash_lsh_pairs`` (relational md5 permutations, no global sort);
-    this query exists to exercise the MLlib estimator surface
+
+def _mllib_minhash(spark, sf_dir):
+    """MLlib MinHashLSH estimator path with a DETERMINISTIC feature space.
+
+    MinHash values depend on feature INDICES — so the replayable form
+    hashes each shingle into a fixed 2^20 feature space via the engine's
+    md5 (cross-engine exact: DuckDB computes the same md5 hex and the
+    same modulus). This is HashingTF's shape — fully distributed, no
+    global sort, no count() pre-pass — replacing the r11 vocab
+    row_number() window that was the engine's one single-partition spot.
+    The scale path for banded minhash remains operators/dedup.py's
+    ``minhash_lsh_pairs`` (relational md5 permutations); this query
+    exists to exercise the MLlib estimator surface
     (fit → approxSimilarityJoin) under the same oracle discipline.
     """
     from pyspark.ml.feature import MinHashLSH
     from pyspark.ml.linalg import Vectors, VectorUDT
-    from pyspark.sql import Window as W
 
     d = read_table(spark, sf_dir, "documents")
     planted = (
@@ -310,21 +319,24 @@ def _mllib_minhash(spark, sf_dir):
 
     shingled = both.select(
         "doc_id", token_shingles("text", 3).alias("shingles")
-    ).filter(F.size("shingles") > 0).localCheckpoint(eager=False)
-    vocab = (
-        shingled.select(F.explode("shingles").alias("sh"))
-        .distinct()
-        .withColumn("idx", F.row_number().over(W.orderBy("sh")) - 1)
-    )
-    n_features = vocab.count()
+    ).filter(F.size("shingles") > 0)
     idx_sets = (
         shingled.select("doc_id", F.explode("shingles").alias("sh"))
-        .join(vocab, "sh")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+                % _MLLIB_FEATURE_DIM
+            ).alias("idx"),
+        )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("idx")).alias("idxs"))
     )
+    dim = _MLLIB_FEATURE_DIM
     to_vec = F.udf(
-        lambda idxs: Vectors.sparse(n_features, idxs, [1.0] * len(idxs)),
+        # MLlib's input type forces VectorUDT construction through a UDF;
+        # with a constant dim it builds from the bounded per-doc index list
+        lambda idxs: Vectors.sparse(dim, idxs, [1.0] * len(idxs)),
         VectorUDT(),
     )
     feats = idx_sets.select("doc_id", to_vec("idxs").alias("features"))
@@ -362,13 +374,13 @@ register(
       FROM t
     ), sh_ok AS (
       SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
-    ), vocab AS (
-      SELECT sh_term, row_number() OVER (ORDER BY sh_term) - 1 AS idx
-      FROM (SELECT DISTINCT unnest(shingles) AS sh_term FROM sh_ok)
     ), docidx AS (
-      SELECT DISTINCT d.doc_id, v.idx
-      FROM (SELECT doc_id, unnest(shingles) AS sh_term FROM sh_ok) d
-      JOIN vocab v USING (sh_term)
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substring(md5(sh_term), 1, 15)) AS BIGINT)
+               % {_MLLIB_FEATURE_DIM} AS idx
+      FROM (SELECT doc_id, unnest(shingles) AS sh_term FROM sh_ok)
+    ), docsets AS (
+      SELECT doc_id, list(idx) AS idxs FROM docidx GROUP BY doc_id
     ), coef(t, a, b) AS (
       VALUES {_mllib_coef_values()}
     ), dochash AS (
@@ -379,13 +391,15 @@ register(
       FROM dochash x JOIN dochash y ON x.t = y.t AND x.h = y.h
       WHERE x.doc_id < y.doc_id
     ), verified AS (
+      -- MLlib keyDistance = Jaccard over NONZERO INDEX sets, so verify on
+      -- the hashed-index sets (collisions merge features on BOTH engines)
       SELECT c.id_a, c.id_b,
-             1.0 - CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / (len(a.shingles) + len(b.shingles)
-                      - len(list_intersect(a.shingles, b.shingles))) AS dist
+             1.0 - CAST(len(list_intersect(a.idxs, b.idxs)) AS DOUBLE)
+                   / (len(a.idxs) + len(b.idxs)
+                      - len(list_intersect(a.idxs, b.idxs))) AS dist
       FROM cand c
-      JOIN sh_ok a ON a.doc_id = c.id_a
-      JOIN sh_ok b ON b.doc_id = c.id_b
+      JOIN docsets a ON a.doc_id = c.id_a
+      JOIN docsets b ON b.doc_id = c.id_b
     )
     SELECT id_a, id_b, round(1.0 - dist, 6) + 0.0 AS est_jaccard
     FROM verified WHERE dist < 0.6

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     # decode (2x2 luma MCUs + box-downsampled chroma + DRI/RSTn restart
     # markers — narrows the codec honesty gate to progressive scans only)
     "multimodal_jpeg_420_decode_stats",  # NEW r12: 4:2:0 + restart markers
+    "dedup_mllib_minhash_lsh",  # CHANGED r12: hashed feature space (no global window)
     # (a, r11) new or changed last round: the restart drills (durable
     # DeltaManifest transaction log + checkpointLocation-real recovery),
     # their delta/rewrite siblings (shared bodies refactored into
@@ -114,7 +115,6 @@ _PRIORITY: list[str] = [
     "dedup_streaming_incremental_spans",  # rewrite twin, shared-oracle refactor
     "similarity_streaming_ann_probe",  # delta discipline + retry idempotency
     "entity_matches_multipass",  # NEW: rotated-key multi-pass SNM
-    "dedup_mllib_minhash_lsh",  # PROMOTED: exact oracle (was rows-only)
     "graph_lpa_communities",  # internal symmetrize (undirected semantics)
     "training_lr_quality",  # loss-term clamp for saturated sigmoids
     "training_lr_scores",
