@@ -3917,3 +3917,75 @@ def test_mllib_minhash_plan_has_no_single_partition_window(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_delta_manifest_log_checkpoint_cadence_and_replay_equivalence(tmp_path):
+    """r11 verdict #4: the transaction log is Delta-style — every Nth
+    entry a full-state snapshot, the rest field-level deltas. (1) The
+    cadence is real on disk: with log_checkpoint_every=3 the entries
+    alternate snapshot/delta as specified and delta entries are
+    O(changes) small. (2) recover() from checkpoint + tail is BIT-EQUAL
+    to a full sequential replay of every entry, at every as-of point.
+    (3) A head republish (Structured-Streaming retry) keeps the batch's
+    real changes in the overwritten entry instead of degenerating to
+    empty ops. (4) prune_log snapshots the retention boundary before
+    deleting older entries, so recovery at the boundary survives."""
+    import json as _json
+    import os as _os
+
+    from wafer_defect_data_pipeline_spark.streaming.state import DeltaManifest
+
+    def mkpart(name: str, nbytes: int) -> str:
+        p = tmp_path / name
+        p.mkdir(parents=True)
+        (p / "part-0").write_bytes(b"x" * nbytes)
+        return str(p)
+
+    log = str(tmp_path / "_log")
+    man = DeltaManifest(
+        mkpart("base/v0", 100), compact_every=4, log_dir=log,
+        log_checkpoint_every=3,
+    )
+    man.checkpoint(-1)  # genesis: always a snapshot
+    for i in range(8):  # crosses a compaction (compact_every=4) + 2 cadences
+        man.admit(mkpart(f"delta/batch={i}", 10 + i))
+        if man.want_compact():
+            man.finish_compact(mkpart(f"base/v{i + 1}", 200 + i), f"delta/batch={i}")
+        man.checkpoint(i)
+
+    def entry(i):
+        with open(_os.path.join(log, f"batch={i}.json")) as fh:
+            return _json.load(fh)
+
+    kinds = {i: ("state" in entry(i)) for i in range(-1, 8)}
+    assert kinds[-1] is True  # genesis snapshot
+    # cadence 3: two deltas then a snapshot, repeating
+    assert [kinds[i] for i in range(0, 8)] == [
+        False, False, True, False, False, True, False, False,
+    ]
+    assert all("ops" in entry(i) for i, full in kinds.items() if not full)
+
+    # (2) checkpoint+tail recovery == full replay, at every as-of point
+    # (expected states materialized up front — prune deletes entries later)
+    replayed, state = {}, None
+    for i in range(-1, 8):
+        state = DeltaManifest._apply_entry(state, entry(i))
+        replayed[i] = state
+
+    for as_of in range(-1, 8):
+        rec = DeltaManifest.recover(log, as_of_batch=as_of)
+        assert rec._state() == replayed[as_of], as_of
+    assert DeltaManifest.recover(log)._state() == replayed[7]
+
+    # (3) head republish: entry 7 is a delta; re-publishing batch 7 must
+    # keep the real diff (the admit of delta/batch=7), not empty ops
+    man.checkpoint(7)
+    assert entry(7)["ops"] != {}
+    assert DeltaManifest.recover(log)._state() == replayed[7]
+
+    # (4) prune to a delta boundary: entry 4 (a delta) becomes a snapshot
+    removed = man.prune_log(keep_last=4)  # keeps 4..7
+    assert removed == 5  # -1, 0, 1, 2, 3
+    assert "state" in entry(4)
+    assert DeltaManifest.recover(log, as_of_batch=4)._state() == replayed[4]
+    assert DeltaManifest.recover(log)._state() == replayed[7]

@@ -45,10 +45,12 @@ never double-counts its delta. Compaction therefore always lags the
 newest batch by one; cadence-invariance tests pin that this is
 operational, never semantic.
 
-Durability (round 11): the manifest is no longer driver-memory-only — each
-delta loop persists it as a versioned transaction log next to the index
-(``idx/_log/batch=<id>.json``, atomic write, one full-state snapshot per
-batch; see streaming/state.py). The ``*_restart`` runners prove the story
+Durability (round 11, Delta-style since round 12): the manifest is no
+longer driver-memory-only — each delta loop persists it as a versioned
+transaction log next to the index (``idx/_log/batch=<id>.json``, atomic
+write; every Nth entry a full-state snapshot, the rest O(changes)
+field-level deltas, recovery = checkpoint + tail replay; see
+streaming/state.py). The ``*_restart`` runners prove the story
 end-to-end: each day runs as its OWN query lifetime, the manifest is
 rebuilt via ``DeltaManifest.recover`` (no driver state survives the
 "crash"), and a shared Structured-Streaming ``checkpointLocation`` lets

@@ -116,7 +116,8 @@ class DeltaManifest:
     """
 
     def __init__(
-        self, base: str, compact_every: int = 2, log_dir: str | None = None
+        self, base: str, compact_every: int = 2, log_dir: str | None = None,
+        log_checkpoint_every: int = 10,
     ) -> None:
         self.base = base
         self.deltas: list[str] = []
@@ -125,6 +126,14 @@ class DeltaManifest:
         self.admit_bytes: list[int] = []
         self.compact_bytes: list[int] = []
         self.log_dir = log_dir
+        # Delta-style log cadence: every Nth entry is a FULL-state snapshot
+        # ("checkpoint"); the rest are field-level deltas. Recovery reads the
+        # newest snapshot at-or-before the target plus the delta tail.
+        self.log_checkpoint_every = log_checkpoint_every
+        self._last_logged: dict | None = None  # state as of the head entry
+        self._last_logged_batch: int | None = None
+        self._prev_logged: dict | None = None  # state BEFORE the head entry
+        self._since_full = 0  # delta entries written since the last snapshot
 
     # --- durable transaction log -------------------------------------------
     _LOG_FIELDS = (
@@ -132,14 +141,74 @@ class DeltaManifest:
         "admit_bytes", "compact_bytes",
     )
 
+    def _state(self) -> dict:
+        return {
+            f: (list(v) if isinstance(v := getattr(self, f), list) else v)
+            for f in self._LOG_FIELDS
+        }
+
+    @classmethod
+    def _entry_is_full(cls, entry: dict) -> bool:
+        """A self-contained entry: new-format snapshot (``state``) or a
+        legacy pre-r12 entry (full state at the top level)."""
+        return "state" in entry or ("ops" not in entry and "base" in entry)
+
+    @classmethod
+    def _apply_entry(cls, state: dict | None, entry: dict) -> dict:
+        """Fold one log entry into a reconstructed state dict."""
+        if "state" in entry:  # snapshot entry
+            return dict(entry["state"])
+        if "ops" not in entry:  # legacy full-state entry (pre-r12 format)
+            return {f: entry[f] for f in cls._LOG_FIELDS}
+        if state is None:
+            raise ValueError("delta log entry with no preceding snapshot")
+        state = dict(state)
+        for f, op in entry["ops"].items():
+            if "append" in op:
+                state[f] = list(state[f]) + list(op["append"])
+            else:
+                state[f] = op["set"]
+        return state
+
+    @staticmethod
+    def _diff_ops(prev: dict, cur: dict) -> dict:
+        """Field-level delta: append-suffix for grown lists, set otherwise,
+        omit unchanged fields."""
+        ops: dict = {}
+        for f, v in cur.items():
+            old = prev[f]
+            if v == old:
+                continue
+            if (
+                isinstance(v, list)
+                and isinstance(old, list)
+                and len(v) >= len(old)
+                and v[: len(old)] == old
+            ):
+                ops[f] = {"append": v[len(old):]}
+            else:
+                ops[f] = {"set": v}
+        return ops
+
     def checkpoint(self, batch_id: int) -> None:
-        """Persist the full manifest state as ``{log_dir}/batch={id}.json``.
+        """Persist the manifest state as ``{log_dir}/batch={id}.json`` —
+        a Delta-style log entry: every ``log_checkpoint_every``-th entry
+        (and every genesis/first entry) is a FULL-state snapshot
+        (``{"state": ...}``, Delta Lake's checkpoint parquet analogue);
+        the entries between are field-level deltas (``{"ops": ...}``,
+        the analogue of per-commit JSON actions), O(changes) bytes each.
+        Recovery reads snapshot + tail, so the log can keep its FULL
+        time-travel horizon at O(days) small records instead of O(days)
+        full snapshots; ``prune_log`` stays available to bound it anyway.
 
         Called LAST in a batch body (after the data writes it describes —
         the log must never reference a part that does not exist yet).
         Atomic (tmp + ``os.replace``) and at a batch-derived deterministic
         path, so a Structured-Streaming retry overwrites its own previous
-        entry instead of appending a duplicate. No-op without ``log_dir``.
+        entry instead of appending a duplicate (a head republish diffs
+        against the state BEFORE the head, so the overwritten entry keeps
+        the batch's real changes rather than degenerating to empty ops).
+        No-op without ``log_dir``.
 
         Optimistic-concurrency guard: raises :class:`ManifestConflictError`
         when the log head is already PAST ``batch_id`` — a zombie driver
@@ -167,12 +236,30 @@ class DeltaManifest:
                 f"publish batch={batch_id} behind it ({self.log_dir})"
             )
         os.makedirs(self.log_dir, exist_ok=True)
-        state = {f: getattr(self, f) for f in self._LOG_FIELDS}
-        state["batch_id"] = batch_id
+        state = self._state()
+        if self._last_logged_batch == batch_id and self._prev_logged is not None:
+            prev = self._prev_logged  # head republish: diff vs pre-head state
+            republish = True
+        else:
+            prev = self._last_logged
+            self._prev_logged = self._last_logged
+            republish = False
+        full = prev is None or (
+            not republish and self._since_full + 1 >= self.log_checkpoint_every
+        ) or (republish and self._since_full == 0)
+        entry: dict = {"batch_id": batch_id}
+        if full:
+            entry["state"] = state
+        else:
+            entry["ops"] = self._diff_ops(prev, state)
         tmp = os.path.join(self.log_dir, f".batch={batch_id}.json.tmp")
         with open(tmp, "w") as fh:
-            json.dump(state, fh)
+            json.dump(entry, fh)
         os.replace(tmp, os.path.join(self.log_dir, f"batch={batch_id}.json"))
+        if not republish:
+            self._since_full = 0 if full else self._since_full + 1
+        self._last_logged = state
+        self._last_logged_batch = batch_id
         head = self._head_entry()
         if head is not None and head > batch_id:
             raise ManifestConflictError(
@@ -204,43 +291,67 @@ class DeltaManifest:
         ``batch=-1`` genesis entry right after the initial base).
 
         ``as_of_batch`` is the TIME-TRAVEL read: recover the state the
-        manifest checkpointed at the highest batch ``<= as_of_batch``
-        (each log entry is a full-state snapshot, so no replay is
-        needed). Valid only while the parts that entry names still exist
-        — ``vacuum()`` bounds the travel horizon exactly as Delta Lake's
-        retention does; callers keeping history readable defer vacuum."""
-        entries = [
-            f for f in os.listdir(log_dir)
+        manifest checkpointed at the highest batch ``<= as_of_batch``.
+        Reads the newest SNAPSHOT entry at-or-before the target, then
+        folds the delta-entry tail up to the target — checkpoint + tail,
+        never the whole history. Valid only while the parts the
+        reconstructed state names still exist — ``vacuum()`` bounds the
+        travel horizon exactly as Delta Lake's retention does; callers
+        keeping history readable defer vacuum."""
+        ids = sorted(
+            int(f[len("batch="):-len(".json")])
+            for f in os.listdir(log_dir)
             if f.startswith("batch=") and f.endswith(".json")
-        ]
+        )
         if as_of_batch is not None:
-            entries = [
-                f for f in entries
-                if int(f[len("batch="):-len(".json")]) <= as_of_batch
-            ]
-        if not entries:
+            ids = [i for i in ids if i <= as_of_batch]
+        if not ids:
             raise FileNotFoundError(
                 f"no manifest log entries under {log_dir}"
                 + (f" at or before batch={as_of_batch}" if as_of_batch is not None else "")
             )
-        latest = max(entries, key=lambda f: int(f[len("batch="):-len(".json")]))
-        with open(os.path.join(log_dir, latest)) as fh:
-            state = json.load(fh)
+
+        def load(i: int) -> dict:
+            with open(os.path.join(log_dir, f"batch={i}.json")) as fh:
+                return json.load(fh)
+
+        entries = {i: load(i) for i in ids}
+        anchor = max(
+            (i for i in ids if cls._entry_is_full(entries[i])), default=None
+        )
+        if anchor is None:
+            raise ValueError(
+                f"manifest log under {log_dir} has no snapshot entry at or "
+                f"before batch={ids[-1]} — pruned past its replay anchor"
+            )
+        state: dict | None = None
+        since_full = 0
+        for i in ids:
+            if i < anchor:
+                continue
+            state = cls._apply_entry(state, entries[i])
+            since_full = 0 if cls._entry_is_full(entries[i]) else since_full + 1
         man = cls(state["base"], state["compact_every"], log_dir=log_dir)
         man.deltas = list(state["deltas"])
         man.superseded = list(state["superseded"])
         man.admit_bytes = list(state["admit_bytes"])
         man.compact_bytes = list(state["compact_bytes"])
+        man._last_logged = dict(state)
+        man._last_logged_batch = ids[-1]
+        man._since_full = since_full
         return man
 
     def prune_log(self, keep_last: int = 30) -> int:
-        """Retention for the log itself: every entry is a FULL-state
-        snapshot (recovery needs only the head), so entries older than the
-        last ``keep_last`` serve time travel alone — delete them and the
-        as-of horizon shrinks with them, exactly like vacuum bounds the
-        data horizon. A multi-year daily stream keeps the log O(keep_last)
-        instead of O(days). Returns the number of entries removed. Never
-        removes the head."""
+        """Retention for the log itself: entries older than the last
+        ``keep_last`` serve time travel alone — delete them and the as-of
+        horizon shrinks with them, exactly like vacuum bounds the data
+        horizon. Delta entries are only replayable from a preceding
+        snapshot, so the oldest RETAINED entry is first rewritten as a
+        full-state snapshot (reconstructed by checkpoint + tail replay,
+        byte-equal state) — then everything older can go, mirroring how
+        Delta Lake writes a checkpoint before expiring the commits it
+        subsumes. Returns the number of entries removed. Never removes
+        the head."""
         if self.log_dir is None or not os.path.isdir(self.log_dir):
             return 0
         ids = sorted(
@@ -248,7 +359,20 @@ class DeltaManifest:
             for f in os.listdir(self.log_dir)
             if f.startswith("batch=") and f.endswith(".json")
         )
-        doomed = ids[:-keep_last] if keep_last > 0 else ids[:-1]
+        kept = ids[-keep_last:] if keep_last > 0 else ids[-1:]
+        if not kept:
+            return 0
+        boundary = kept[0]
+        with open(os.path.join(self.log_dir, f"batch={boundary}.json")) as fh:
+            if not self._entry_is_full(json.load(fh)):
+                # snapshot the boundary so the tail stays replayable
+                at_boundary = type(self).recover(self.log_dir, as_of_batch=boundary)
+                entry = {"batch_id": boundary, "state": at_boundary._state()}
+                tmp = os.path.join(self.log_dir, f".batch={boundary}.json.tmp")
+                with open(tmp, "w") as ofh:
+                    json.dump(entry, ofh)
+                os.replace(tmp, os.path.join(self.log_dir, f"batch={boundary}.json"))
+        doomed = [i for i in ids if i < boundary]
         for i in doomed:
             try:
                 os.remove(os.path.join(self.log_dir, f"batch={i}.json"))
