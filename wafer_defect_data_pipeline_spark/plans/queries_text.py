@@ -433,9 +433,18 @@ register(
 )
 
 
-# --- greedy BPE token stats (fixed merge table; rows-only — BPE's
-# data-dependent merge loop is not SQL-expressible; hand-computed pytest
-# fixtures pin the algorithm) ------------------------------------------------
+# --- greedy BPE token stats (fixed merge table; EXACT oracle since r12) -----
+# The oracle replays greedy BPE inference in pure SQL via a delimiter-string
+# encoding: a word's tokenization is "||t1||t2||...||tn||" and applying merge
+# (l, r) is replace(s, '|l||r|', '|lr|') — SQL replace() is left-to-right
+# non-overlapping, and the doubled delimiters make adjacent matches share no
+# characters, so one replace() per merge rank is EXACTLY one merge sweep.
+# Rank-sequential sweeps equal the kernel's greedy lowest-rank loop for any
+# VALID merge table (each compound's parts rank earlier): a rank-k merge can
+# only create pairs whose merges rank later than k, so by the time rank k is
+# swept, no earlier-rank pair can reappear. _BPE_MERGES is valid by
+# construction (th<-r0 before (th,e); an<-r4 before (an,d); in<-r2 before
+# (in,g)).
 _BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
     ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
@@ -451,11 +460,46 @@ def _bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(d, "doc_id", "text", _BPE_MERGES).orderBy("doc_id")
 
 
-register("text_bpe_token_stats", _bpe_token_stats, None, exact_twin="text_bpe_fixture_stats")
+def _bpe_token_stats_oracle() -> str:
+    enc = r"'||' || regexp_replace(w, '(.)', '\1||', 'g')"
+    for l, r in _BPE_MERGES:
+        enc = f"replace({enc}, '|{l}||{r}|', '|{l}{r}|')"
+    return rf"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ), enc AS (
+      SELECT doc_id, {enc} AS s FROM words
+    ), per_word AS (
+      SELECT doc_id,
+             length(s) - length(replace(s, '|', '')) AS pipes,
+             length(replace(s, '|', '')) AS sumlen
+      FROM enc
+    ), per_doc AS (
+      SELECT doc_id, SUM(pipes // 2 - 1) AS n_tok, SUM(sumlen) AS sumlen
+      FROM per_word GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN coalesce(p.n_tok, 0) > 0
+                THEN round(p.sumlen / p.n_tok, 6) + 0.0 ELSE 0.0
+           END AS mean_token_len
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
 
 
-# --- BPE merge-table learning (rows-only: iterative argmax + imperative
-# list rewrite; the canonical-corpus pytest pins the algorithm) --------------
+register("text_bpe_token_stats", _bpe_token_stats, _bpe_token_stats_oracle())
+
+
+# --- BPE merge-table learning (EXACT oracle since r12: the 6-round argmax
+# loop unrolls as chained MATERIALIZED CTEs — per round, weighted adjacent-
+# pair counts over the delimiter-encoded vocabulary, ORDER BY cnt DESC, l, r
+# LIMIT 1 for the deterministic argmax, then the same replace() merge sweep;
+# the data-dependent winners flow between rounds as 1-row CTEs, so the
+# oracle replays the learning itself, not staged literals) -------------------
 def _bpe_learned_merges(spark, sf_dir):
     from ..functions.udfs import bpe_learn_merges
 
@@ -465,7 +509,44 @@ def _bpe_learned_merges(spark, sf_dir):
     return spark.createDataFrame(rows, "rank int, left string, right string, pair_count long")
 
 
-register("text_bpe_learned_merges", _bpe_learned_merges, None, exact_twin="text_bpe_fixture_merges")
+def _bpe_learned_merges_oracle(n_merges: int = 6) -> str:
+    parts = [r"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ), vocab0 AS MATERIALIZED (
+      SELECT count(*) AS c, '||' || regexp_replace(w, '(.)', '\1||', 'g') AS s
+      FROM toks GROUP BY w
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", p{k} AS MATERIALIZED (
+      SELECT t.l, t.r, SUM(v.c) AS cnt
+      FROM vocab{k - 1} v,
+           LATERAL (
+             SELECT tk[i] AS l, tk[i + 1] AS r
+             FROM (SELECT list_filter(string_split(v.s, '|'), x -> x <> '') AS tk) q,
+                  LATERAL unnest(range(1, len(tk))) u(i)
+           ) t
+      GROUP BY t.l, t.r
+    ), t{k} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), vocab{k} AS MATERIALIZED (
+      SELECT v.c,
+             replace(v.s, '|' || t.l || '||' || t.r || '|',
+                          '|' || t.l || t.r || '|') AS s
+      FROM vocab{k - 1} v, t{k} t
+    )""")
+    sel = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rank, l AS \"left\", r AS \"right\", "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n      {sel}\n    ) ORDER BY rank")
+    return "".join(parts)
+
+
+register("text_bpe_learned_merges", _bpe_learned_merges, _bpe_learned_merges_oracle())
 
 
 # --- BPE fixture roundtrip (EXACT oracles) ----------------------------------

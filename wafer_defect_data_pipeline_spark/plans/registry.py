@@ -94,6 +94,8 @@ _PRIORITY: list[str] = [
     # markers — narrows the codec honesty gate to progressive scans only)
     "multimodal_jpeg_420_decode_stats",  # NEW r12: 4:2:0 + restart markers
     "dedup_mllib_minhash_lsh",  # CHANGED r12: hashed feature space (no global window)
+    "text_bpe_token_stats",  # PROMOTED r12: exact SQL replay of greedy BPE
+    "text_bpe_learned_merges",  # PROMOTED r12: unrolled 6-round learning oracle
     # (a, r11) new or changed last round: the restart drills (durable
     # DeltaManifest transaction log + checkpointLocation-real recovery),
     # their delta/rewrite siblings (shared bodies refactored into
@@ -154,11 +156,10 @@ _PRIORITY: list[str] = [
     "similarity_bruteforce_topk_arrow",
     "text_contamination_spans",
     "text_decontaminate_strip",
-    # (b) rows-only refresh (weaker rows — keep them recent anyway;
+    # (b) rows-only refresh (now only 2: wafer KMeans + float stateful
+    # profile, both inherently non-SQL; the BPE pair was PROMOTED in r12;
     # similarity_lsh_pairs left this list in r11 — promoted to an exact
     # oracle with staged hyperplanes, now in section (a))
-    "text_bpe_token_stats",
-    "text_bpe_learned_merges",
     "events_stateful_profile",
     "wafer_pipeline_on_lineitem",
     # (c) stale-family representatives (last driver row r5 or older)
