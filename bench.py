@@ -90,6 +90,9 @@ HEADLINE = [
     "entity_clusters",
     "training_lr_quality",
     "multimodal_image_phash_pairs",
+    # round-12 addition: recall-robust IVF (self-recall-derived probe count
+    # — the probe curve job + widened search is the cost being tracked)
+    "similarity_ivf_auto_topk",
 ]
 
 
@@ -105,6 +108,56 @@ SCALE_RETIRED = {"dedup_prefix_jaccard_pairs"}
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else float("nan")
+
+
+def _load_anchor(sf: float) -> dict | None:
+    """Committed per-query anchor for the regression gate (r11 verdict #7).
+
+    Reads BENCH_local.json from git HEAD — NOT the working tree — so a
+    second bench run in the same session compares against the committed
+    record, not its own first run. Only used when the anchor was recorded
+    at the same sf (comparing sf0.1 medians to an sf1 run is meaningless).
+    """
+    import subprocess
+
+    try:
+        raw = subprocess.run(
+            ["git", "-C", _REPO_ROOT, "show", "HEAD:BENCH_local.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        anchor = json.loads(raw)
+    except Exception:  # noqa: BLE001 — no anchor is fine (fresh clone)
+        return None
+    if anchor.get("sf") != sf:
+        return None
+    return anchor
+
+
+def _regressions(
+    warm: dict[str, float | None], anchor: dict | None
+) -> dict[str, dict[str, float]]:
+    """Per-query regression verdicts against the committed anchor.
+
+    Rule (r11 verdict #7): a query regresses when its warm MEDIAN exceeds
+    the anchor's median by more than that query's OWN recorded spread band
+    (anchor max - min). Floors of 15% and 50 ms keep sub-noise jitter on
+    sub-second queries from flagging — the gate exists to catch real plan
+    regressions, not scheduler wobble.
+    """
+    if not anchor:
+        return {}
+    a_warm = anchor.get("queries") or {}
+    a_spread = anchor.get("spread") or {}
+    flagged: dict[str, dict[str, float]] = {}
+    for name, v in warm.items():
+        a = a_warm.get(name)
+        sp = a_spread.get(name)
+        if v is None or a is None or not sp:
+            continue
+        band = max(sp[1] - sp[0], 0.15 * a, 0.05)
+        if v > a + band:
+            flagged[name] = {"warm": v, "anchor": a, "band": round(band, 3)}
+    return flagged
 
 
 def _testdata_canary(sf_dir: str) -> str | None:
@@ -176,6 +229,7 @@ def main() -> None:
             spread[name] = None
 
     total = round(sum(v for v in warm.values() if v is not None), 3)
+    regressed = _regressions(warm, _load_anchor(sf))
     out = {
         "metric": "headline_total",
         "value": total,
@@ -185,6 +239,9 @@ def main() -> None:
         "warm_runs": warm_runs,
         "spread": spread,
         "warm_protocol": f"median of {n_warm} warm runs after 1 cold run",
+        "regressed": regressed,
+        "regression_rule": "warm median > committed HEAD anchor median + "
+        "max(anchor spread band, 15%, 50ms); same-sf anchors only",
         "sf": _sf_from_dir(sf_dir),
     }
     if canary:
@@ -215,6 +272,11 @@ def main() -> None:
         },
         "full": "BENCH_local.json",
     }
+    if regressed:
+        compact["regressed_n"] = len(regressed)
+        compact["regressed"] = "; ".join(
+            f"{n} {d['warm']}s vs {d['anchor']}s" for n, d in sorted(regressed.items())
+        )[:200]
     if errors:
         compact["errors_n"] = len(errors)
         compact["errors"] = "; ".join(sorted(errors))[:200]
@@ -230,6 +292,7 @@ def main() -> None:
     record_run(
         "bench",
         f"headline_total {total}s warm over {n_timed} queries at sf{sf}"
+        + (f"; {len(regressed)} regressed vs HEAD anchor" if regressed else "")
         + (f"; {len(errors)} errors: {'; '.join(sorted(errors))[:200]}" if errors else ""),
     )
     spark.stop()

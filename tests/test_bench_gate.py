@@ -1,0 +1,62 @@
+"""Unit tests for bench.py's regression auto-gate (r11 verdict item #7).
+
+Pure-function tests — no SparkSession. The gate compares each query's warm
+median against the committed-at-HEAD anchor and flags only excursions beyond
+the anchor's own recorded spread band (with 15% / 50 ms floors).
+"""
+
+import bench
+
+
+def _anchor(queries, spread, sf=0.1):
+    return {"queries": queries, "spread": spread, "sf": sf}
+
+
+def test_no_anchor_flags_nothing():
+    assert bench._regressions({"q1": 5.0}, None) == {}
+    assert bench._regressions({"q1": 5.0}, _anchor({}, {})) == {}
+
+
+def test_within_spread_band_not_flagged():
+    # anchor median 1.0, observed band [0.9, 1.4] -> band width 0.5:
+    # a 1.45 median is inside median+band, not a regression
+    a = _anchor({"q1": 1.0}, {"q1": [0.9, 1.4]})
+    assert bench._regressions({"q1": 1.45}, a) == {}
+
+
+def test_beyond_spread_band_flagged_with_evidence():
+    a = _anchor({"q1": 1.0}, {"q1": [0.95, 1.05]})
+    out = bench._regressions({"q1": 1.6}, a)
+    assert set(out) == {"q1"}
+    assert out["q1"]["warm"] == 1.6
+    assert out["q1"]["anchor"] == 1.0
+    # band floored at 15% of the anchor median (observed width was 0.1)
+    assert out["q1"]["band"] == 0.15
+
+
+def test_subsecond_jitter_floored_at_50ms():
+    # 20 ms -> 60 ms on a tight anchor: excess 0.04 < 0.05 floor -> clean
+    a = _anchor({"q1": 0.02}, {"q1": [0.02, 0.02]})
+    assert bench._regressions({"q1": 0.06}, a) == {}
+    # but a real 10x blowup on the same query still flags
+    assert set(bench._regressions({"q1": 0.2}, a)) == {"q1"}
+
+
+def test_new_failed_and_unanchored_queries_skipped():
+    a = _anchor({"q1": 1.0}, {"q1": [1.0, 1.0]})
+    warm = {"q1": None, "q_new": 9.9}
+    assert bench._regressions(warm, a) == {}
+
+
+def test_load_anchor_rejects_sf_mismatch():
+    # the committed anchor is recorded at sf0.1; an sf1 run must not compare
+    anchor = bench._load_anchor(1.0)
+    assert anchor is None or anchor.get("sf") == 1.0
+
+
+def test_load_anchor_reads_committed_head_record():
+    # BENCH_local.json is committed at sf0.1 in this repo; the gate should
+    # find it with per-query medians and spreads present
+    anchor = bench._load_anchor(0.1)
+    assert anchor is not None
+    assert anchor["queries"] and anchor["spread"]

@@ -3884,6 +3884,37 @@ def test_nsw_scale_config_recall_bound(spark, sf_small):
     assert hits / n_truth >= 0.9, f"recall@5 = {hits / n_truth:.3f}"
 
 
+def test_ivf_auto_probe_recall_bound_on_driver_corpus(spark, sf_medium):
+    """r11 verdict item 6: IVF with a FIXED n_probe=3 reads recall@5 0.52 on
+    the driver's weakly-clustered sf0.01 embeddings (BASELINE.md r10) — the
+    auto path must derive a probe count from the sampled self-recall curve
+    that holds recall@5 >= 0.9 on the FULL query set (not just its own
+    sample) of the DRIVER corpus, and must actually widen past the old
+    fixed default to do it."""
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_auto,
+    )
+
+    e = read_table(spark, sf_medium, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    truth = brute_force_topk(e, q, k=5).localCheckpoint(eager=False)
+    n_truth = truth.count()
+    approx = ivf_topk_auto(e, q, k=5, target_recall=0.95, sample_mod=10)
+    approx = approx.localCheckpoint(eager=False)
+    n_probe = approx.select("n_probe_used").first()[0]
+    hits = (
+        approx.select("query_id", "corpus_id")
+        .join(truth.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    assert n_truth > 0
+    assert hits / n_truth >= 0.9, f"recall@5 = {hits / n_truth:.3f} (n_probe={n_probe})"
+    # the derivation did real work: on THIS corpus the old fixed default
+    # (n_probe=3, recall 0.52) is insufficient, so the pick must be wider
+    assert n_probe > 3, f"auto pick {n_probe} did not widen past the fixed default"
+
+
 def test_streaming_entity_restart_matches_single_run(spark, sf_small):
     """Kill-between-days drill for the entity-linkage admit loop (same
     shape as the span/minhash restarts: manifest recovered from the

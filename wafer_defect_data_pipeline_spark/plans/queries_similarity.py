@@ -204,6 +204,104 @@ register(
 )
 
 
+# --- IVF with self-recall-derived probe count (r11 verdict item 6) ----------
+def _ivf_auto(spark, sf_dir):
+    """Recall-robust IVF: the probe count is DERIVED from a sampled
+    self-recall curve (md5-uniform corpus sample, brute-force truth,
+    cell-rank histogram — operators/similarity.ivf_recall_curve) instead of
+    fixed. On the driver's weakly-clustered corpus a fixed n_probe=3 reads
+    recall@5 0.52 (BASELINE.md r10); this widens the probe set until the
+    sampled recall target (0.95) holds. Fully deterministic, so the whole
+    derivation + search replays in SQL; ``n_probe_used`` exposes the pick
+    to the oracle."""
+    from ..operators.similarity import ivf_topk_auto
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk_auto(
+        e, queries, k=5, target_recall=0.95, sample_mod=10
+    ).orderBy("query_id", "rank")
+
+
+_COS_Q_CENT = (
+    "round(list_sum(list_transform(list_zip({q}, {c}), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform({q}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({c}, x -> x * x)))), 6)"
+)
+
+register(
+    "similarity_ivf_auto_topk",
+    _ivf_auto,
+    f"""
+    WITH ex AS (
+      SELECT label, u.pos - 1 AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ), per_dim AS (
+      SELECT label, pos, avg(val) AS avg_val FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+    ), samp AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+    ), truth AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT s.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY s.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="s.qv", c="CAST(c.embedding AS DOUBLE[])")} DESC,
+                 c.vec_id ASC) AS rank
+        FROM samp s JOIN embeddings c ON c.vec_id <> s.query_id
+      ) t WHERE rank <= 5
+    ), cell_ranks AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               {_COS_Q_CENT.format(q="qv", c="centroid")} DESC, label ASC) AS cell_rank
+      FROM samp CROSS JOIN cent
+    ), curve AS (
+      SELECT cr.cell_rank, count(*) AS pairs
+      FROM truth t
+      JOIN embeddings n ON n.vec_id = t.corpus_id
+      JOIN cell_ranks cr ON cr.query_id = t.query_id AND cr.label = n.label
+      GROUP BY cr.cell_rank
+    ), pick AS (
+      SELECT coalesce(
+        (SELECT min(cell_rank) FROM (
+           SELECT cell_rank,
+                  sum(pairs) OVER (ORDER BY cell_rank) * 1.0 /
+                  (SELECT sum(pairs) FROM curve) AS cum_recall
+           FROM curve) c WHERE cum_recall >= 0.95),
+        (SELECT count(*) FROM cent)) AS n_probe
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), probes AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="q.qv", c="cent.centroid")} DESC,
+                 cent.label ASC) AS probe_rank
+        FROM q CROSS JOIN cent
+      ) t WHERE probe_rank <= (SELECT n_probe FROM pick)
+    ), scored AS (
+      SELECT probes.query_id, c.vec_id AS corpus_id,
+             {_COS_Q_CENT.format(q="probes.qv", c="CAST(c.embedding AS DOUBLE[])")} AS cos_sim
+      FROM embeddings c JOIN probes ON c.label = probes.label
+      WHERE c.vec_id <> probes.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cos_sim,
+           CAST((SELECT n_probe FROM pick) AS INT) AS n_probe_used
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+
+
 # --- Arrow/numpy brute-force (EXACT oracle via the within_tol pattern:
 # BLAS float ulps can't hash-match a SQL fold directly, so the registered
 # output is the HOF top-k — oracle-replayable — plus a per-row boolean
