@@ -3648,7 +3648,9 @@ def test_jpeg_codec_baseline_roundtrip():
     smooth gradient round-trips within a small quantization error (the
     lossy path is real, not a bypass); (3) full-entropy noise exercises
     the AC run-length/ZRL/EOB and byte-stuffing paths structurally; (4)
-    the honesty gate stays for progressive and multi-component headers."""
+    the honesty gate stays for extended-profile headers, and a stream
+    mislabeled SOF2 around a full-band scan is rejected as malformed
+    (progressive scans may not span DC and AC — T.81 §G.1)."""
     import numpy as np
     import pytest as _pytest
 
@@ -3676,11 +3678,136 @@ def test_jpeg_codec_baseline_roundtrip():
     assert dec.shape == noise.shape  # AC/ZRL/EOB + stuffing survived
 
     good = jpeg_encode(np.full((8, 8), 200, dtype=np.uint8))
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    extended = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
     with _pytest.raises(NotImplementedError):
-        jpeg_decode(progressive)
+        jpeg_decode(extended)
+    mislabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        jpeg_decode(mislabeled)  # SOF2 with a DC+AC full-band scan is malformed
     with _pytest.raises(ValueError):
         jpeg_decode(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive (SOF2) is an entropy REORDERING of the same quantized
+    coefficients, so decoding the progressive encoding of any image must
+    equal the baseline decode BIT-EXACTLY — across grayscale/4:4:4/4:2:0,
+    restart intervals, and successive-approximation depths (the strongest
+    possible check on every §G.2 path: DC first/refine, AC first with EOB
+    runs, fig-G.7 AC refinement with ZRL folding and correction bits)."""
+    import numpy as np
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape, sub in [((16, 24), "444"), ((32, 32), "444"),
+                       ((24, 32, 3), "444"), ((32, 48, 3), "420")]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        base = jpeg_decode(jpeg_encode(a, subsample=sub))
+        for ri in (0, 2):
+            for al in (1, 2):
+                prog = jpeg_encode_progressive(
+                    a, subsample=sub, restart_interval=ri, al=al
+                )
+                assert b"\xff\xc2" in prog  # really SOF2, not a baseline alias
+                assert (jpeg_decode(prog) == base).all(), (shape, sub, ri, al)
+
+    # constant-block fixtures stay BIT-EXACT through the progressive path
+    # (the property the multimodal_jpeg_progressive_decode_stats oracle
+    # stands on)
+    for i in (0, 1, 5, 17, 123, 999):
+        nbx, nby = 2 * (1 + i % 3), 2 * (1 + i % 2)
+        g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+        for b in range(nbx * nby):
+            by, bx = divmod(b, nbx)
+            k = (i + 7 * b) % 128 - 64
+            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+        rgb = np.stack([g, g, g], axis=-1)
+        dec = jpeg_decode(
+            jpeg_encode_progressive(rgb, subsample="420", restart_interval=2)
+        )
+        assert (dec == rgb).all(), i
+
+
+def test_jpeg_progressive_cross_block_eob_run():
+    """The repo's progressive encoder flushes EOB runs per block, but
+    real-world encoders span MANY blocks with one EOBn code — hand-craft
+    such a stream (T.81 §G.1.2.2: run length (1 << r) + r extra bits) and
+    pin the decoder's cross-block EOB-run bookkeeping in both the AC
+    first scan and the AC refinement scan."""
+    import numpy as np
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_canonical_codes,
+        _jpeg_headers,
+        _jpeg_magnitude,
+        _JpegBitWriter,
+        jpeg_decode,
+    )
+
+    # 3x2 = 6 constant blocks (DC-only), grayscale
+    nbx, nby = 3, 2
+    arr = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+    dcs = []
+    for b in range(nbx * nby):
+        by, bx = divmod(b, nbx)
+        k = (5 + 7 * b) % 128 - 64
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+        dcs.append(k)  # K.1 DC quantizer 16 divides the 16k coefficient
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def sos(seg, spec, ss, se, ah, al, data):
+        return seg(0xFFDA, bytes([1]) + spec + bytes([ss, se, (ah << 4) | al])) + data
+
+    out, seg = _jpeg_headers(arr.shape[0], arr.shape[1],
+                             [(arr, 1, 1, None, dc_codes, ac_codes)], 0xFFC2, 0)
+    # EOBn symbols (r>0, s=0) are NOT in the standard K.5 table — real
+    # progressive streams ship custom DHTs. Override AC table (1,0) with a
+    # two-symbol table {EOB2=0x20: code 0/len 1, EOB=0x00: code 10/len 2},
+    # which also exercises DHT redefinition between header and scan.
+    out += seg(0xFFC4, bytes([0x10, 1, 1] + [0] * 14 + [0x20, 0x00]))
+    eobn = {0x20: (0, 1), 0x00: (2, 2)}
+    # scan 1: DC first at Al=1 (diffs of dc >> 1)
+    bw = _JpegBitWriter()
+    pred = 0
+    for dc in dcs:
+        s, bits_ = _jpeg_magnitude((dc >> 1) - pred)
+        bw.put(*dc_codes[s])
+        if s:
+            bw.put(bits_, s)
+        pred = dc >> 1
+    bw.flush()
+    out += sos(seg, bytes([1, 0x00]), 0, 0, 0, 1, bytes(bw.out))
+    # scan 2: AC first — ONE EOBn spanning all 6 blocks (r=2, extra bits 2)
+    bw = _JpegBitWriter()
+    bw.put(*eobn[0x20])  # EOBn symbol with r=2
+    bw.put(2, 2)  # run = (1 << 2) + 2 = 6 blocks
+    bw.flush()
+    out += sos(seg, bytes([1, 0x00]), 1, 63, 0, 1, bytes(bw.out))
+    # scan 3: DC refinement — raw bit (dc & 1) per block
+    bw = _JpegBitWriter()
+    for dc in dcs:
+        bw.put(dc & 1, 1)
+    bw.flush()
+    out += sos(seg, bytes([1, 0x00]), 0, 0, 1, 0, bytes(bw.out))
+    # scan 4: AC refinement — again one cross-block EOBn, no correction bits
+    bw = _JpegBitWriter()
+    bw.put(*eobn[0x20])
+    bw.put(2, 2)
+    bw.flush()
+    out += sos(seg, bytes([1, 0x00]), 1, 63, 1, 0, bytes(bw.out))
+    out += b"\xff\xd9"
+
+    assert (jpeg_decode(out) == arr).all()
 
 
 def test_jpeg_codec_color_444_roundtrip():

@@ -10,11 +10,13 @@ nearest-neighbor resize, re-encode), RIFF/PCM audio (chunk walk, sample
 stats), and YUV4MPEG2 video (frame-marker walk, luma stats, frame
 sampling) — plus PNG (truecolor-8), whose DEFLATE+filter pipeline is
 implementable with stdlib zlib + numpy, closing the compressed-image gap
-with an EXECUTED path. Baseline sequential JPEG (grayscale, 4:4:4 and
-4:2:0 color, restart markers) is EXECUTED too via the T.81 codec below;
-the one remaining transform-coded variant (progressive scans) falls
-through to PIL when importable and raises NotImplementedError otherwise —
-the gate is kept honest rather than faked.
+with an EXECUTED path. JPEG is EXECUTED too via the T.81 codec below —
+baseline sequential AND progressive (spectral selection + successive
+approximation), grayscale, 4:4:4 and 4:2:0 color, restart markers; the
+remaining variants (extended/lossless/arithmetic/12-bit, sampling
+factors above 2) fall through to PIL when importable and raise
+NotImplementedError otherwise — the gate is kept honest rather than
+faked.
 """
 
 from __future__ import annotations
@@ -295,16 +297,18 @@ def png_decode(b: bytes):
     return out.reshape(h, w, 3)
 
 
-# --- Baseline JPEG codec (ITU T.81 §F baseline sequential) -----------------
+# --- JPEG codec (ITU T.81 §F baseline sequential + Annex G progressive) ----
 # The last honesty gate, now executed: the DCT / quantize / zigzag /
 # Huffman pipeline is plain numpy + byte arithmetic — no codec library.
-# Scope is the BASELINE SEQUENTIAL profile (8-bit): single-component
-# grayscale, 4:4:4 color, and subsampled color with sampling factors in
-# {1, 2} (4:2:0 / 4:2:2 / 4:4:0), with DRI/RSTn restart intervals.
-# Progressive scans stay behind the (narrowed) NotImplementedError gate.
-# Tables are the T.81 Annex K standards: K.1 luminance quantization (DC
-# slot 16 — load-bearing for the exact oracle, see attach_jpeg_payload),
-# K.3 DC and K.5 AC Huffman.
+# Scope is the 8-bit Huffman profiles: baseline sequential SOF0 AND
+# progressive SOF2 (spectral selection, successive approximation, EOB
+# runs, fig-G.7 AC refinement); single-component grayscale, 4:4:4 color,
+# and subsampled color with sampling factors in {1, 2} (4:2:0 / 4:2:2 /
+# 4:4:0), with DRI/RSTn restart intervals. Extended/lossless/arithmetic
+# profiles and 16-bit DQT stay behind the (narrowed) NotImplementedError
+# gate. Tables are the T.81 Annex K standards: K.1 luminance quantization
+# (DC slot 16 — load-bearing for the exact oracle, see
+# attach_jpeg_payload), K.3 DC and K.5 AC Huffman.
 
 _JPEG_QTABLE = [
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -459,12 +463,18 @@ def _ycbcr_to_rgb(y, cb, cr):
     ).astype(np.uint8)
 
 
-def _jpeg_encode_block(bw, blk, q, dc_codes, ac_codes, pred, m):
+def _jpeg_quant_zz(blk, q, m) -> list[int]:
+    """8x8 pixel block -> quantized coefficients in zigzag order (level
+    shift, 2-D FDCT, rounding division by the quant table)."""
     import numpy as np
 
     coef = m @ (blk.astype(np.float64) - 128.0) @ m.T
     qc = np.rint(coef / q).astype(np.int64)
-    zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
+    return [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
+
+
+def _jpeg_encode_block(bw, blk, q, dc_codes, ac_codes, pred, m):
+    zz = _jpeg_quant_zz(blk, q, m)
     s, bits = _jpeg_magnitude(zz[0] - pred)
     bw.put(*dc_codes[s])
     if s:
@@ -501,48 +511,8 @@ def jpeg_encode(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
     DC predictors reset — T.81 §F.1.2.3 / §B.2.4.4). The full §F.1
     pipeline — nothing table-driven is shortcut even though the fixture
     corpus only populates DC terms."""
-    import struct
-
-    import numpy as np
-
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
-        raise ValueError("baseline JPEG encodes [h,w] or [h,w,3] arrays")
-    h, w = a.shape[:2]
-    color = a.ndim == 3
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
-    sub420 = color and subsample == "420"
-    if sub420 and (h % 16 or w % 16):
-        raise ValueError("4:2:0 fixture encoder requires multiples of 16")
-    if not sub420 and (h % 8 or w % 8):
-        raise ValueError("fixture encoder requires multiples of 8")
+    h, w, color, comps = _jpeg_setup(arr, subsample)
     m = _jpeg_dct_matrix()
-    q_l = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
-    q_c = np.asarray(_JPEG_QTABLE_C, dtype=np.float64).reshape(8, 8)
-    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
-    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
-
-    # (plane, hi, vi, quant, dc table, ac table) per component
-    if color:
-        y, cb, cr = _rgb_to_ycbcr(a)
-        if sub420:
-            # 2x2 mean downsample (JFIF-style box filter), rounded to uint8
-            def down(p):
-                return np.clip(
-                    np.rint(p.astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))),
-                    0, 255,
-                ).astype(np.uint8)
-
-            comps = [(y, 2, 2, q_l, dc_l, ac_l), (down(cb), 1, 1, q_c, dc_c, ac_c),
-                     (down(cr), 1, 1, q_c, dc_c, ac_c)]
-        else:
-            comps = [(y, 1, 1, q_l, dc_l, ac_l), (cb, 1, 1, q_c, dc_c, ac_c),
-                     (cr, 1, 1, q_c, dc_c, ac_c)]
-    else:
-        comps = [(a, 1, 1, q_l, dc_l, ac_l)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     nmx, nmy = w // (8 * hmax), h // (8 * vmax)
@@ -567,20 +537,77 @@ def jpeg_encode(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
             mcu_n += 1
     bw.flush()
 
+    out, seg = _jpeg_headers(h, w, comps, 0xFFC0, restart_interval)
+    sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11]) if color else bytes([1, 0x00])
+    out += seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
+    return out + bytes(bw.out) + b"\xff\xd9"
+
+
+def _jpeg_setup(arr, subsample: str):
+    """Shared encoder front end: validate dims, color-convert, subsample.
+
+    Returns ``(h, w, color, comps)`` with one ``(plane, hi, vi, quant,
+    dc_codes, ac_codes)`` tuple per component."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
+        raise ValueError("baseline JPEG encodes [h,w] or [h,w,3] arrays")
+    h, w = a.shape[:2]
+    color = a.ndim == 3
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub420 = color and subsample == "420"
+    if sub420 and (h % 16 or w % 16):
+        raise ValueError("4:2:0 fixture encoder requires multiples of 16")
+    if not sub420 and (h % 8 or w % 8):
+        raise ValueError("fixture encoder requires multiples of 8")
+    q_l = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    q_c = np.asarray(_JPEG_QTABLE_C, dtype=np.float64).reshape(8, 8)
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    if color:
+        y, cb, cr = _rgb_to_ycbcr(a)
+        if sub420:
+            # 2x2 mean downsample (JFIF-style box filter), rounded to uint8
+            def down(p):
+                return np.clip(
+                    np.rint(p.astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))),
+                    0, 255,
+                ).astype(np.uint8)
+
+            comps = [(y, 2, 2, q_l, dc_l, ac_l), (down(cb), 1, 1, q_c, dc_c, ac_c),
+                     (down(cr), 1, 1, q_c, dc_c, ac_c)]
+        else:
+            comps = [(y, 1, 1, q_l, dc_l, ac_l), (cb, 1, 1, q_c, dc_c, ac_c),
+                     (cr, 1, 1, q_c, dc_c, ac_c)]
+    else:
+        comps = [(a, 1, 1, q_l, dc_l, ac_l)]
+    return h, w, color, comps
+
+
+def _jpeg_headers(h, w, comps, sof_marker: int, restart_interval: int):
+    """SOI + DQT + SOF + DHT (+ DRI) header bytes shared by the baseline
+    (SOF0) and progressive (SOF2) encoders; also returns the segment
+    packer for the caller's SOS segments."""
+    import struct
+
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    color = len(comps) == 3
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = b"\xff\xd8"
     out += seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE[i] for i in _JPEG_ZIGZAG))
     if color:
-        samp_y = (hmax << 4) | vmax
         out += seg(0xFFDB, bytes([1]) + bytes(_JPEG_QTABLE_C[i] for i in _JPEG_ZIGZAG))
-        sof_comps = bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
-        sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        sof_comps = bytes([1, (hmax << 4) | vmax, 0, 2, 0x11, 1, 3, 0x11, 1])
     else:
         sof_comps = bytes([1, 0x11, 0])
-        sos_comps = bytes([1, 0x00])
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
     out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     if color:
@@ -588,8 +615,180 @@ def jpeg_encode(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
         out += seg(0xFFC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
-    return out + bytes(bw.out) + b"\xff\xd9"
+    return out, seg
+
+
+def jpeg_encode_progressive(
+    arr, subsample: str = "444", restart_interval: int = 0, al: int = 1
+) -> bytes:
+    """Progressive (SOF2) JPEG encoder: the SAME quantized coefficients
+    as :func:`jpeg_encode`, reordered into a spectral-selection +
+    successive-approximation scan script (T.81 Annex G):
+
+      1. DC first scan (interleaved, Al=``al``)
+      2. per component: AC first scan (Ss=1, Se=63, Al=``al``) — EOB runs
+      3. DC refinement scans down to Al=0 (one raw bit per block)
+      4. per component: AC refinement scans down to Al=0 (newly-significant
+         coefficients as ±1<<Al, correction bits for known coefficients —
+         the fig G.7 encoder with ZRL folding into EOB)
+
+    Because progressive is only an entropy reordering, decoding MUST
+    reproduce the baseline decode bit-exactly — pinned by the pytest
+    equivalence on random images. EOB runs are flushed per block here
+    (valid streams, marginally larger; the decoder handles arbitrary
+    cross-block EOB runs). ``restart_interval`` emits DRI + RSTn every N
+    MCUs per scan (MCU = one block in the non-interleaved AC scans)."""
+    if al < 1:
+        raise ValueError("al must be >= 1 (successive approximation depth)")
+    h, w, color, comps = _jpeg_setup(arr, subsample)
+    m = _jpeg_dct_matrix()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+
+    # quantized zigzag blocks per component over the (exact) block grid
+    coefs = []
+    for plane, hi, vi, q, _dc, _ac in comps:
+        rows = []
+        for by in range(nmy * vi):
+            rows.append([
+                _jpeg_quant_zz(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q, m)
+                for bx in range(nmx * hi)
+            ])
+        coefs.append(rows)
+
+    def rst(bw: _JpegBitWriter, mcu_n: int) -> bool:
+        if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
+            return True
+        return False
+
+    scans: list[tuple[bytes, int, int, int, int, bytes]] = []
+
+    # --- 1. DC first scan: interleaved, diffs of (DC >> al) --------------
+    bw = _JpegBitWriter()
+    preds = [0] * len(comps)
+    mcu_n = 0
+    for my in range(nmy):
+        for mx in range(nmx):
+            if rst(bw, mcu_n):
+                preds = [0] * len(comps)
+            for ci, (_p, hi, vi, _q, dc_codes, _a) in enumerate(comps):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        dc = coefs[ci][my * vi + byy][mx * hi + bxx][0] >> al
+                        s, bits_ = _jpeg_magnitude(dc - preds[ci])
+                        bw.put(*dc_codes[s])
+                        if s:
+                            bw.put(bits_, s)
+                        preds[ci] = dc
+            mcu_n += 1
+    bw.flush()
+    dc_spec = bytes(
+        x for ci in range(len(comps)) for x in (ci + 1, (0 if ci == 0 else 1) << 4)
+    )
+    scans.append((dc_spec, 0, 0, 0, al, bytes(bw.out)))
+
+    # --- 2. AC first scans: one per component, non-interleaved -----------
+    for ci, (_p, hi, vi, _q, _d, ac_codes) in enumerate(comps):
+        bw = _JpegBitWriter()
+        mcu_n = 0
+        for by in range(nmy * vi):
+            for bx in range(nmx * hi):
+                rst(bw, mcu_n)
+                zzb = coefs[ci][by][bx]
+                tv = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in zzb]
+                run = 0
+                last_nz = max((i for i in range(1, 64) if tv[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    if tv[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(*ac_codes[0xF0])
+                        run -= 16
+                    s, bits_ = _jpeg_magnitude(tv[i])
+                    bw.put(*ac_codes[run * 16 + s])
+                    bw.put(bits_, s)
+                    run = 0
+                if last_nz < 63:
+                    bw.put(*ac_codes[0x00])  # EOB run of 1 (per-block flush)
+                mcu_n += 1
+        bw.flush()
+        scans.append(
+            (bytes([ci + 1, 0 if ci == 0 else 1]), 1, 63, 0, al, bytes(bw.out))
+        )
+
+    # --- 3. DC refinement scans: raw bit (DC >> a) & 1 per block ---------
+    for a in range(al - 1, -1, -1):
+        bw = _JpegBitWriter()
+        mcu_n = 0
+        for my in range(nmy):
+            for mx in range(nmx):
+                rst(bw, mcu_n)
+                for ci, (_p, hi, vi, _q, _d, _a2) in enumerate(comps):
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            dc = coefs[ci][my * vi + byy][mx * hi + bxx][0]
+                            bw.put((dc >> a) & 1, 1)
+                mcu_n += 1
+        bw.flush()
+        scans.append((dc_spec, 0, 0, a + 1, a, bytes(bw.out)))
+
+    # --- 4. AC refinement scans (fig G.7): per component, per level ------
+    for a in range(al - 1, -1, -1):
+        for ci, (_p, hi, vi, _q, _d, ac_codes) in enumerate(comps):
+            bw = _JpegBitWriter()
+            mcu_n = 0
+            for by in range(nmy * vi):
+                for bx in range(nmx * hi):
+                    rst(bw, mcu_n)
+                    zzb = coefs[ci][by][bx]
+                    absv = [abs(v) >> a for v in zzb]
+                    eob = max((i for i in range(1, 64) if absv[i] == 1), default=0)
+                    r = 0
+                    br_bits: list[int] = []
+                    for i in range(1, 64):
+                        temp = absv[i]
+                        if temp == 0:
+                            r += 1
+                            continue
+                        # ZRLs only when a newly-significant coef is ahead;
+                        # trailing zeros fold into the block's EOB instead
+                        while r > 15 and i <= eob:
+                            bw.put(*ac_codes[0xF0])
+                            r -= 16
+                            for bbit in br_bits:
+                                bw.put(bbit, 1)
+                            br_bits = []
+                        if temp > 1:  # known coefficient: one correction bit
+                            br_bits.append(temp & 1)
+                            continue
+                        bw.put(*ac_codes[r * 16 + 1])  # newly significant
+                        bw.put(1 if zzb[i] >= 0 else 0, 1)
+                        for bbit in br_bits:
+                            bw.put(bbit, 1)
+                        br_bits = []
+                        r = 0
+                    if r > 0 or br_bits:
+                        bw.put(*ac_codes[0x00])  # EOB(1) + trailing corrections
+                        for bbit in br_bits:
+                            bw.put(bbit, 1)
+                    mcu_n += 1
+            bw.flush()
+            scans.append(
+                (bytes([ci + 1, 0 if ci == 0 else 1]), 1, 63, a + 1, a, bytes(bw.out))
+            )
+
+    out, seg = _jpeg_headers(h, w, comps, 0xFFC2, restart_interval)
+    for comp_spec, ss, se, ah, a, data in scans:
+        out += seg(
+            0xFFDA,
+            bytes([len(comp_spec) // 2]) + comp_spec + bytes([ss, se, (ah << 4) | a]),
+        )
+        out += data
+    return out + b"\xff\xd9"
 
 
 class _JpegBitReader:
@@ -650,43 +849,177 @@ def _jpeg_extend(bits: int, s: int) -> int:
     return bits if s == 0 or bits >> (s - 1) else bits - (1 << s) + 1
 
 
-def _jpeg_decode_block(br, dc_tbl, ac_tbl, pred: int) -> tuple[list[int], int]:
-    zz = [0] * 64
-    s = _jpeg_decode_huffman(br, dc_tbl)
-    pred += _jpeg_extend(br.bits(s), s) if s else 0
-    zz[0] = pred
-    i = 1
-    while i < 64:
-        sym = _jpeg_decode_huffman(br, ac_tbl)
-        if sym == 0x00:  # EOB
-            break
-        if sym == 0xF0:  # ZRL
-            i += 16
-            continue
-        i += sym >> 4
-        size_ = sym & 0x0F
-        if i > 63:
-            raise ValueError("AC run past end of block")
-        zz[i] = _jpeg_extend(br.bits(size_), size_)
+def _jpeg_scan_data_end(b: bytes, start: int) -> int:
+    """End offset (exclusive) of an entropy-coded segment: the first 0xFF
+    followed by a real marker (not a stuffed 0x00, not RST0-7)."""
+    i = start
+    n = len(b)
+    while i + 1 < n:
+        if b[i] == 0xFF and b[i + 1] != 0x00 and not (0xD0 <= b[i + 1] <= 0xD7):
+            return i
         i += 1
-    return zz, pred
+    return n
+
+
+def _jpeg_dc_first(br, blk, dc_tbl, pred: int, al: int) -> int:
+    """DC of a first scan (T.81 §F.2.2.1 / §G.2): Huffman size class,
+    EXTEND, predictor accumulate, point transform left-shift."""
+    s = _jpeg_decode_huffman(br, dc_tbl)
+    if s:
+        pred += _jpeg_extend(br.bits(s), s)
+    blk[0] = pred << al
+    return pred
+
+
+def _jpeg_dc_refine(br, blk, al: int) -> None:
+    """DC successive-approximation refinement: one raw bit at position Al."""
+    if br.bit():
+        blk[0] |= 1 << al
+
+
+def _jpeg_ac_first(br, blk, ac_tbl, lo: int, hi: int, al: int, state: list[int]) -> None:
+    """First AC scan of a band (T.81 §G.2; the baseline full-band scan is
+    the ``al == 0, lo == 1, hi == 63`` special case). ``state[0]`` is the
+    EOB run — EOBn codes span blocks in progressive streams."""
+    if state[0] > 0:
+        state[0] -= 1
+        return
+    k = lo
+    while k <= hi:
+        sym = _jpeg_decode_huffman(br, ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state[0] = (1 << r) - 1  # this block consumes one of the run
+            if r:
+                state[0] += br.bits(r)
+            return
+        k += r
+        if k > hi:
+            raise ValueError("AC run past end of band")
+        blk[k] = _jpeg_extend(br.bits(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(br, blk, ac_tbl, lo: int, hi: int, al: int, state: list[int]) -> None:
+    """AC successive-approximation refinement (T.81 fig G.7, decode side):
+    every already-nonzero coefficient passed reads one correction bit
+    (applied away from zero when set and not yet present at this level);
+    newly-significant coefficients arrive as ±1 << Al; ZRL skips 16
+    zero-history positions; EOBn covers whole blocks whose remaining
+    nonzero coefficients still carry correction bits."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = lo
+    if state[0] == 0:
+        while k <= hi:
+            sym = _jpeg_decode_huffman(br, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state[0] = 1 << r
+                    if r:
+                        state[0] += br.bits(r)
+                    break
+                # r == 15: ZRL — handled by the advance loop below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan symbol with size > 1")
+                val = p1 if br.bit() else m1
+            while k <= hi:
+                if blk[k] != 0:
+                    if br.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > hi:
+                    raise ValueError("refinement run past end of band")
+                blk[k] = val
+            k += 1
+    if state[0] > 0:
+        while k <= hi:
+            if blk[k] != 0:
+                if br.bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state[0] -= 1
+
+
+def _jpeg_decode_scan(br, scan_comps, nmx, nmy, ss, se, ah, al, ri) -> None:
+    """Drive one scan's entropy data into the coefficient store.
+
+    ``scan_comps``: ``(coefs, dc_tbl, ac_tbl, hi, vi, bh, bw)`` per scan
+    component — interleaved MCU order when the scan has several
+    components, the component's own block raster (true ``bh x bw`` dims,
+    MCU = one block) otherwise. ``ri`` restarts reset DC predictors AND
+    the EOB run (T.81 §G.1.2.2)."""
+    interleaved = len(scan_comps) > 1
+
+    def units():
+        if interleaved:
+            for my in range(nmy):
+                for mx in range(nmx):
+                    u = []
+                    for sci, (_c, _d, _a, hi, vi, _bh, _bw) in enumerate(scan_comps):
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                u.append((sci, my * vi + byy, mx * hi + bxx))
+                    yield u
+        else:
+            _c, _d, _a, _hi, _vi, bh, bw = scan_comps[0]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(0, by, bx)]
+
+    preds = [0] * len(scan_comps)
+    state = [0]  # EOB run
+    mcu_n = 0
+    for unit in units():
+        if ri and mcu_n and mcu_n % ri == 0:
+            br.restart((mcu_n // ri - 1) % 8)
+            preds = [0] * len(scan_comps)
+            state[0] = 0
+        for sci, by, bx in unit:
+            coefs, dc_tbl, ac_tbl = scan_comps[sci][:3]
+            blk = coefs[by, bx]
+            if ss == 0:
+                if ah == 0:
+                    preds[sci] = _jpeg_dc_first(br, blk, dc_tbl, preds[sci], al)
+                else:
+                    _jpeg_dc_refine(br, blk, al)
+            if se >= 1:
+                lo = max(ss, 1)
+                if ah == 0:
+                    _jpeg_ac_first(br, blk, ac_tbl, lo, se, al, state)
+                else:
+                    _jpeg_ac_refine(br, blk, ac_tbl, lo, se, al, state)
+        mcu_n += 1
 
 
 def jpeg_decode(b: bytes):
-    """Baseline sequential JPEG bytes -> uint8 [h, w] (one component) or
-    [h, w, 3] (three components, YCbCr -> RGB; 4:4:4 and subsampled
-    layouts with per-component sampling factors in {1, 2} — 4:2:0,
-    4:2:2, 4:4:0 — chroma upsampled by pixel replication).
+    """Baseline-sequential (SOF0) and progressive (SOF2) JPEG bytes ->
+    uint8 [h, w] (one component) or [h, w, 3] (three components, YCbCr ->
+    RGB; 4:4:4 and subsampled layouts with per-component sampling factors
+    in {1, 2} — 4:2:0, 4:2:2, 4:4:0 — chroma upsampled by replication).
 
-    Real §F.2 decode: marker walk (APPn/COM skipped, standalone
-    TEM/RSTn/SOI/EOI advanced without a length word — T.81 §B.1.1.3),
-    DQT (8-bit tables; 16-bit stays behind the honesty gate), SOF0
-    (SOF1/2/3 rejected with the narrowed honesty gate), DHT
-    canonical-code rebuild, DRI restart intervals (predictor reset +
-    byte realign at each RSTn), entropy decode with byte unstuffing,
-    MCU-interleaved components with per-component DC prediction +
-    EXTEND, ZRL/EOB runs, dezigzag, dequantize, 2-D IDCT, level shift,
-    round, clip."""
+    Real §F.2/§G.2 decode: marker walk (APPn/COM skipped, standalone
+    TEM/RSTn/SOI/EOI advanced without a length word, 0xFF fill bytes
+    tolerated — T.81 §B.1.1), DQT (8-bit tables; 16-bit stays behind the
+    honesty gate), SOF0/SOF2 (extended/lossless SOFs rejected with the
+    narrowed gate), DHT canonical-code rebuild, DRI restart intervals
+    (predictor + EOB-run reset, byte realign at each RSTn), then every
+    SOS in order: entropy decode with byte unstuffing into a per-component
+    coefficient store — interleaved MCUs or single-component block raster,
+    spectral selection, successive approximation (DC first/refine, AC
+    first with cross-block EOB runs, fig-G.7 AC refinement). One final
+    pass dezigzags, dequantizes, applies the 2-D IDCT (vectorized over
+    all blocks), level shifts, rounds, clips, and upsamples chroma."""
     import struct
 
     import numpy as np
@@ -698,14 +1031,22 @@ def jpeg_decode(b: bytes):
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
     sof_comps: list[tuple[int, int, int, int]] = []  # (comp id, hi, vi, quant id)
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs: list | None = None
+    geom: list[tuple[int, int, int, int]] = []  # (hi, vi, true bh, true bw)
+    nmx = nmy = 0
+    saw_scan = False
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # optional 0xFF fill bytes before a marker (§B.1.1.2)
         marker = b[pos + 1]
-        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
-            # standalone markers carry no length word (TEM, RSTn, SOI, EOI)
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers carry no length word (TEM, RSTn, SOI)
             pos += 2
             continue
         if pos + 4 > len(b):
@@ -726,11 +1067,12 @@ def jpeg_decode(b: bytes):
                     tbl[z] = zz[i]
                 qtables[tq] = tbl
                 off += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit 1- or 3-component baseline JPEG decodes here"
+                    "only 8-bit 1- or 3-component JPEG decodes here"
                 )
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -742,9 +1084,10 @@ def jpeg_decode(b: bytes):
                         "JPEG sampling factors above 2 unsupported"
                     )
                 sof_comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG unsupported (baseline SOF0 only)"
+                "extended/lossless/arithmetic JPEG unsupported "
+                "(baseline SOF0 + progressive SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -760,57 +1103,67 @@ def jpeg_decode(b: bytes):
                 off += 17 + nvals
         elif marker == 0xDD:  # DRI — restart interval in MCUs
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — single interleaved scan for baseline
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
+            if h is None:
+                raise ValueError("SOS before SOF")
+            hmax = max(c[1] for c in sof_comps)
+            vmax = max(c[2] for c in sof_comps)
+            if coefs is None:
+                nmx = (w + 8 * hmax - 1) // (8 * hmax)
+                nmy = (h + 8 * vmax - 1) // (8 * vmax)
+                for _cid, hi, vi, _tq in sof_comps:
+                    ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+                    geom.append((hi, vi, -(-ch // 8), -(-cw // 8)))
+                coefs = [
+                    np.zeros((nmy * vi, nmx * hi, 64), dtype=np.int32)
+                    for _cid, hi, vi, _tq in sof_comps
+                ]
             ncomp_s = body[0]
-            if ncomp_s != len(sof_comps):
-                raise NotImplementedError("multi-scan JPEG unsupported")
-            tabs = {}
+            cids = [c[0] for c in sof_comps]
+            scan_comps = []
             for c in range(ncomp_s):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                tabs[cid] = (tt >> 4, tt & 0x0F)
-            scan = (tabs, pos + 2 + size)
-            break
+                ci = cids.index(cid)
+                hi, vi, bh, bw_ = geom[ci]
+                scan_comps.append(
+                    (coefs[ci], htables.get((0, tt >> 4)),
+                     htables.get((1, tt & 0x0F)), hi, vi, bh, bw_)
+                )
+            ss, se, ahal = body[1 + 2 * ncomp_s : 4 + 2 * ncomp_s]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("baseline scan must cover band 0..63")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError("progressive scan cannot span DC and AC")
+            if progressive and ss > 0 and ncomp_s != 1:
+                raise ValueError("progressive AC scans must be single-component")
+            data_start = pos + 2 + size
+            data_end = _jpeg_scan_data_end(b, data_start)
+            br = _JpegBitReader(b[data_start:data_end])
+            _jpeg_decode_scan(
+                br, scan_comps, nmx, nmy, ss, se, ah, al, restart_interval
+            )
+            saw_scan = True
+            pos = data_end
+            continue
         pos += 2 + size
-    if scan is None or h is None:
-        raise ValueError("missing SOF0/SOS")
-    tabs, data_start = scan
-    end = b.rfind(b"\xff\xd9")
-    br = _JpegBitReader(b[data_start : end if end > data_start else len(b)])
+    if not saw_scan or h is None or coefs is None:
+        raise ValueError("missing SOF/SOS")
     m = _jpeg_dct_matrix()
+    zz_idx = np.asarray(_JPEG_ZIGZAG)
     hmax = max(c[1] for c in sof_comps)
     vmax = max(c[2] for c in sof_comps)
-    nmx, nmy = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.empty((nmy * vi * 8, nmx * hi * 8), dtype=np.uint8)
-        for _, hi, vi, _tq in sof_comps
-    ]
-    comp_state = []
-    for cid, hi, vi, tq in sof_comps:
-        td, ta = tabs[cid]
-        comp_state.append(
-            (hi, vi, htables[(0, td)], htables[(1, ta)],
-             np.asarray(qtables[tq], dtype=np.float64).reshape(8, 8))
+    planes = []
+    for (cid, hi, vi, tq), ca in zip(sof_comps, coefs):
+        q = np.asarray(qtables[tq], dtype=np.float64)  # natural order
+        nat = np.zeros(ca.shape, dtype=np.float64)
+        nat[..., zz_idx] = ca  # dezigzag: k-th coefficient -> position zz[k]
+        deq = (nat * q).reshape(ca.shape[0], ca.shape[1], 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
+        blocks = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(ca.shape[0] * 8, ca.shape[1] * 8)
         )
-    preds = [0] * len(sof_comps)
-    mcu_n = 0
-    for my in range(nmy):
-        for mx in range(nmx):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                br.restart((mcu_n // restart_interval - 1) % 8)
-                preds = [0] * len(sof_comps)
-            for ci, (hi, vi, dc_tbl, ac_tbl, q) in enumerate(comp_state):
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        zz, preds[ci] = _jpeg_decode_block(br, dc_tbl, ac_tbl, preds[ci])
-                        coef = np.zeros(64, dtype=np.float64)
-                        for k, z in enumerate(_JPEG_ZIGZAG):
-                            coef[z] = zz[k]
-                        pix = m.T @ (coef.reshape(8, 8) * q) @ m + 128.0
-                        by, bx = (my * vi + byy) * 8, (mx * hi + bxx) * 8
-                        planes[ci][by : by + 8, bx : bx + 8] = np.clip(
-                            np.rint(pix), 0, 255
-                        ).astype(np.uint8)
-            mcu_n += 1
     if len(planes) == 1:
         return planes[0][:h, :w]
     up = []
@@ -918,17 +1271,59 @@ def attach_jpeg_420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
+def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PROGRESSIVE (SOF2) 4:2:0 JPEG fixtures with an exact decode oracle
+    — the kitchen-sink encode path: spectral selection + successive
+    approximation (interleaved DC first scan at Al=1, per-component AC
+    first scans with EOB runs, DC refinement bits, fig-G.7 AC refinement
+    scans), 2x2 luma MCUs with box-downsampled chroma, AND DRI/RSTn
+    restart intervals in every scan.
+
+    Same gray-in-RGB constant-block design as
+    :func:`attach_jpeg_420_payload` (R = G = B = 128 + 2k per 8x8 luma
+    block): neutral chroma survives subsampling exactly, and successive
+    approximation is exact by construction — progressive reorders the
+    SAME quantized coefficients, so the DC-first + refinement scans
+    reassemble each k bit-for-bit. Images span ``(1 + id%3)`` x
+    ``(1 + id%2)`` MCUs of 16x16 (transposed vs the 420 fixture so the
+    two queries don't share byte streams)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                nbx, nby = 2 * (1 + i % 3), 2 * (1 + i % 2)
+                g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+                for b in range(nbx * nby):
+                    by, bx = divmod(b, nbx)
+                    k = (i + 7 * b) % 128 - 64
+                    g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+                payloads.append(
+                    jpeg_encode_progressive(
+                        np.stack([g, g, g], axis=-1), subsample="420",
+                        restart_interval=2,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Decode image bytes -> (width, height, mode, per-channel means) via
     mapInPandas.
 
     PPM (P6) payloads decode through the built-in numpy codec above, PNG
-    (truecolor-8) through the zlib codec, and baseline sequential JPEG
-    (grayscale, 4:4:4 and subsampled color incl. 4:2:0, restart markers)
-    through the T.81 Huffman/DCT codec — all fully executable in this
-    environment, no external library. The remaining JPEG variant
-    (progressive scans) falls through to PIL when importable; without
-    PIL it raises NotImplementedError (the narrowed honesty gate).
+    (truecolor-8) through the zlib codec, and JPEG — baseline sequential
+    AND progressive, grayscale, 4:4:4 and subsampled color incl. 4:2:0,
+    restart markers — through the T.81 Huffman/DCT codec: all fully
+    executable in this environment, no external library. The remaining
+    JPEG variants (extended/lossless/arithmetic profiles, 16-bit DQT,
+    sampling factors above 2) fall through to PIL when importable;
+    without PIL they raise NotImplementedError (the narrowed honesty
+    gate).
     """
     import io
 
@@ -952,9 +1347,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
                 g = jpeg_decode(b)
             except NotImplementedError:
                 raise NotImplementedError(
-                    "progressive JPEG decode needs a codec library "
-                    "(PIL/opencv); the stdlib path covers baseline grayscale "
-                    "and 4:4:4 / 4:2:0 color with restart markers"
+                    "extended/lossless/arithmetic JPEG decode needs a codec "
+                    "library (PIL/opencv); the stdlib path covers baseline "
+                    "and progressive grayscale / 4:4:4 / 4:2:0 color with "
+                    "restart markers"
                 )
             if g.ndim == 3:
                 h, w, _ = g.shape

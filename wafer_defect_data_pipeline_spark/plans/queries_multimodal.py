@@ -295,6 +295,47 @@ register(
 )
 
 
+# The PROGRESSIVE (SOF2) twin (r12): spectral selection + successive
+# approximation — interleaved DC first scan at Al=1, per-component AC
+# first scans with EOB runs, DC refinement bits, fig-G.7 AC refinement —
+# over 4:2:0 subsampled color WITH restart intervals in every scan.
+# Progressive only reorders the same quantized coefficients, so the
+# gray-in-RGB constant-block closed form still predicts the decoded
+# stats exactly while Spark runs the full multi-scan §G.2 decode.
+def _jpeg_progressive_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import attach_jpeg_progressive_payload, decode_image
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image(attach_jpeg_progressive_payload(d)).orderBy("doc_id")
+
+
+register(
+    "multimodal_jpeg_progressive_decode_stats",
+    _jpeg_progressive_decode_stats,
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(2 * (1 + doc_id % 3) AS BIGINT) AS nbx,
+             CAST(2 * (1 + doc_id % 2) AS BIGINT) AS nby
+      FROM documents
+    ), k AS (
+      SELECT p.doc_id, p.nbx, p.nby,
+             avg(CAST((p.doc_id + 7 * t.b) % 128 - 64 AS DOUBLE)) AS avg_k
+      FROM p, unnest(range(0, p.nbx * p.nby)) AS t(b)
+      GROUP BY p.doc_id, p.nbx, p.nby
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INTEGER) AS width,
+           CAST(8 * nby AS INTEGER) AS height,
+           'RGB' AS mode,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_r,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_g,
+           round(128 + 2 * avg_k, 4) + 0.0 AS mean_b
+    FROM k ORDER BY doc_id
+    """,
+)
+
+
 # --- EXECUTED audio path: stdlib RIFF/PCM codec, oracle-checked -------------
 # Same design as the image query: fixture WAVs are arithmetic ramps
 # s_i = (id%50) + i over n = 100 + id%7 samples, so mean = base + (n-1)/2

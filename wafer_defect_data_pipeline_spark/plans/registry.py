@@ -93,6 +93,8 @@ _PRIORITY: list[str] = [
     # decode (2x2 luma MCUs + box-downsampled chroma + DRI/RSTn restart
     # markers — narrows the codec honesty gate to progressive scans only)
     "multimodal_jpeg_420_decode_stats",  # NEW r12: 4:2:0 + restart markers
+    "multimodal_jpeg_progressive_decode_stats",  # NEW r12: SOF2 multi-scan decode
+    "similarity_ivf_auto_topk",  # NEW r12: self-recall-derived probe count
     "dedup_mllib_minhash_lsh",  # CHANGED r12: hashed feature space (no global window)
     "text_bpe_token_stats",  # PROMOTED r12: exact SQL replay of greedy BPE
     "text_bpe_learned_merges",  # PROMOTED r12: unrolled 6-round learning oracle
