@@ -3648,9 +3648,10 @@ def test_jpeg_codec_baseline_roundtrip():
     smooth gradient round-trips within a small quantization error (the
     lossy path is real, not a bypass); (3) full-entropy noise exercises
     the AC run-length/ZRL/EOB and byte-stuffing paths structurally; (4)
-    the honesty gate stays for extended-profile headers, and a stream
-    mislabeled SOF2 around a full-band scan is rejected as malformed
-    (progressive scans may not span DC and AC — T.81 §G.1)."""
+    SOF1 extended sequential decodes (superset of baseline), the honesty
+    gate stays for lossless/arithmetic headers, and a stream mislabeled
+    SOF2 around a full-band scan is rejected as malformed (progressive
+    scans may not span DC and AC — T.81 §G.1)."""
     import numpy as np
     import pytest as _pytest
 
@@ -3678,9 +3679,22 @@ def test_jpeg_codec_baseline_roundtrip():
     assert dec.shape == noise.shape  # AC/ZRL/EOB + stuffing survived
 
     good = jpeg_encode(np.full((8, 8), 200, dtype=np.uint8))
+    # SOF1 extended sequential is a strict superset of baseline: the same
+    # stream relabeled must decode identically (8-bit Huffman path)
     extended = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert (jpeg_decode(extended) == jpeg_decode(good)).all()
+    # 16-bit DQT entries (pq=1, big-endian) with the same values must
+    # decode identically too (extended-profile table precision)
+    import struct as _struct
+
+    dqt16 = (
+        good[:2] + b"\xff\xdb\x00\x83\x10"
+        + _struct.pack(">64H", *good[7:71]) + good[71:]
+    )
+    assert (jpeg_decode(dqt16) == jpeg_decode(good)).all()
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with _pytest.raises(NotImplementedError):
-        jpeg_decode(extended)
+        jpeg_decode(lossless)
     mislabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(ValueError):
         jpeg_decode(mislabeled)  # SOF2 with a DC+AC full-band scan is malformed
@@ -3856,8 +3870,10 @@ def test_jpeg_codec_420_subsampled_roundtrip():
     markers (DRI + RSTn predictor resets) round-trip at several
     intervals; genuinely chromatic input is lossy-but-close (the
     subsample really executes); ADVICE r11 regressions: standalone
-    markers before SOS are walked without a length word, and 16-bit DQT
-    raises NotImplementedError (honesty-gate class), not ValueError."""
+    markers before SOS are walked without a length word, and a DQT whose
+    precision nibble claims 16-bit entries over an 8-bit-sized body is
+    rejected as malformed (16-bit tables themselves now decode — see
+    test_jpeg_codec_baseline_roundtrip)."""
     import numpy as np
     import pytest as _pytest
 
@@ -3891,9 +3907,9 @@ def test_jpeg_codec_420_subsampled_roundtrip():
     assert (jpeg_decode(weird) == 200).all()
     bad = bytearray(good)
     assert bad[2:4] == b"\xff\xdb"
-    bad[6] = 0x10  # 16-bit DQT precision nibble
-    with _pytest.raises(NotImplementedError):
-        jpeg_decode(bytes(bad))
+    bad[6] = 0x10  # claims 16-bit DQT entries but carries only 64 bytes
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))  # malformed: truncated 16-bit table
 
 
 def test_png_codec_roundtrip_exercises_all_filters():

@@ -11,9 +11,10 @@ stats), and YUV4MPEG2 video (frame-marker walk, luma stats, frame
 sampling) — plus PNG (truecolor-8), whose DEFLATE+filter pipeline is
 implementable with stdlib zlib + numpy, closing the compressed-image gap
 with an EXECUTED path. JPEG is EXECUTED too via the T.81 codec below —
-baseline sequential AND progressive (spectral selection + successive
-approximation), grayscale, 4:4:4 and 4:2:0 color, restart markers; the
-remaining variants (extended/lossless/arithmetic/12-bit, sampling
+baseline sequential, extended sequential (incl. 16-bit DQT), AND
+progressive (spectral selection + successive approximation), grayscale,
+4:4:4 and 4:2:0 color, restart markers; the remaining variants
+(lossless/arithmetic/hierarchical/12-bit precision, sampling
 factors above 2) fall through to PIL when importable and raise
 NotImplementedError otherwise — the gate is kept honest rather than
 faked.
@@ -300,12 +301,13 @@ def png_decode(b: bytes):
 # --- JPEG codec (ITU T.81 §F baseline sequential + Annex G progressive) ----
 # The last honesty gate, now executed: the DCT / quantize / zigzag /
 # Huffman pipeline is plain numpy + byte arithmetic — no codec library.
-# Scope is the 8-bit Huffman profiles: baseline sequential SOF0 AND
-# progressive SOF2 (spectral selection, successive approximation, EOB
-# runs, fig-G.7 AC refinement); single-component grayscale, 4:4:4 color,
-# and subsampled color with sampling factors in {1, 2} (4:2:0 / 4:2:2 /
-# 4:4:0), with DRI/RSTn restart intervals. Extended/lossless/arithmetic
-# profiles and 16-bit DQT stay behind the (narrowed) NotImplementedError
+# Scope is the 8-bit Huffman profiles: baseline sequential SOF0,
+# extended sequential SOF1 (incl. 16-bit DQT entries), AND progressive
+# SOF2 (spectral selection, successive approximation, EOB runs, fig-G.7
+# AC refinement); single-component grayscale, 4:4:4 color, and subsampled
+# color with sampling factors in {1, 2} (4:2:0 / 4:2:2 / 4:4:0), with
+# DRI/RSTn restart intervals. Lossless/arithmetic/hierarchical profiles
+# and 12-bit precision stay behind the (narrowed) NotImplementedError
 # gate. Tables are the T.81 Annex K standards: K.1 luminance quantization
 # (DC slot 16 — load-bearing for the exact oracle, see
 # attach_jpeg_payload), K.3 DC and K.5 AC Huffman.
@@ -1010,9 +1012,9 @@ def jpeg_decode(b: bytes):
 
     Real §F.2/§G.2 decode: marker walk (APPn/COM skipped, standalone
     TEM/RSTn/SOI/EOI advanced without a length word, 0xFF fill bytes
-    tolerated — T.81 §B.1.1), DQT (8-bit tables; 16-bit stays behind the
-    honesty gate), SOF0/SOF2 (extended/lossless SOFs rejected with the
-    narrowed gate), DHT canonical-code rebuild, DRI restart intervals
+    tolerated — T.81 §B.1.1), DQT (8-bit AND extended 16-bit tables),
+    SOF0/SOF1/SOF2 (lossless/arithmetic/hierarchical SOFs rejected with
+    the narrowed gate), DHT canonical-code rebuild, DRI restart intervals
     (predictor + EOB-run reset, byte realign at each RSTn), then every
     SOS in order: entropy decode with byte unstuffing into a per-component
     coefficient store — interleaved MCUs or single-component block raster,
@@ -1053,21 +1055,25 @@ def jpeg_decode(b: bytes):
             break
         (size,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + size]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (8-bit pq=0 or extended 16-bit pq=1 entries)
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables unsupported (8-bit baseline only)"
-                    )
-                zz = list(body[off + 1 : off + 65])
+                if len(body) < off + (129 if pq else 65):
+                    raise ValueError("truncated DQT segment")
+                if pq:
+                    zz = list(struct.unpack(">64H", body[off + 1 : off + 129]))
+                    off += 129
+                else:
+                    zz = list(body[off + 1 : off + 65])
+                    off += 65
                 tbl = [0] * 64
                 for i, z in enumerate(_JPEG_ZIGZAG):
                     tbl[z] = zz[i]
                 qtables[tq] = tbl
-                off += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical Huffman
+            # decode machinery at 8-bit precision) / SOF2 progressive
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8 or ncomp not in (1, 3):
@@ -1084,10 +1090,10 @@ def jpeg_decode(b: bytes):
                         "JPEG sampling factors above 2 unsupported"
                     )
                 sof_comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "extended/lossless/arithmetic JPEG unsupported "
-                "(baseline SOF0 + progressive SOF2 only)"
+                "lossless/arithmetic/hierarchical JPEG unsupported "
+                "(Huffman SOF0/SOF1/SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -1320,10 +1326,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
     AND progressive, grayscale, 4:4:4 and subsampled color incl. 4:2:0,
     restart markers — through the T.81 Huffman/DCT codec: all fully
     executable in this environment, no external library. The remaining
-    JPEG variants (extended/lossless/arithmetic profiles, 16-bit DQT,
-    sampling factors above 2) fall through to PIL when importable;
-    without PIL they raise NotImplementedError (the narrowed honesty
-    gate).
+    JPEG variants (lossless/arithmetic/hierarchical profiles, 12-bit
+    precision, sampling factors above 2) fall through to PIL when
+    importable; without PIL they raise NotImplementedError (the narrowed
+    honesty gate).
     """
     import io
 
@@ -1347,10 +1353,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
                 g = jpeg_decode(b)
             except NotImplementedError:
                 raise NotImplementedError(
-                    "extended/lossless/arithmetic JPEG decode needs a codec "
-                    "library (PIL/opencv); the stdlib path covers baseline "
-                    "and progressive grayscale / 4:4:4 / 4:2:0 color with "
-                    "restart markers"
+                    "lossless/arithmetic/hierarchical JPEG decode needs a "
+                    "codec library (PIL/opencv); the stdlib path covers "
+                    "baseline, extended-sequential, and progressive "
+                    "grayscale / 4:4:4 / 4:2:0 color with restart markers"
                 )
             if g.ndim == 3:
                 h, w, _ = g.shape
