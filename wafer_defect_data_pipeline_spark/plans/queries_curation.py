@@ -1308,6 +1308,78 @@ register(
 )
 
 
+# --- differentially private group counts ------------------------------------
+# Discrete Laplace noise via the two-sided-geometric construction
+# (Ghosh/Roughgarden/Sundararajan, "Universally Utility-Maximizing Privacy
+# Mechanisms", STOC'09 — public literature): noise = K1 - K2 with K1, K2
+# iid Geometric(1 - e^-eps). Sampling is integer inverse-CDF against
+# PRECOMPUTED thresholds T[k] = ceil((1 - p^(k+1)) * 2^60) shared as the
+# same literals by the Spark expression and the SQL oracle, with u drawn
+# as a 60-bit md5 integer — so the whole mechanism is bit-exact on both
+# engines (no ln/exp at query time, the one float step is baked into the
+# literals). Magnitude clamped at 40 (tail mass p^40 ~ 4e-18). NOTE: the
+# noise stream is a DETERMINISTIC hash of the group key so the oracle can
+# replay it — a production release would draw secret randomness instead;
+# the mechanism, sensitivity-1 count shape, and post-processing are what
+# this query exercises.
+import math as _math
+
+_DP_EPS = 1.0
+_DP_P = _math.exp(-_DP_EPS)  # geometric parameter for sensitivity-1 counts
+_DP_T = [_math.ceil((1.0 - _DP_P ** (k + 1)) * 2**60) for k in range(40)]
+
+
+def _dp_group_counts(spark, sf_dir):
+    """eps=1 DP release of per-language document counts: one groupBy
+    (sensitivity 1 under add/remove-one-document adjacency), then discrete
+    Laplace noise added as a pure projection — the noise join is free, the
+    aggregate is the only shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    with_u = counts.select(
+        "lang",
+        "n",
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp1:"), F.col("lang"))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("u1"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp2:"), F.col("lang"))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("u2"),
+    )
+    thresholds = F.array(*[F.lit(t) for t in _DP_T])
+    # K = #{k : T[k] <= u} is the geometric inverse-CDF pick (T ascending);
+    # u1/u2 are plain input columns here so the HOF lambdas can't hit the
+    # lateral-alias trap
+    k1 = F.size(F.filter(thresholds, lambda t: t <= F.col("u1")))
+    k2 = F.size(F.filter(thresholds, lambda t: t <= F.col("u2")))
+    return with_u.select(
+        "lang",
+        (F.col("n") + k1.cast("long") - k2.cast("long")).alias("dp_count"),
+    ).orderBy("lang")
+
+
+_DP_T_SQL = "[" + ", ".join(str(t) for t in _DP_T) + "]"
+
+register(
+    "privacy_dp_group_counts",
+    _dp_group_counts,
+    f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), u AS (
+      SELECT lang, n,
+             CAST(concat('0x', substring(md5('dp1:' || lang), 1, 15)) AS BIGINT) AS u1,
+             CAST(concat('0x', substring(md5('dp2:' || lang), 1, 15)) AS BIGINT) AS u2
+      FROM c
+    )
+    SELECT lang,
+           CAST(n + len(list_filter({_DP_T_SQL}, t -> t <= u1))
+                  - len(list_filter({_DP_T_SQL}, t -> t <= u2)) AS BIGINT) AS dp_count
+    FROM u ORDER BY lang
+    """,
+)
+
+
 # --- greedy no-split sequence packing ---------------------------------------
 def _pack_sequences_nosplit(spark, sf_dir):
     """Per-source greedy first-fit packing without document splitting
