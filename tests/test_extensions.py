@@ -3747,6 +3747,36 @@ def test_jpeg_progressive_decode_equals_baseline():
         assert (dec == rgb).all(), i
 
 
+def test_decode_image_quarantine_contract(spark, sf_small):
+    """on_error='quarantine' must turn corrupt payloads into error rows
+    (exception class, null stats) while valid rows keep real decoded
+    stats — and the default raise mode must still fail loudly on the same
+    mixed corpus (quarantining silently by default would hide data bugs)."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from wafer_defect_data_pipeline_spark.operators.multimodal import (
+        attach_mixed_image_payloads,
+        decode_image,
+    )
+
+    d = read_table(spark, sf_small, "documents").limit(40)
+    mixed = attach_mixed_image_payloads(d).localCheckpoint(eager=False)
+    out = decode_image(mixed, on_error="quarantine").toPandas()
+    assert len(out) == 40
+    v = out["doc_id"] % 4
+    assert (out.loc[v <= 1, "error"].isna()).all()
+    assert (out.loc[v == 2, "error"] == "ValueError").all()
+    assert (out.loc[v == 3, "error"] == "NotImplementedError").all()
+    assert out.loc[v <= 1, "width"].notna().all()
+    assert out.loc[v >= 2, "width"].isna().all()
+    # default mode on the same corpus: the task must die, not quarantine
+    with _pytest.raises(PySparkException):
+        decode_image(mixed).toPandas()
+    with _pytest.raises(ValueError):
+        decode_image(mixed, on_error="skip")
+
+
 def test_jpeg_progressive_cross_block_eob_run():
     """The repo's progressive encoder flushes EOB runs per block, but
     real-world encoders span MANY blocks with one EOBn code — hand-craft

@@ -1317,9 +1317,71 @@ def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id") -> Da
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+def attach_mixed_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MIXED corpus for the quarantine path: the shape of a
+    real crawl, where a fraction of payloads is corrupt.
+
+    ``id % 4 == 0``: valid baseline grayscale JPEG (attach_jpeg_payload's
+    constant-block design — closed-form stats); ``== 1``: valid
+    progressive 4:2:0 gray-in-RGB JPEG (attach_jpeg_progressive_payload's
+    design); ``== 2``: the grayscale JPEG TRUNCATED to its first 20 bytes
+    (header cut mid-segment -> ValueError); ``== 3``: non-image bytes
+    (no magic -> the no-codec-library NotImplementedError class). Every
+    branch is deterministic in the id, so the quarantine split AND the
+    surviving stats replay exactly in SQL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                variant = i % 4
+                if variant in (0, 2):
+                    nbx, nby = 1 + i % 3, 1 + i % 2
+                    g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+                    for b in range(nbx * nby):
+                        by, bx = divmod(b, nbx)
+                        k = (i + 7 * b) % 128 - 64
+                        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+                    enc = jpeg_encode(g)
+                    payloads.append(enc if variant == 0 else enc[:20])
+                elif variant == 1:
+                    nbx, nby = 2 * (1 + i % 3), 2 * (1 + i % 2)
+                    g = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+                    for b in range(nbx * nby):
+                        by, bx = divmod(b, nbx)
+                        k = (i + 7 * b) % 128 - 64
+                        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * k
+                    payloads.append(
+                        jpeg_encode_progressive(
+                            np.stack([g, g, g], axis=-1), subsample="420",
+                            restart_interval=2,
+                        )
+                    )
+                else:
+                    payloads.append(f"not-an-image:{int(i)}".encode())
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "raise",
+) -> DataFrame:
     """Decode image bytes -> (width, height, mode, per-channel means) via
     mapInPandas.
+
+    ``on_error="raise"`` (default) propagates decode failures — one corrupt
+    payload kills the task, the right default for trusted fixtures.
+    ``on_error="quarantine"`` is the 100 TB-crawl mode: failures yield a
+    row with null stats and the exception CLASS in an ``error`` column
+    (deterministic, so the quarantine split itself is oracle-checkable);
+    the job always completes and the corrupt subset is a filterable
+    column, not a stack trace.
 
     PPM (P6) payloads decode through the built-in numpy codec above, PNG
     (truecolor-8) through the zlib codec, and JPEG — baseline sequential
@@ -1378,8 +1440,39 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
         m = arr.reshape(-1, 3).mean(axis=0)
         return img.width, img.height, "RGB", float(m[0]), float(m[1]), float(m[2])
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+
+    def decode_safe(b: bytes):
+        try:
+            return decode_one(b) + (None,)
+        except Exception as exc:  # noqa: BLE001 — quarantine, never kill the task
+            return (None, None, None, None, None, None, type(exc).__name__)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if quarantine:
+                decoded = pdf[payload_col].map(decode_safe)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "width": pd.array(decoded.map(lambda t: t[0]), dtype="Int32"),
+                        "height": pd.array(decoded.map(lambda t: t[1]), dtype="Int32"),
+                        "mode": decoded.map(lambda t: t[2]),
+                        "mean_r": decoded.map(
+                            lambda t: round(t[3], 4) if t[3] is not None else None
+                        ),
+                        "mean_g": decoded.map(
+                            lambda t: round(t[4], 4) if t[4] is not None else None
+                        ),
+                        "mean_b": decoded.map(
+                            lambda t: round(t[5], 4) if t[5] is not None else None
+                        ),
+                        "error": decoded.map(lambda t: t[6]),
+                    }
+                )
+                continue
             decoded = pdf[payload_col].map(decode_one)
             yield pd.DataFrame(
                 {
@@ -1393,11 +1486,13 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
                 }
             )
 
-    return df.mapInPandas(
-        batches,
-        schema="doc_id long, width int, height int, mode string, "
-        "mean_r double, mean_g double, mean_b double",
+    schema = (
+        "doc_id long, width int, height int, mode string, "
+        "mean_r double, mean_g double, mean_b double"
     )
+    if quarantine:
+        schema += ", error string"
+    return df.mapInPandas(batches, schema=schema)
 
 
 def sample_frames(

@@ -336,6 +336,66 @@ register(
 )
 
 
+# Quarantine decode over a deterministically-corrupt mixed corpus (r12):
+# the 100 TB-crawl contract — one bad payload must become a filterable
+# error row, never a dead job. id%4 routes each doc to valid grayscale
+# JPEG / valid progressive-420 JPEG / truncated header / non-image bytes;
+# every branch (including the exception CLASS the quarantine records) is
+# deterministic in the id, so the full output replays in SQL: closed-form
+# stats for the two valid variants, 'ValueError' for the truncation,
+# 'NotImplementedError' (the honesty-gate class) for the unknown format.
+def _decode_quarantine(spark, sf_dir):
+    from ..operators.multimodal import attach_mixed_image_payloads, decode_image
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image(
+        attach_mixed_image_payloads(d), on_error="quarantine"
+    ).orderBy("doc_id")
+
+
+register(
+    "multimodal_decode_quarantine",
+    _decode_quarantine,
+    """
+    WITH ba AS (
+      SELECT doc_id, doc_id % 4 AS v FROM documents
+    ), g0 AS (
+      SELECT ba.doc_id,
+             CAST(1 + ba.doc_id % 3 AS BIGINT) AS nbx,
+             CAST(1 + ba.doc_id % 2 AS BIGINT) AS nby,
+             avg(CAST((ba.doc_id + 7 * t.bi) % 128 - 64 AS DOUBLE)) AS avg_k
+      FROM ba, unnest(range(0, (1 + ba.doc_id % 3) * (1 + ba.doc_id % 2))) AS t(bi)
+      WHERE ba.v = 0 GROUP BY 1, 2, 3
+    ), g1 AS (
+      SELECT ba.doc_id,
+             CAST(2 * (1 + ba.doc_id % 3) AS BIGINT) AS nbx,
+             CAST(2 * (1 + ba.doc_id % 2) AS BIGINT) AS nby,
+             avg(CAST((ba.doc_id + 7 * t.bi) % 128 - 64 AS DOUBLE)) AS avg_k
+      FROM ba, unnest(range(0, 4 * (1 + ba.doc_id % 3) * (1 + ba.doc_id % 2))) AS t(bi)
+      WHERE ba.v = 1 GROUP BY 1, 2, 3
+    )
+    SELECT ba.doc_id,
+           CAST(CASE WHEN ba.v = 0 THEN 8 * g0.nbx
+                     WHEN ba.v = 1 THEN 8 * g1.nbx END AS INT) AS width,
+           CAST(CASE WHEN ba.v = 0 THEN 8 * g0.nby
+                     WHEN ba.v = 1 THEN 8 * g1.nby END AS INT) AS height,
+           CASE WHEN ba.v = 0 THEN 'L' WHEN ba.v = 1 THEN 'RGB' END AS mode,
+           CASE WHEN ba.v = 0 THEN round(128 + 2 * g0.avg_k, 4) + 0.0
+                WHEN ba.v = 1 THEN round(128 + 2 * g1.avg_k, 4) + 0.0 END AS mean_r,
+           CASE WHEN ba.v = 0 THEN round(128 + 2 * g0.avg_k, 4) + 0.0
+                WHEN ba.v = 1 THEN round(128 + 2 * g1.avg_k, 4) + 0.0 END AS mean_g,
+           CASE WHEN ba.v = 0 THEN round(128 + 2 * g0.avg_k, 4) + 0.0
+                WHEN ba.v = 1 THEN round(128 + 2 * g1.avg_k, 4) + 0.0 END AS mean_b,
+           CASE WHEN ba.v = 2 THEN 'ValueError'
+                WHEN ba.v = 3 THEN 'NotImplementedError' END AS error
+    FROM ba
+    LEFT JOIN g0 ON g0.doc_id = ba.doc_id
+    LEFT JOIN g1 ON g1.doc_id = ba.doc_id
+    ORDER BY ba.doc_id
+    """,
+)
+
+
 # --- EXECUTED audio path: stdlib RIFF/PCM codec, oracle-checked -------------
 # Same design as the image query: fixture WAVs are arithmetic ramps
 # s_i = (id%50) + i over n = 100 + id%7 samples, so mean = base + (n-1)/2
