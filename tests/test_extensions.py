@@ -3747,6 +3747,32 @@ def test_jpeg_progressive_decode_equals_baseline():
         assert (dec == rgb).all(), i
 
 
+def test_nsw_scale_params_match_measured_anchors():
+    """The executable deployment rule must reproduce BOTH measured recall
+    anchors from BASELINE.md's decade study exactly: the sf1 config
+    (20k vectors -> recall 0.97) and the sf10 config (200k -> 0.958),
+    and every knob must be monotone nondecreasing in corpus size."""
+    from wafer_defect_data_pipeline_spark.operators.graph_ann import (
+        nsw_scale_params,
+    )
+
+    p1 = nsw_scale_params(20_000)
+    assert (p1["k_build"], p1["n_probe"], p1["beam_width"]) == (16, 3, 16)
+    assert p1["n_cells"] == 128 and p1["entry_sample_mod"] == 71
+
+    p10 = nsw_scale_params(200_000)
+    assert (p10["k_build"], p10["n_probe"], p10["beam_width"]) == (32, 4, 32)
+    assert p10["n_cells"] == 512 and p10["entry_sample_mod"] == 224
+
+    prev = nsw_scale_params(1_000)
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        cur = nsw_scale_params(n)
+        for k in cur:
+            assert cur[k] >= prev[k], (n, k)
+        prev = cur
+    assert nsw_scale_params(10_000_000)["k_build"] == 64  # clamp holds
+
+
 def test_decode_image_quarantine_contract(spark, sf_small):
     """on_error='quarantine' must turn corrupt payloads into error rows
     (exception class, null stats) while valid rows keep real decoded

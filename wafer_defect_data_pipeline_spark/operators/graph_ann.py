@@ -224,6 +224,34 @@ def knn_graph(
     )
 
 
+def nsw_scale_params(n_corpus: int) -> dict:
+    """Deployment-rule defaults for :func:`knn_graph` + :func:`nsw_search`
+    at corpus size ``n_corpus`` — the BASELINE.md round-12 decade study
+    made executable. Measured anchors: 20k vectors -> k_build=16,
+    n_probe=3, beam 16 reads recall@5 0.97; 200k -> k_build=32, n_probe=4,
+    beam 32 reads 0.958, while the 20k config degrades to 0.68 there and
+    NO search-side knob recovers past 0.81 (graph density, not search
+    width, is what recall loses first).
+
+    Rules: ``n_cells`` ~ sqrt(n) rounded to a power of two (the IVF
+    convention the knn_graph docstring records); ``k_build`` doubles per
+    decade from 16@20k (exponent log10(2)), clamped to [8, 64]; ``beam =
+    n_entry = k_build``; ``entry_sample_mod`` ~ sqrt(n)/2 (the
+    coarse-to-fine md5 sample scores ~2*sqrt(n) nodes per query)."""
+    import math
+
+    n = max(int(n_corpus), 1)
+    k_build = max(8, min(64, round(16 * (n / 20_000) ** math.log10(2))))
+    return {
+        "k_build": k_build,
+        "n_probe": 3 if k_build <= 16 else 4,
+        "n_cells": max(16, 2 ** round(math.log2(math.sqrt(n)))),
+        "beam_width": k_build,
+        "n_entry": k_build,
+        "entry_sample_mod": max(2, round(math.sqrt(n) / 2)),
+    }
+
+
 def nsw_search(
     graph: DataFrame,
     corpus: DataFrame,
