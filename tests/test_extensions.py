@@ -3747,6 +3747,31 @@ def test_jpeg_progressive_decode_equals_baseline():
         assert (dec == rgb).all(), i
 
 
+def test_ivf_auto_probe_empty_sample_falls_back_to_all_cells(spark):
+    """When the md5-uniform sample is empty (tiny corpus, large
+    sample_mod), the auto probe must fall back to probing EVERY cell —
+    the conservative exact-search answer — instead of dividing by zero or
+    guessing."""
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ivf_auto_n_probe,
+    )
+
+    rows = [(i, [float(i), 1.0, 0.0, 0.5], i % 3) for i in range(12)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    # sample_mod far above the corpus size -> near-certainly empty sample;
+    # md5 is deterministic, so assert the premise rather than assume it
+    from pyspark.sql import functions as F2
+
+    sampled = e.filter(
+        F2.conv(F2.substring(F2.md5(F2.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % F2.lit(10_000_000) == 0
+    ).count()
+    assert sampled == 0
+    assert ivf_auto_n_probe(e, k=2, sample_mod=10_000_000) == 3  # = n distinct cells
+
+
 def test_nsw_scale_params_match_measured_anchors():
     """The executable deployment rule must reproduce BOTH measured recall
     anchors from BASELINE.md's decade study exactly: the sf1 config

@@ -1700,9 +1700,20 @@ def wav_decode(b: bytes):
     return rate, np.frombuffer(data, dtype="<i2").reshape(-1, ch)
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "raise",
+) -> DataFrame:
     """Decode WAV bytes -> (rate, channels, samples, duration, mean, rms)
-    via mapInPandas — the executed audio-feature pass."""
+    via mapInPandas — the executed audio-feature pass.
+
+    Same quarantine contract as :func:`decode_image`:
+    ``on_error="quarantine"`` turns decode failures into rows with null
+    stats plus the exception class in an ``error`` column (the crawl-scale
+    mode — a corrupt payload must not kill the scan); the default raises.
+    """
 
     def decode_one(b: bytes):
         import numpy as np
@@ -1719,8 +1730,33 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
             round(float(np.sqrt((x**2).mean())) if n else 0.0, 4),
         )
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+
+    def decode_safe(b: bytes):
+        try:
+            return decode_one(b) + (None,)
+        except Exception as exc:  # noqa: BLE001 — quarantine, never kill the task
+            return (None, None, None, None, None, None, type(exc).__name__)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if quarantine:
+                d = pdf[payload_col].map(decode_safe)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "sample_rate": pd.array(d.map(lambda t: t[0]), dtype="Int32"),
+                        "n_channels": pd.array(d.map(lambda t: t[1]), dtype="Int32"),
+                        "n_samples": pd.array(d.map(lambda t: t[2]), dtype="Int64"),
+                        "duration_s": d.map(lambda t: t[3]),
+                        "mean_amp": d.map(lambda t: t[4]),
+                        "rms_amp": d.map(lambda t: t[5]),
+                        "error": d.map(lambda t: t[6]),
+                    }
+                )
+                continue
             d = pdf[payload_col].map(decode_one)
             yield pd.DataFrame(
                 {
@@ -1734,11 +1770,13 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
                 }
             )
 
-    return df.mapInPandas(
-        batches,
-        schema="doc_id long, sample_rate int, n_channels int, n_samples long, "
-        "duration_s double, mean_amp double, rms_amp double",
+    schema = (
+        "doc_id long, sample_rate int, n_channels int, n_samples long, "
+        "duration_s double, mean_amp double, rms_amp double"
     )
+    if quarantine:
+        schema += ", error string"
+    return df.mapInPandas(batches, schema=schema)
 
 
 def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1755,6 +1793,34 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i in pdf[id_col].astype("int64"):
                 n, rate, base = 100 + i % 7, int(8000 + 4000 * (i % 3)), i % 50
                 payloads.append(wav_encode(base + np.arange(n, dtype=np.int16), rate))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+def attach_mixed_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mixed WAV corpus for the audio quarantine path
+    (companion to :func:`attach_mixed_image_payloads`): ``id % 3 == 0`` is
+    :func:`attach_wav_payload`'s valid arithmetic-ramp WAV (closed-form
+    stats); ``== 1`` is the same WAV TRUNCATED to its first 16 bytes
+    (RIFF/WAVE magic intact, chunk list cut -> 'missing fmt or data'
+    ValueError); ``== 2`` is non-audio bytes (no RIFF magic ->
+    ValueError). Every branch deterministic in the id, so the quarantine
+    split and the surviving stats replay exactly in SQL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                variant = i % 3
+                if variant == 2:
+                    payloads.append(f"not-audio:{int(i)}".encode())
+                    continue
+                n, rate, base = 100 + i % 7, int(8000 + 4000 * (i % 3)), i % 50
+                enc = wav_encode(base + np.arange(n, dtype=np.int16), rate)
+                payloads.append(enc if variant == 0 else enc[:16])
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")

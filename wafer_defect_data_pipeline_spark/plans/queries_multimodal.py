@@ -430,6 +430,45 @@ register(
 )
 
 
+# Audio quarantine twin of multimodal_decode_quarantine (r12): id%3 routes
+# each doc to a valid ramp WAV / a RIFF header truncated mid-chunk-list /
+# non-audio bytes; both corrupt branches surface as 'ValueError' rows with
+# null stats while the valid rows keep the closed-form ramp statistics.
+# Note valid rows are exactly the id%3==0 docs, so their rate is the
+# constant 8000 (the fixture's rate term 4000*(id%3) vanishes).
+def _audio_quarantine(spark, sf_dir):
+    from ..operators.multimodal import attach_mixed_audio_payloads, decode_audio
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_audio(
+        attach_mixed_audio_payloads(d), on_error="quarantine"
+    ).orderBy("doc_id")
+
+
+register(
+    "multimodal_audio_quarantine",
+    _audio_quarantine,
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 3 AS v,
+             100 + doc_id % 7 AS n,
+             CAST(doc_id % 50 AS DOUBLE) AS base
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN v = 0 THEN 8000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN v = 0 THEN 1 END AS INT) AS n_channels,
+           CAST(CASE WHEN v = 0 THEN n END AS BIGINT) AS n_samples,
+           CASE WHEN v = 0 THEN CAST(n AS DOUBLE) / 8000 END AS duration_s,
+           CASE WHEN v = 0 THEN round(base + (n - 1) / 2.0, 4) END AS mean_amp,
+           CASE WHEN v = 0 THEN round(sqrt(base * base + base * (n - 1)
+                + (n - 1.0) * (2 * n - 1.0) / 6.0), 4) END AS rms_amp,
+           CASE WHEN v <> 0 THEN 'ValueError' END AS error
+    FROM p ORDER BY doc_id
+    """,
+)
+
+
 # --- EXECUTED video path: stdlib Y4M codec, frame sampling, oracle-checked --
 # Completes the trio: Spark walks real FRAME markers in YUV4MPEG2 streams
 # and averages real luma planes, sampling every 2nd frame; the oracle
