@@ -1879,37 +1879,62 @@ def y4m_decode(b: bytes):
 
 
 def decode_video_frames(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", stride: int = 1
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    stride: int = 1,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode Y4M bytes -> one row per SAMPLED frame (every ``stride``-th),
     with per-frame luma statistics — the real form of video frame sampling
-    (``sample_frames`` above is the codec-free byte-window variant)."""
+    (``sample_frames`` above is the codec-free byte-window variant).
+
+    Same quarantine contract as :func:`decode_image`/:func:`decode_audio`:
+    ``on_error="quarantine"`` emits ONE row per corrupt payload (null
+    frame fields, exception class in ``error``) instead of killing the
+    task; valid payloads keep their per-frame rows with ``error`` null."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, ws, hs, means = [], [], [], [], []
+            ids, idxs, ws, hs, means, errs = [], [], [], [], [], []
             for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                w, h, lumas = y4m_decode(b)
+                try:
+                    w, h, lumas = y4m_decode(b)
+                except Exception as exc:  # noqa: BLE001 — quarantine path
+                    if not quarantine:
+                        raise
+                    ids.append(int(i))
+                    idxs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    means.append(None)
+                    errs.append(type(exc).__name__)
+                    continue
                 for j in range(0, len(lumas), stride):
                     ids.append(int(i))
                     idxs.append(j)
                     ws.append(w)
                     hs.append(h)
                     means.append(round(float(lumas[j].mean()), 4))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "frame_idx": idxs,
-                    "width": ws,
-                    "height": hs,
-                    "luma_mean": means,
-                }
-            )
+                    errs.append(None)
+            out = {
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "luma_mean": pd.array(means, dtype="float64"),
+            }
+            if quarantine:
+                out["error"] = pd.array(errs, dtype="string")
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        batches,
-        schema="doc_id long, frame_idx int, width int, height int, luma_mean double",
-    )
+    schema = "doc_id long, frame_idx int, width int, height int, luma_mean double"
+    if quarantine:
+        schema += ", error string"
+    return df.mapInPandas(batches, schema=schema)
 
 
 def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1927,6 +1952,33 @@ def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h, n, base = 8 + 2 * (i % 3), 6 + 2 * (i % 2), 3 + i % 4, i % 150
                 lumas = [np.full((h, w), base + f, dtype=np.uint8) for f in range(n)]
                 payloads.append(y4m_encode(lumas, int(w), int(h)))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+def attach_mixed_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mixed Y4M corpus for the video quarantine path,
+    completing the image/audio/video trio: ``id % 3 == 0`` is
+    :func:`attach_y4m_payload`'s valid constant-luma stream (closed-form
+    frame stats); ``== 1`` is the same stream TRUNCATED to 20 bytes
+    (YUV4MPEG2 magic intact, header/frames cut -> ValueError); ``== 2``
+    is non-video bytes (no magic -> ValueError)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                variant = i % 3
+                if variant == 2:
+                    payloads.append(f"not-video:{int(i)}".encode())
+                    continue
+                w, h, n, base = 8 + 2 * (i % 3), 6 + 2 * (i % 2), 3 + i % 4, i % 150
+                lumas = [np.full((h, w), base + f, dtype=np.uint8) for f in range(n)]
+                enc = y4m_encode(lumas, int(w), int(h))
+                payloads.append(enc if variant == 0 else enc[:20])
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
     return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")

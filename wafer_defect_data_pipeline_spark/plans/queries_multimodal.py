@@ -469,6 +469,50 @@ register(
 )
 
 
+# Video quarantine twin, completing the image/audio/video trio (r12):
+# valid docs (id%3==0) emit one row per frame with closed-form constant
+# luma; both corrupt branches (truncated header, non-video bytes) emit a
+# single 'ValueError' row with null frame fields.
+def _video_quarantine(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_mixed_video_payloads,
+        decode_video_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_video_frames(
+        attach_mixed_video_payloads(d), on_error="quarantine"
+    ).orderBy("doc_id", "frame_idx")
+
+
+register(
+    "multimodal_video_quarantine",
+    _video_quarantine,
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 3 AS v,
+             6 + 2 * (doc_id % 2) AS h,
+             3 + doc_id % 4 AS n,
+             CAST(doc_id % 150 AS DOUBLE) AS base
+      FROM documents
+    ), frames AS (
+      SELECT p.doc_id, CAST(t.f AS INT) AS frame_idx, CAST(8 AS INT) AS width,
+             CAST(p.h AS INT) AS height,
+             round(p.base + t.f, 4) + 0.0 AS luma_mean,
+             CAST(NULL AS VARCHAR) AS error
+      FROM p, unnest(range(0, p.n)) AS t(f) WHERE p.v = 0
+    ), bad AS (
+      SELECT doc_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS width,
+             CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS luma_mean,
+             'ValueError' AS error
+      FROM p WHERE v <> 0
+    )
+    SELECT * FROM frames UNION ALL SELECT * FROM bad
+    ORDER BY doc_id, frame_idx
+    """,
+)
+
+
 # --- EXECUTED video path: stdlib Y4M codec, frame sampling, oracle-checked --
 # Completes the trio: Spark walks real FRAME markers in YUV4MPEG2 streams
 # and averages real luma planes, sampling every 2nd frame; the oracle

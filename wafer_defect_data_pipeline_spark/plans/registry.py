@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "privacy_dp_group_counts",  # NEW r12: discrete-Laplace DP counts
     "multimodal_decode_quarantine",  # NEW r12: corrupt-payload quarantine split
     "multimodal_audio_quarantine",  # NEW r12: audio twin of the quarantine split
+    "multimodal_video_quarantine",  # NEW r12: video twin (per-frame rows + error rows)
     "dedup_mllib_minhash_lsh",  # CHANGED r12: hashed feature space (no global window)
     "text_bpe_token_stats",  # PROMOTED r12: exact SQL replay of greedy BPE
     "text_bpe_learned_merges",  # PROMOTED r12: unrolled 6-round learning oracle
