@@ -143,11 +143,32 @@ def _regressions(
     (anchor max - min). Floors of 15% and 50 ms keep sub-noise jitter on
     sub-second queries from flagging — the gate exists to catch real plan
     regressions, not scheduler wobble.
+
+    Run-level load normalization (r12 ADVICE): a busy host slows EVERY
+    query by a roughly uniform factor, and without correction that factor
+    flags half the set at once (BENCH_r12: uniform ~18% -> 19/39 flagged),
+    drowning the signal the gate exists for. When the run has enough
+    anchored queries (>= 5) and its MEDIAN warm/anchor ratio exceeds 1.0,
+    each query's warm median is divided by that run-level median before
+    the band test — a real plan regression still sticks out of the
+    normalized field, while uniform host load cancels. The applied factor
+    is reported as ``__run_median_ratio`` so a normalized reading is
+    self-labeling.
     """
     if not anchor:
         return {}
     a_warm = anchor.get("queries") or {}
     a_spread = anchor.get("spread") or {}
+    ratios = [
+        v / a_warm[n]
+        for n, v in warm.items()
+        if v is not None and a_warm.get(n)
+    ]
+    med_ratio = sorted(ratios)[len(ratios) // 2] if ratios else 1.0
+    # normalize only uniformly-SLOW runs with a meaningful sample: a 1-2
+    # query set must never self-normalize its own regression away, and a
+    # uniformly-fast host needs no correction (bands already absorb it)
+    norm = med_ratio if (len(ratios) >= 5 and med_ratio > 1.0) else 1.0
     flagged: dict[str, dict[str, float]] = {}
     for name, v in warm.items():
         a = a_warm.get(name)
@@ -155,8 +176,10 @@ def _regressions(
         if v is None or a is None or not sp:
             continue
         band = max(sp[1] - sp[0], 0.15 * a, 0.05)
-        if v > a + band:
+        if v / norm > a + band:
             flagged[name] = {"warm": v, "anchor": a, "band": round(band, 3)}
+    if flagged and norm > 1.0:
+        flagged["__run_median_ratio"] = {"ratio": round(norm, 3)}
     return flagged
 
 
@@ -272,10 +295,17 @@ def main() -> None:
         },
         "full": "BENCH_local.json",
     }
-    if regressed:
-        compact["regressed_n"] = len(regressed)
+    if compact["spread_max_ratio"] is not None and compact["spread_max_ratio"] > 1.5:
+        # self-label hot-host runs: when one query's own 3 warm runs spread
+        # past 1.5x, totals from this run are host noise, not plan data
+        compact["unreliable"] = f"spread_max_ratio {compact['spread_max_ratio']} > 1.5"
+    real_regressed = {n: d for n, d in regressed.items() if not n.startswith("__")}
+    if real_regressed:
+        compact["regressed_n"] = len(real_regressed)
+        if "__run_median_ratio" in regressed:
+            compact["run_median_ratio"] = regressed["__run_median_ratio"]["ratio"]
         compact["regressed"] = "; ".join(
-            f"{n} {d['warm']}s vs {d['anchor']}s" for n, d in sorted(regressed.items())
+            f"{n} {d['warm']}s vs {d['anchor']}s" for n, d in sorted(real_regressed.items())
         )[:200]
     if errors:
         compact["errors_n"] = len(errors)
@@ -292,7 +322,7 @@ def main() -> None:
     record_run(
         "bench",
         f"headline_total {total}s warm over {n_timed} queries at sf{sf}"
-        + (f"; {len(regressed)} regressed vs HEAD anchor" if regressed else "")
+        + (f"; {len(real_regressed)} regressed vs HEAD anchor" if real_regressed else "")
         + (f"; {len(errors)} errors: {'; '.join(sorted(errors))[:200]}" if errors else ""),
     )
     spark.stop()

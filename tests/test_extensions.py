@@ -2466,6 +2466,50 @@ def test_span_strategy_auto_switches_on_flood_grams(spark):
     assert outs["auto"] == outs["window"] == outs["combine"]
 
 
+def test_span_window_salts_moderate_hot_grams(spark):
+    """r12 verdict item 3 (the sf10 2-task tail): grams too small to flip
+    the prober to 'combine' but big enough to dominate one window task must
+    be SALTED inside the window shape — probe_span_strategy returns them,
+    the salted pass spreads their positions over (gh, salt) partitions and
+    marks them covered unconditionally (exact: their sampled count already
+    proves >= min_count). Output must be identical to both unsalted
+    shapes."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        probe_span_strategy,
+    )
+
+    # every doc shares a 29-char phrase repeated 6x (29 distinct cross-doc
+    # grams at ~6 occurrences/doc — between 0.25x and 4x the per-reducer
+    # budget, so hot enough to salt but NOT enough to flip to combine)
+    # inside otherwise doc-unique filler
+    phrase = "the-shared-license-hdr-x01234" * 6
+    docs = spark.createDataFrame(
+        [
+            (i, f"u{i:04d}" + " ".join(f"w{i:04d}t{j:03d}" for j in range(20))
+             + phrase + " ".join(f"z{i:04d}t{j:03d}" for j in range(20)))
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    strategy, flood = probe_span_strategy(docs, "doc_id", "text", k=20)
+    assert strategy == "window"
+    assert flood, "shared-phrase grams must be surfaced for salting"
+    outs = {
+        s: sorted(
+            map(
+                tuple,
+                duplicated_spans(
+                    docs, "doc_id", "text", k=20, min_span=20, strategy=s
+                ).collect(),
+            )
+        )
+        for s in ("window", "combine", "auto")
+    }
+    assert outs["auto"], "shared phrase must produce spans"
+    assert outs["auto"] == outs["window"] == outs["combine"]
+
+
 def test_jaccard_pairs_auto_both_paths_match_exact(spark, sf_small):
     """jaccard_pairs_auto must return the exact-join answer on BOTH sides of
     the density probe: budget_factor=0 forces the LSH+verify fallback, the
@@ -3700,6 +3744,15 @@ def test_jpeg_codec_baseline_roundtrip():
         jpeg_decode(mislabeled)  # SOF2 with a DC+AC full-band scan is malformed
     with _pytest.raises(ValueError):
         jpeg_decode(b"\x89PNG not a jpeg")
+    # a scan referencing an undefined DHT slot is a CORRUPT STREAM and must
+    # classify as ValueError, not AttributeError-on-None (r12 ADVICE — the
+    # quarantine path records the exception class as the error taxonomy)
+    no_dht = good
+    while (j := no_dht.find(b"\xff\xc4")) != -1:
+        seg = int.from_bytes(no_dht[j + 2 : j + 4], "big")
+        no_dht = no_dht[:j] + no_dht[j + 2 + seg :]
+    with _pytest.raises(ValueError, match="missing Huffman"):
+        jpeg_decode(no_dht)
 
 
 def test_jpeg_progressive_decode_equals_baseline():
@@ -3770,6 +3823,28 @@ def test_ivf_auto_probe_empty_sample_falls_back_to_all_cells(spark):
     ).count()
     assert sampled == 0
     assert ivf_auto_n_probe(e, k=2, sample_mod=10_000_000) == 3  # = n distinct cells
+
+
+def test_ivf_sample_mod_caps_probe_sample_at_every_scale():
+    """r12 verdict item 1: the recall probe's sampling modulus must be
+    DERIVED so the sample stays ~target queries regardless of corpus size —
+    the probe cost is then O(target x n), linear, never O(n^2/mod). Pins
+    the cap at the two driver corpus sizes and at cluster scale."""
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ivf_sample_mod,
+    )
+
+    # the two testdata corpus sizes: sf0.01 (500 rows) reproduces the
+    # historical sample_mod=10; sf0.1 (2000 rows) scales it to 40
+    assert ivf_sample_mod(500, 50) == 10
+    assert ivf_sample_mod(2000, 50) == 40
+    # expected sample size n/mod is capped by target at every scale
+    for n in (1, 499, 500, 2000, 10_000, 1_000_000, 10**9):
+        for target in (50, 500):
+            assert n / ivf_sample_mod(n, target) <= target
+    # degenerate inputs stay safe
+    assert ivf_sample_mod(0, 500) == 1
+    assert ivf_sample_mod(10, 0) == 10
 
 
 def test_nsw_scale_params_match_measured_anchors():
@@ -4124,9 +4199,13 @@ def test_ivf_auto_probe_recall_bound_on_driver_corpus(spark, sf_medium):
     q = e.filter(F.col("vec_id") % 50 == 0)
     truth = brute_force_topk(e, q, k=5).localCheckpoint(eager=False)
     n_truth = truth.count()
-    approx = ivf_topk_auto(e, q, k=5, target_recall=0.95, sample_mod=10)
+    # derived-modulus path, exactly as the registered query runs it:
+    # target_queries=50 -> ceil(500/50)=10 at sf0.01 (the historical sample)
+    approx = ivf_topk_auto(e, q, k=5, target_recall=0.95, target_queries=50)
     approx = approx.localCheckpoint(eager=False)
-    n_probe = approx.select("n_probe_used").first()[0]
+    first = approx.select("n_probe_used", "sample_mod_used").first()
+    n_probe = first[0]
+    assert first[1] == 10  # ceil(500 / 50) — the derivation is in the output
     hits = (
         approx.select("query_id", "corpus_id")
         .join(truth.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
@@ -4244,3 +4323,59 @@ def test_delta_manifest_log_checkpoint_cadence_and_replay_equivalence(tmp_path):
     assert "state" in entry(4)
     assert DeltaManifest.recover(log, as_of_batch=4)._state() == replayed[4]
     assert DeltaManifest.recover(log)._state() == replayed[7]
+
+
+def test_dp_seeded_noise_shape(spark):
+    """r12 verdict item 6: the DP mechanism's production mode draws
+    randomness from a secret nonce instead of the group key. Pins (1) the
+    deterministic mode is UNCHANGED (the oracle contract), (2) seeded runs
+    are reproducible per seed and differ across seeds, and (3) the seeded
+    noise passes a coarse two-sided-geometric shape check at eps=1:
+    P(noise=0) = (1-p)/(1+p) ~ 0.462, symmetric, variance 2p/(1-p)^2 ~ 1.84."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import dp_group_counts
+
+    # (1) deterministic mode: bit-equal to the md5("dp1:"||key) inline form
+    keys = spark.range(50).select(F2.concat(F2.lit("k"), F2.col("id")).alias("g"))
+    det = {r["g"]: r["dp_count"] for r in dp_group_counts(keys, "g").collect()}
+    thresholds = F2.array(
+        *[F2.lit(t) for t in __import__(
+            "wafer_defect_data_pipeline_spark.operators.privacy", fromlist=["x"]
+        ).geometric_thresholds(1.0)]
+    )
+    u1 = F2.conv(F2.substring(F2.md5(F2.concat(F2.lit("dp1:"), F2.col("g"))), 1, 15), 16, 10).cast("long")
+    u2 = F2.conv(F2.substring(F2.md5(F2.concat(F2.lit("dp2:"), F2.col("g"))), 1, 15), 16, 10).cast("long")
+    inline = {
+        r["g"]: r["dp"]
+        for r in keys.select(
+            "g",
+            (
+                F2.lit(1)
+                + F2.size(F2.filter(thresholds, lambda t: t <= u1)).cast("long")
+                - F2.size(F2.filter(thresholds, lambda t: t <= u2)).cast("long")
+            ).alias("dp"),
+        ).collect()
+    }
+    assert det == inline
+
+    # (2) per-seed reproducibility, cross-seed divergence
+    many = spark.range(3000).select(F2.concat(F2.lit("g"), F2.col("id")).alias("g"))
+    s7a = {r["g"]: r["dp_count"] for r in dp_group_counts(many, "g", noise="seeded", seed=7).collect()}
+    s7b = {r["g"]: r["dp_count"] for r in dp_group_counts(many, "g", noise="seeded", seed=7).collect()}
+    s8 = {r["g"]: r["dp_count"] for r in dp_group_counts(many, "g", noise="seeded", seed=8).collect()}
+    assert s7a == s7b
+    assert s7a != s8
+
+    # (3) coarse geometric shape on the seed=7 stream (every true count is 1)
+    noise = [v - 1 for v in s7a.values()]
+    n = len(noise)
+    p = math.exp(-1.0)
+    p0 = sum(1 for x in noise if x == 0) / n
+    assert abs(p0 - (1 - p) / (1 + p)) < 0.05, p0
+    pos, neg = sum(1 for x in noise if x > 0), sum(1 for x in noise if x < 0)
+    assert abs(pos - neg) / n < 0.05, (pos, neg)
+    var = sum(x * x for x in noise) / n - (sum(noise) / n) ** 2
+    assert 1.4 < var < 2.4, var  # true variance 2p/(1-p)^2 ~ 1.84

@@ -1143,6 +1143,17 @@ def jpeg_decode(b: bytes):
                 raise ValueError("progressive scan cannot span DC and AC")
             if progressive and ss > 0 and ncomp_s != 1:
                 raise ValueError("progressive AC scans must be single-component")
+            # a scan referencing an undefined DHT slot is a corrupt stream,
+            # not a code bug: classify it as ValueError here (r12 ADVICE —
+            # letting htables.get's None reach the decoder surfaced as
+            # AttributeError in quarantine error rows). DC-refinement scans
+            # (ss==0, ah>0) read raw bits only and need no table at all;
+            # AC scans (first or refinement) always decode run/size symbols.
+            need_dc = ss == 0 and ah == 0
+            need_ac = se > 0
+            for _co, dct, act, *_rest in scan_comps:
+                if (need_dc and dct is None) or (need_ac and act is None):
+                    raise ValueError("missing Huffman table referenced by scan")
             data_start = pos + 2 + size
             data_end = _jpeg_scan_data_end(b, data_start)
             br = _JpegBitReader(b[data_start:data_end])
@@ -1818,7 +1829,11 @@ def attach_mixed_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 if variant == 2:
                     payloads.append(f"not-audio:{int(i)}".encode())
                     continue
-                n, rate, base = 100 + i % 7, int(8000 + 4000 * (i % 3)), i % 50
+                # rate is CONSTANT here on purpose: decodable rows exist only
+                # at i % 3 == 0, so a rate derived from i % 3 is dead code and
+                # a latent trap if the variant modulus ever changes (r12
+                # ADVICE); the SQL oracle hardcodes 8000 to match.
+                n, rate, base = 100 + i % 7, 8000, i % 50
                 enc = wav_encode(base + np.arange(n, dtype=np.int16), rate)
                 payloads.append(enc if variant == 0 else enc[:16])
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})

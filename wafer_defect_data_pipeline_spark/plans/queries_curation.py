@@ -1309,24 +1309,17 @@ register(
 
 
 # --- differentially private group counts ------------------------------------
-# Discrete Laplace noise via the two-sided-geometric construction
-# (Ghosh/Roughgarden/Sundararajan, "Universally Utility-Maximizing Privacy
-# Mechanisms", STOC'09 — public literature): noise = K1 - K2 with K1, K2
-# iid Geometric(1 - e^-eps). Sampling is integer inverse-CDF against
-# PRECOMPUTED thresholds T[k] = ceil((1 - p^(k+1)) * 2^60) shared as the
-# same literals by the Spark expression and the SQL oracle, with u drawn
-# as a 60-bit md5 integer — so the whole mechanism is bit-exact on both
-# engines (no ln/exp at query time, the one float step is baked into the
-# literals). Magnitude clamped at 40 (tail mass p^40 ~ 4e-18). NOTE: the
-# noise stream is a DETERMINISTIC hash of the group key so the oracle can
-# replay it — a production release would draw secret randomness instead;
-# the mechanism, sensitivity-1 count shape, and post-processing are what
-# this query exercises.
-import math as _math
+# Mechanism lives in operators/privacy.py (discrete Laplace via the
+# two-sided-geometric inverse-CDF, STOC'09 — see that module's docstring).
+# The registered query runs the DETERMINISTIC noise mode — the uniform is a
+# hash of the group key alone, so the SQL oracle replays it bit-exactly.
+# Production deployments use noise="seeded" (secret nonce) — same mechanism,
+# same plan shape, different randomness source (r12 verdict item 6); the
+# seeded mode's geometric shape is pinned by
+# tests/test_extensions.py::test_dp_seeded_noise_shape.
+from ..operators.privacy import geometric_thresholds as _dp_thresholds
 
-_DP_EPS = 1.0
-_DP_P = _math.exp(-_DP_EPS)  # geometric parameter for sensitivity-1 counts
-_DP_T = [_math.ceil((1.0 - _DP_P ** (k + 1)) * 2**60) for k in range(40)]
+_DP_T = _dp_thresholds(eps=1.0)
 
 
 def _dp_group_counts(spark, sf_dir):
@@ -1334,28 +1327,10 @@ def _dp_group_counts(spark, sf_dir):
     (sensitivity 1 under add/remove-one-document adjacency), then discrete
     Laplace noise added as a pure projection — the noise join is free, the
     aggregate is the only shuffle."""
+    from ..operators.privacy import dp_group_counts
+
     d = read_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    with_u = counts.select(
-        "lang",
-        "n",
-        F.conv(F.substring(F.md5(F.concat(F.lit("dp1:"), F.col("lang"))), 1, 15), 16, 10)
-        .cast("long")
-        .alias("u1"),
-        F.conv(F.substring(F.md5(F.concat(F.lit("dp2:"), F.col("lang"))), 1, 15), 16, 10)
-        .cast("long")
-        .alias("u2"),
-    )
-    thresholds = F.array(*[F.lit(t) for t in _DP_T])
-    # K = #{k : T[k] <= u} is the geometric inverse-CDF pick (T ascending);
-    # u1/u2 are plain input columns here so the HOF lambdas can't hit the
-    # lateral-alias trap
-    k1 = F.size(F.filter(thresholds, lambda t: t <= F.col("u1")))
-    k2 = F.size(F.filter(thresholds, lambda t: t <= F.col("u2")))
-    return with_u.select(
-        "lang",
-        (F.col("n") + k1.cast("long") - k2.cast("long")).alias("dp_count"),
-    ).orderBy("lang")
+    return dp_group_counts(d, "lang", eps=1.0, noise="deterministic").orderBy("lang")
 
 
 _DP_T_SQL = "[" + ", ".join(str(t) for t in _DP_T) + "]"

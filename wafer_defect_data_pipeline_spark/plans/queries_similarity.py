@@ -211,15 +211,20 @@ def _ivf_auto(spark, sf_dir):
     cell-rank histogram — operators/similarity.ivf_recall_curve) instead of
     fixed. On the driver's weakly-clustered corpus a fixed n_probe=3 reads
     recall@5 0.52 (BASELINE.md r10); this widens the probe set until the
-    sampled recall target (0.95) holds. Fully deterministic, so the whole
-    derivation + search replays in SQL; ``n_probe_used`` exposes the pick
-    to the oracle."""
+    sampled recall target (0.95) holds. The probe's sampling modulus is
+    itself DERIVED from the corpus count (ivf_sample_mod — r12 verdict
+    item 1: the earlier fixed sample_mod=10 made the probe O(n^2/10));
+    target_queries=50 reproduces the historical sf0.01 sample
+    (ceil(500/50)=10) while capping the probe at ~50 brute-forced queries
+    at EVERY scale. Fully deterministic, so the whole derivation + search
+    replays in SQL; ``n_probe_used`` and ``sample_mod_used`` expose both
+    picks to the oracle."""
     from ..operators.similarity import ivf_topk_auto
 
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk_auto(
-        e, queries, k=5, target_recall=0.95, sample_mod=10
+        e, queries, k=5, target_recall=0.95, target_queries=50
     ).orderBy("query_id", "rank")
 
 
@@ -242,10 +247,13 @@ register(
       SELECT label, pos, avg(val) AS avg_val FROM ex GROUP BY label, pos
     ), cent AS (
       SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+    ), smod AS (
+      SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) AS m FROM embeddings
     ), samp AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings
-      WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+      WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % (SELECT m FROM smod) = 0
     ), truth AS (
       SELECT query_id, corpus_id FROM (
         SELECT s.query_id, c.vec_id AS corpus_id,
@@ -291,7 +299,8 @@ register(
       WHERE c.vec_id <> probes.query_id
     )
     SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cos_sim,
-           CAST((SELECT n_probe FROM pick) AS INT) AS n_probe_used
+           CAST((SELECT n_probe FROM pick) AS INT) AS n_probe_used,
+           CAST((SELECT m FROM smod) AS INT) AS sample_mod_used
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, corpus_id ASC) AS rank
