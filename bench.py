@@ -93,6 +93,9 @@ HEADLINE = [
     # round-12 addition: recall-robust IVF (self-recall-derived probe count
     # — the probe curve job + widened search is the cost being tracked)
     "similarity_ivf_auto_topk",
+    # round-13 addition: the IVF vs graph-ANN priced dispatch (probe +
+    # decision + the NSW branch it takes on this corpus)
+    "similarity_ann_auto_dispatch",
 ]
 
 

@@ -2479,11 +2479,11 @@ def test_span_window_salts_moderate_hot_grams(spark):
         probe_span_strategy,
     )
 
-    # every doc shares a 29-char phrase repeated 6x (29 distinct cross-doc
-    # grams at ~6 occurrences/doc — between 0.25x and 4x the per-reducer
-    # budget, so hot enough to salt but NOT enough to flip to combine)
-    # inside otherwise doc-unique filler
-    phrase = "the-shared-license-hdr-x01234" * 6
+    # every doc shares a 46-char homogeneous run: ONE cross-doc gram
+    # ("x"*20) holding ~1/16 of all positions — inside the salt band
+    # (0.25x..4x the per-reducer budget) for shuffle.partitions anywhere
+    # in 8..32, so hot enough to salt but NOT enough to flip to combine
+    phrase = "x" * 46
     docs = spark.createDataFrame(
         [
             (i, f"u{i:04d}" + " ".join(f"w{i:04d}t{j:03d}" for j in range(20))
@@ -4379,3 +4379,74 @@ def test_dp_seeded_noise_shape(spark):
     assert abs(pos - neg) / n < 0.05, (pos, neg)
     var = sum(x * x for x in noise) / n - (sum(noise) / n) ** 2
     assert 1.4 < var < 2.4, var  # true variance 2p/(1-p)^2 ~ 1.84
+
+
+def test_ann_auto_dispatch_branches_and_recall(spark, sf_medium):
+    """r12 verdict item 4: ann_topk_auto must pick the GRAPH path on the
+    driver's weakly-clustered corpus (the IVF probe widens to all cells —
+    pruning gone) and the IVF path on a strongly-clustered fixture (the
+    probe stays narrow), holding recall@5 >= 0.9 on BOTH, each judged
+    against its branch's exact ground truth."""
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        exact_int_l2_topk,
+    )
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ann_topk_auto,
+        brute_force_topk,
+    )
+
+    def recall(approx, truth):
+        approx = approx.localCheckpoint(eager=False)
+        truth = truth.localCheckpoint(eager=False)
+        n_truth = truth.count()
+        hits = (
+            approx.select("query_id", "corpus_id")
+            .join(truth.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+            .count()
+        )
+        assert n_truth > 0
+        return hits / n_truth
+
+    nsw_cfg = dict(
+        k_build=16, n_probe=3, n_cells=16, beam_width=16, n_entry=16,
+        entry_sample_mod=5, n_hops=4,
+    )
+
+    # driver corpus (weakly clustered): NSW branch, integer-L2 truth
+    e = read_table(spark, sf_medium, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_auto(
+        e, q, k=5, target_queries=50, dim=64, nsw_params=nsw_cfg
+    ).localCheckpoint(eager=False)
+    first = out.select("branch_used", "n_probe_used", "n_cells_used").first()
+    assert first["branch_used"] == "nsw"
+    assert 2 * first["n_probe_used"] > first["n_cells_used"]
+    truth = exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=5)
+    r = recall(out, truth)
+    assert r >= 0.9, f"nsw-branch recall@5 = {r:.3f}"
+
+    # strongly-clustered fixture (8 tight orthogonal-axis clusters): the
+    # probe stays narrow -> IVF branch, cosine truth
+    import math
+
+    rows = []
+    for i in range(320):
+        c = i % 8
+        v = [0.0] * 64
+        v[c] = 1.0
+        # small deterministic perturbation, unique per vector
+        v[(c + 8 + i % 40) % 64] = 0.05 + 0.001 * (i % 13)
+        rows.append((i, v, c))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cq = clustered.filter(F.col("vec_id") % 10 == 0)
+    cout = ann_topk_auto(
+        clustered, cq, k=5, target_queries=50, dim=64, nsw_params=nsw_cfg
+    ).localCheckpoint(eager=False)
+    cfirst = cout.select("branch_used", "n_probe_used", "n_cells_used").first()
+    assert cfirst["branch_used"] == "ivf"
+    assert 2 * cfirst["n_probe_used"] <= cfirst["n_cells_used"]
+    ctruth = brute_force_topk(clustered, cq, k=5, arrow_threshold_pairs=None)
+    cr = recall(cout, ctruth)
+    assert cr >= 0.9, f"ivf-branch recall@5 = {cr:.3f}"

@@ -639,6 +639,85 @@ def minhash_lsh_probe(
 
 # --- substring-span dedup ----------------------------------------------------
 
+def probe_span_strategy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    sample_mod: int = 20,
+    flood_factor: float = 4.0,
+    salt_factor: float = 0.25,
+    max_salted: int = 128,
+    min_count: int = 2,
+) -> tuple[str, list[int]]:
+    """Price the :func:`duplicated_spans` physical shape from a cheap probe
+    AND surface the sampled hot grams so the window shape can salt them —
+    the same budgeted-probe pattern as :func:`jaccard_pairs_auto` and
+    ``connected_components_auto`` (graph.py). The window shape is 1.9x
+    faster (sf1) but partitions the k-gram positions by gram hash with NO
+    map-side combine, so a corpus-flooding gram (license headers, padding
+    runs) lands its entire occurrence list on a single reducer sort. The
+    combine shape pays a checkpoint of the position triples but is
+    skew-proof.
+
+    Probe (two jobs over a deterministic ``1/sample_mod`` doc sample,
+    ``xxhash64(id) % sample_mod``): (1) the sample's total position count
+    ``t`` from one doc-LENGTH aggregate — a pure projection, no explode
+    (``sum(len(text) - k + 1)`` equals the exploded sum exactly); (2) the
+    sampled per-gram counts, FILTERED to grams at or above the salt
+    threshold ``salt_factor x t / shuffle.partitions`` — the explode runs
+    once, same as the old single-job probe, and only the few hot grams are
+    collected (top ``max_salted`` by count). Nothing outside the sample is
+    touched: at 100 TB the probe costs 1/``sample_mod`` of one pass. A
+    cross-doc flood gram appears in ~every doc, so the sample sees
+    ~``1/sample_mod`` of its occurrences and both estimates scale back by
+    the same factor — which CANCELS in the decision ratios. A within-doc
+    repetition flood is captured whole whenever its doc is sampled, which
+    only OVERestimates its count — erring toward the skew-proof answer.
+
+    Returns ``(strategy, flood_gh)``:
+
+    - ``strategy``: ``"combine"`` iff some sampled gram count exceeds
+      ``flood_factor x t / shuffle.partitions`` (its occurrence list would
+      dominate a window task's sort buffer — the r7 rule, unchanged),
+      else ``"window"``.
+    - ``flood_gh``: gram hashes between the SALT threshold
+      (``salt_factor x`` per-reducer, far below the combine flip) and the
+      flip — grams too small to force the combine shape but big enough to
+      be a window task's wall-clock tail (the r12 sf10 finding: the probe
+      correctly chose window, and 2 hot-gram tasks still dominated a
+      26-task stage). The window shape salts exactly these (see
+      :func:`duplicated_spans`). EXACTNESS GUARD: every returned gram has
+      SAMPLED count >= ``min_count``, and sample counts lower-bound true
+      counts, so a salted gram is >= ``min_count`` corpus-wide by
+      construction — bypassing its exact count preserves the output.
+    """
+    sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    t = (
+        sample.filter(F.length(text_col) >= k)
+        .agg(F.sum(F.length(text_col) - F.lit(k) + 1))
+        .collect()[0][0]
+        or 0
+    )
+    if t == 0:
+        return "window", []
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    per_reducer = t / max(n_part, 1)
+    salt_thr = max(float(min_count), salt_factor * per_reducer)
+    hot = (
+        _gram_positions(sample, id_col, text_col, k)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= salt_thr)
+        .orderBy(F.desc("n"), F.asc("gh"))
+        .limit(max_salted)
+        .collect()
+    )
+    if hot and hot[0]["n"] > flood_factor * per_reducer:
+        return "combine", []
+    return "window", [int(r["gh"]) for r in hot]
+
+
 def choose_span_strategy(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -647,48 +726,11 @@ def choose_span_strategy(
     sample_mod: int = 20,
     flood_factor: float = 4.0,
 ) -> str:
-    """Price the :func:`duplicated_spans` physical shape from a cheap probe —
-    the same budgeted-probe pattern as :func:`jaccard_pairs_auto` and
-    ``connected_components_auto`` (graph.py), closing the r7 verdict's one
-    perf-weak item: the window shape is 1.9x faster (sf1) but partitions the
-    k-gram positions by gram hash with NO map-side combine, so one
-    corpus-flooding gram (license headers, padding runs) lands its entire
-    occurrence list on a single reducer sort. The combine shape pays a
-    checkpoint of the position triples but is skew-proof.
-
-    Probe: ONE job over a deterministic ``1/sample_mod`` doc sample
-    (``xxhash64(id) % sample_mod``) — explode the sampled docs' grams,
-    count per gram, and read back BOTH the max per-gram frequency ``m``
-    and the sample's total position count ``t`` (``sum`` over the same
-    gram counts) in a single two-value aggregate. Nothing outside the
-    sample is touched: at 100 TB the probe costs 1/``sample_mod`` of one
-    pass, not a full corpus scan. A cross-doc flood gram appears in
-    ~every doc, so the sample sees ~``1/sample_mod`` of its occurrences
-    and both estimates scale back by the same factor — which CANCELS in
-    the decision ratio, so no scale-back is applied at all. A within-doc
-    repetition flood (padding runs) is captured whole whenever its doc is
-    sampled, which only OVERestimates ``m`` — erring toward the
-    skew-proof shape.
-
-    Decision: ``window`` unless the sampled max gram frequency exceeds
-    ``flood_factor ×`` the sampled positions-per-reducer
-    (``t`` / spark.sql.shuffle.partitions) — i.e. unless one gram's
-    occurrence list would dominate a window task's sort buffer.
-    """
-    sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-    row = (
-        _gram_positions(sample, id_col, text_col, k)
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("m"), F.sum("n").alias("t"))
-        .collect()[0]
-    )
-    m, t = row["m"] or 0, row["t"] or 0
-    if t == 0:
-        return "window"
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    per_reducer = t / max(n_part, 1)
-    return "combine" if m > flood_factor * per_reducer else "window"
+    """Strategy-only view of :func:`probe_span_strategy` (back-compat for
+    tools and tests that price the shape without the salt list)."""
+    return probe_span_strategy(
+        df, id_col, text_col, k, sample_mod, flood_factor
+    )[0]
 
 
 def duplicated_spans(
@@ -744,16 +786,27 @@ def duplicated_spans(
       floods: license headers, empty-field padding) — AQE skew-join
       handles the join-side hot keys.
     - ``"auto"`` (default): price the choice with
-      :func:`choose_span_strategy` — a doc-length agg plus a sampled
-      max-gram-frequency probe — so the unattended default is skew-safe
+      :func:`probe_span_strategy` — a doc-length agg plus a sampled
+      per-gram-count probe — so the unattended default is skew-safe
       on flood-gram corpora without giving up the window shape's 1.9x on
-      healthy ones (r7 verdict item 1).
+      healthy ones (r7 verdict item 1). When the probe picks ``window``
+      it also returns the sampled HOT grams (above ``salt_factor x`` the
+      per-reducer budget but below the combine flip), and the window pass
+      SALTS exactly those: hot-gram rows get partition key ``(gh, salt)``
+      — spreading one gram's occurrence list over ``shuffle.partitions``
+      tasks, the discipline operators/skew.py applies to joins — and are
+      marked covered UNCONDITIONALLY, which is exact because their
+      sampled count already proves ``>= min_count`` corpus-wide (sample
+      counts lower-bound true counts). Everything else keeps the exact
+      windowed count under salt 0. This removes the r12 sf10 finding's
+      2-task hot-gram tail (24/26 tasks idle while the flood gram sorts)
+      without a second pass, a checkpoint, or any output change.
 
     Scale shape at 100 TB (window default): step 1 is a projection (no
     shuffle, output linear in corpus chars); step 2 one hash-partitioned
-    window; step 3 windows per doc (shuffle on doc id). Nothing is
-    quadratic and no text leaves the scan — only (id, pos, 64-bit hash)
-    triples shuffle.
+    window (hot grams salted across tasks); step 3 windows per doc
+    (shuffle on doc id). Nothing is quadratic and no text leaves the
+    scan — only (id, pos, 64-bit hash) triples shuffle.
 
     Returns ``(id, span_start, span_end, span_len)`` with ``span_end``
     exclusive.
@@ -764,15 +817,37 @@ def duplicated_spans(
         raise ValueError(
             f"strategy must be 'window', 'combine' or 'auto', got {strategy!r}"
         )
+    flood_gh: list[int] = []
     if strategy == "auto":
-        strategy = choose_span_strategy(df, id_col, text_col, k)
+        strategy, flood_gh = probe_span_strategy(
+            df, id_col, text_col, k, min_count=min_count
+        )
     pos = _gram_positions(df, id_col, text_col, k)
     if strategy == "window":
-        covered = (
-            pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("gh")))
-            .filter(F.col("n") >= min_count)
-            .select("__id", "pos")
-        )
+        if flood_gh:
+            is_flood = F.col("gh").isin(flood_gh)
+            n_salts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            salted = pos.withColumn(
+                "__salt",
+                F.when(
+                    is_flood, F.pmod(F.xxhash64("__id", "pos"), F.lit(n_salts))
+                ).otherwise(F.lit(0)),
+            )
+            covered = (
+                salted.withColumn(
+                    "n", F.count(F.lit(1)).over(W.partitionBy("gh", "__salt"))
+                )
+                .filter(is_flood | (F.col("n") >= min_count))
+                .select("__id", "pos")
+            )
+        else:
+            covered = (
+                pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("gh")))
+                .filter(F.col("n") >= min_count)
+                .select("__id", "pos")
+            )
     else:
         # pinned: pos feeds BOTH the duplicated-gram count and the
         # semi-join probe side — unpinned, the explode + per-position

@@ -288,6 +288,66 @@ def ivf_topk_auto(
     )
 
 
+def ann_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    target_recall: float = 0.95,
+    target_queries: int = 500,
+    dim: int = 64,
+    nsw_params: dict | None = None,
+) -> DataFrame:
+    """Priced IVF-vs-graph-ANN dispatch (r12 verdict item 4), the
+    ``jaccard_pairs_auto`` discipline applied to vector search: run the
+    (linear, capped-sample) IVF self-recall probe; if the derived
+    ``n_probe`` still prunes — ``2 * n_probe <= n_cells``, i.e. IVF scans
+    at most half the corpus per query — take :func:`ivf_topk` with that
+    probe count. Otherwise IVF's pruning win is gone (on weakly-clustered
+    corpora the probe widens toward ALL cells, degenerating to exact
+    search at exact-search cost), and the graph path is strictly better:
+    build/search an NSW graph with :func:`~.graph_ann.nsw_scale_params`
+    defaults (or explicit ``nsw_params`` — registered oracles pin them
+    for replay).
+
+    Output is metric-neutral ``(query_id, rank, corpus_id)`` plus the
+    full decision record — ``branch_used``, ``n_probe_used``,
+    ``n_cells_used`` — so the dispatch itself is oracle-checkable: a
+    decision flip shows up as a value mismatch, not a silent plan change.
+    """
+    n = corpus.count()
+    sample_mod = ivf_sample_mod(n, target_queries)
+    n_probe = ivf_auto_n_probe(
+        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod
+    )
+    n_cells = corpus.select(cell_col).distinct().count()
+    if 2 * n_probe <= n_cells:
+        out = ivf_topk(corpus, queries, id_col, vec_col, cell_col, k, n_probe).select(
+            "query_id", "rank", "corpus_id"
+        ).withColumn("branch_used", F.lit("ivf"))
+    else:
+        from .graph_ann import knn_graph, nsw_scale_params, nsw_search
+
+        p = dict(nsw_scale_params(n), **(nsw_params or {}))
+        g = knn_graph(
+            corpus, id_col, vec_col, dim=dim,
+            k_build=p["k_build"], n_probe=p["n_probe"], n_cells=p["n_cells"],
+        )
+        out = nsw_search(
+            g, corpus, queries, id_col, vec_col, dim=dim,
+            beam_width=p["beam_width"], n_hops=p.get("n_hops", 4), k_top=k,
+            n_entry=p["n_entry"], entry_sample_mod=p["entry_sample_mod"],
+        ).select("query_id", "rank", "corpus_id").withColumn(
+            "branch_used", F.lit("nsw")
+        )
+    return (
+        out.withColumn("n_probe_used", F.lit(n_probe))
+        .withColumn("n_cells_used", F.lit(n_cells))
+    )
+
+
 def knn_join_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

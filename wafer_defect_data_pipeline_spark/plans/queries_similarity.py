@@ -1022,12 +1022,18 @@ def _nsw_sql(
     n_probe: int = 2,
     n_entry: int = 4,
     entry_mod: int | None = None,
+    prefix_ctes: str = "",
+    extra_cols: str = "",
+    drop_dist: bool = False,
 ) -> str:
     """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
     chain one (candidates -> score -> beam) CTE triple per hop. Integer
     distances end to end, so the replay is bit-exact. ``entry_mod`` set
     replays the coarse-to-fine sampled-entry mode (md5-uniform node
-    sample, per-query top-``n_entry`` seeds) the scale config uses."""
+    sample, per-query top-``n_entry`` seeds) the scale config uses.
+    ``prefix_ctes`` splices caller CTEs (d-prefixed names to avoid
+    collisions) ahead of the build; ``extra_cols``/``drop_dist`` reshape
+    the final projection (the dispatch query's metric-neutral output)."""
     hops = 4
     score = (
         "SELECT c.query_id, c.node,"
@@ -1156,16 +1162,16 @@ def _nsw_sql(
     ), hop{h}s AS ({score.format(cand=f'hop{h}c')}
     ), beam{h} AS ({beam.format(scored=f'hop{h}s')}
     )""")
+    dist_col = "" if drop_dist else ",\n           CAST(dist AS BIGINT) AS l2_dist"
     parts.append(f"""
-    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
-           CAST(dist AS BIGINT) AS l2_dist
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id{dist_col}{extra_cols}
     FROM (SELECT query_id, node AS corpus_id, dist,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY dist, node) AS rank
           FROM beam{hops}) t
     WHERE rank <= 5 ORDER BY query_id, rank
     """)
-    return "WITH " + "".join(parts)
+    return "WITH " + prefix_ctes + "".join(parts)
 
 
 def _nsw_topk(spark, sf_dir):
@@ -1243,6 +1249,99 @@ register(
     "similarity_nsw_scale_topk",
     _nsw_scale_topk,
     _nsw_sql(beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5),
+)
+
+
+# --- IVF vs graph-ANN priced dispatch (r12 verdict item 4) -------------------
+def _ann_auto_dispatch(spark, sf_dir):
+    """operators/similarity.ann_topk_auto: the capped-sample IVF
+    self-recall probe derives n_probe; if 2*n_probe <= n_cells IVF still
+    prunes and serves the batch, otherwise (the driver corpus: the probe
+    widens to ALL 10 cells — IVF degenerated to exact search) the NSW
+    graph path serves it with the proven scale config
+    (similarity_nsw_scale_topk's parameters, pinned here so the oracle
+    replays the branch). The decision inputs ride along as columns, so a
+    data-driven branch flip is a loud hash mismatch, never a silent plan
+    change."""
+    from ..operators.similarity import ann_topk_auto
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ann_topk_auto(
+        e, q, k=5, target_recall=0.95, target_queries=50, dim=64,
+        nsw_params=dict(
+            k_build=16, n_probe=3, n_cells=16, beam_width=16, n_entry=16,
+            entry_sample_mod=5, n_hops=4,
+        ),
+    ).orderBy("query_id", "rank")
+
+
+_DISPATCH_CTES = f"""
+    dex AS (
+      SELECT label, u.pos - 1 AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ), dper AS (
+      SELECT label, pos, avg(val) AS avg_val FROM dex GROUP BY label, pos
+    ), dcent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM dper GROUP BY label
+    ), dsmod AS (
+      SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) AS m FROM embeddings
+    ), dsamp AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % (SELECT m FROM dsmod) = 0
+    ), dtruth AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT s.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY s.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="s.qv", c="CAST(c.embedding AS DOUBLE[])")} DESC,
+                 c.vec_id ASC) AS rank
+        FROM dsamp s JOIN embeddings c ON c.vec_id <> s.query_id
+      ) t WHERE rank <= 5
+    ), dcellr AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               {_COS_Q_CENT.format(q="qv", c="centroid")} DESC, label ASC) AS cell_rank
+      FROM dsamp CROSS JOIN dcent
+    ), dcurve AS (
+      SELECT cr.cell_rank, count(*) AS pairs
+      FROM dtruth t
+      JOIN embeddings n2 ON n2.vec_id = t.corpus_id
+      JOIN dcellr cr ON cr.query_id = t.query_id AND cr.label = n2.label
+      GROUP BY cr.cell_rank
+    ), dpick AS (
+      SELECT coalesce(
+        (SELECT min(cell_rank) FROM (
+           SELECT cell_rank,
+                  sum(pairs) OVER (ORDER BY cell_rank) * 1.0 /
+                  (SELECT sum(pairs) FROM dcurve) AS cum_recall
+           FROM dcurve) c WHERE cum_recall >= 0.95),
+        (SELECT count(*) FROM dcent)) AS n_probe
+    ), dcells AS (
+      SELECT count(*) AS n_cells FROM dcent
+    ),"""
+
+_DISPATCH_COLS = """,
+           CASE WHEN 2 * (SELECT n_probe FROM dpick) <= (SELECT n_cells FROM dcells)
+                THEN 'ivf' ELSE 'nsw' END AS branch_used,
+           CAST((SELECT n_probe FROM dpick) AS INT) AS n_probe_used,
+           CAST((SELECT n_cells FROM dcells) AS INT) AS n_cells_used"""
+
+# The oracle replays the decision (same capped-sample recall curve as
+# similarity_ivf_auto_topk, d-prefixed CTEs) AND the branch it selects on
+# this corpus — the NSW scale config. If the data ever flipped the decision
+# to IVF, the SQL would still emit NSW rows but label them 'ivf', and the
+# Spark side would emit IVF rows: a guaranteed hash mismatch, by design.
+register(
+    "similarity_ann_auto_dispatch",
+    _ann_auto_dispatch,
+    _nsw_sql(
+        beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5,
+        prefix_ctes=_DISPATCH_CTES, extra_cols=_DISPATCH_COLS, drop_dist=True,
+    ),
 )
 
 

@@ -77,140 +77,101 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 11 front-loads:
-# (a) queries NEW or CHANGED this round — the restart drills (durable
-# DeltaManifest transaction log + checkpointLocation-real recovery), the
-# hyperplane-LSH and graph-ANN-scale promotions/additions, the PNG decode
-# path, every delta loop whose body gained the durable checkpoint call,
-# and the r10 cohort whose helpers were touched; (b) the 4 remaining
-# rows-only queries so each keeps a fresh executes-cleanly row; (c)
-# REPRESENTATIVES OF EVERY FAMILY with older last-seen driver rows so the
-# 248-oracle matrix doesn't age. Names not listed follow in registration
-# order; a listed name missing from the registry is a hard error (catches
-# renames).
+# row ever predates the implementation it vouches for. Round 13 front-loads:
+# (a) queries NEW or CHANGED this round — the IVF->NSW priced dispatch, the
+# derived-sample-mod IVF auto probe (new sample_mod_used column), the
+# refactored DP release, the span family whose auto path gained hot-gram
+# window salting, the quarantine/JPEG queries whose decode paths gained the
+# missing-DHT error classification; (b) the 2 rows-only queries so each
+# keeps a fresh executes-cleanly row; (c) the STALEST cohort by last driver
+# green row — the r1/r2 relational, window, TPC-H, reference-§2, text and
+# embedding families the 50-query window hasn't revisited since rounds 1-2
+# (computed from CORRECTNESS_r01-r12; every one is still pytest
+# oracle-parity-covered per session, but the driver record should vouch for
+# them again too). Names not listed follow in registration order; a listed
+# name missing from the registry is a hard error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) new or changed THIS round (r12): the 4:2:0 chroma-subsampled JPEG
-    # decode (2x2 luma MCUs + box-downsampled chroma + DRI/RSTn restart
-    # markers — narrows the codec honesty gate to progressive scans only)
-    "multimodal_jpeg_420_decode_stats",  # NEW r12: 4:2:0 + restart markers
-    "multimodal_jpeg_progressive_decode_stats",  # NEW r12: SOF2 multi-scan decode
-    "similarity_ivf_auto_topk",  # NEW r12: self-recall-derived probe count
-    "privacy_dp_group_counts",  # NEW r12: discrete-Laplace DP counts
-    "multimodal_decode_quarantine",  # NEW r12: corrupt-payload quarantine split
-    "multimodal_audio_quarantine",  # NEW r12: audio twin of the quarantine split
-    "multimodal_video_quarantine",  # NEW r12: video twin (per-frame rows + error rows)
-    "dedup_mllib_minhash_lsh",  # CHANGED r12: hashed feature space (no global window)
-    "text_bpe_token_stats",  # PROMOTED r12: exact SQL replay of greedy BPE
-    "text_bpe_learned_merges",  # PROMOTED r12: unrolled 6-round learning oracle
-    # (a, r11) new or changed last round: the restart drills (durable
-    # DeltaManifest transaction log + checkpointLocation-real recovery),
-    # their delta/rewrite siblings (shared bodies refactored into
-    # factories), the hyperplane-LSH promotion to an exact oracle (staged
-    # seed-42 hyperplanes), and the PNG decode path
-    "dedup_streaming_incremental_spans_restart",  # NEW: kill-between-days recovery
-    "dedup_streaming_minhash_probe_restart",  # NEW: kill-between-days recovery
-    "entity_streaming_linkage_restart",  # NEW: kill-between-days recovery
-    "similarity_streaming_ann_restart",  # NEW: kill-between-days recovery (all 5 loops)
-    "text_bm25_standing_restart",  # NEW: kill-between-days recovery (all 5 loops)
-    "dedup_streaming_spans_time_travel",  # NEW: as-of reads from the manifest log
-    "multimodal_jpeg_decode_stats",  # NEW: executed baseline JPEG codec
-    "curation_token_budget_select",  # NEW: token-budget mixture selection
-    "multimodal_jpeg_color_decode_stats",  # NEW: 4:4:4 color JPEG path
-    "similarity_lsh_pairs",  # PROMOTED: exact oracle (staged hyperplanes)
-    "similarity_nsw_scale_topk",  # NEW: sampled-entry scale config, recall 0.97@sf1
-    "multimodal_png_decode_stats",  # NEW: executed zlib PNG decode
-    "dedup_streaming_incremental_spans_delta",  # body refactored into factory
-    "dedup_streaming_incremental_spans",  # rewrite twin, shared-oracle refactor
-    "similarity_streaming_ann_probe",  # delta discipline + retry idempotency
-    "entity_matches_multipass",  # NEW: rotated-key multi-pass SNM
-    "graph_lpa_communities",  # internal symmetrize (undirected semantics)
-    "training_lr_quality",  # loss-term clamp for saturated sigmoids
-    "training_lr_scores",
-    "csv_roundtrip",  # sink module touched (defaultFS-aware BOM guard)
-    "text_bm25_standing_query",  # NEW: streaming index maintenance, standing query
-    "dedup_streaming_minhash_probe_delta",  # NEW: O(batch) signature admits
-    "dedup_streaming_minhash_probe",  # streaming family siblings (shared stager)
-    "entity_streaming_linkage_delta",  # NEW: O(batch) record admits
-    "entity_streaming_linkage",
-    "entity_matches_sorted",  # SNM single-pass siblings (shared operator)
-    "entity_matches_blocked",
-    "entity_clusters",
-    "entity_golden_records",
-    "entity_incremental_clusters",
-    "entity_match_weights",
-    "entity_match_scores",
-    "dedup_incremental_spans_merged",  # span-family siblings (shared probe)
-    "dedup_incremental_spans",
-    "dedup_incremental_spans_persisted",
-    "dedup_duplicated_spans",
-    "dedup_strip_spans",
-    "dedup_span_stats",
-    "dedup_jaccard_pairs_auto",
-    "dedup_minhash_lsh_pairs",  # exact-twin anchor of the promoted query
-    "similarity_nsw_probe_prebuilt",
-    "training_importance_resample",
-    "curation_snapshot_diff",
-    "privacy_delete_propagation",
-    "multimodal_image_phash_pairs",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_video_neardup_pairs",
-    "text_html_strip",
-    "text_split_contamination_stats",
-    "embedding_pca_projection",
-    "embedding_zca_whiten",
-    "similarity_bruteforce_topk",
-    "similarity_bruteforce_topk_arrow",
-    "text_contamination_spans",
-    "text_decontaminate_strip",
-    # (b) rows-only refresh (now only 2: wafer KMeans + float stateful
-    # profile, both inherently non-SQL; the BPE pair was PROMOTED in r12;
-    # similarity_lsh_pairs left this list in r11 — promoted to an exact
-    # oracle with staged hyperplanes, now in section (a))
+    # (a) new or changed THIS round (r13)
+    "similarity_ann_auto_dispatch",  # NEW r13: IVF vs graph-ANN priced dispatch
+    "similarity_ivf_auto_topk",  # CHANGED r13: derived sample_mod (+ new column)
+    "privacy_dp_group_counts",  # CHANGED r13: mechanism factored to operators/privacy
+    "dedup_duplicated_spans",  # CHANGED r13: auto window salts sampled hot grams
+    "dedup_strip_spans",  # CHANGED r13: same auto path via strip_duplicated_spans
+    "dedup_span_stats",  # CHANGED r13: same auto path
+    "multimodal_audio_quarantine",  # CHANGED r13: fixture rate term de-deadened
+    "multimodal_jpeg_decode_stats",  # CHANGED r13: missing-DHT ValueError class
+    "multimodal_jpeg_420_decode_stats",  # CHANGED r13: same decode path
+    "multimodal_jpeg_progressive_decode_stats",  # CHANGED r13: same decode path
+    "multimodal_decode_quarantine",  # CHANGED r13: error taxonomy includes DHT class
+    "similarity_nsw_scale_topk",  # anchor twin of the dispatch's NSW branch
+    # (b) rows-only refresh (wafer KMeans + float stateful profile, both
+    # inherently non-SQL, both exact-twinned)
     "events_stateful_profile",
     "wafer_pipeline_on_lineitem",
-    # (c) stale-family representatives (last driver row r5 or older)
-    "multimodal_video_frame_stats",  # r4 — multimodal video
-    "multimodal_audio_spectrum_peak",  # r4
-    "multimodal_binary_metadata",  # r2
-    "scd2_priority_history",  # r3 — curation SCD2/CDC
-    "merge_upsert",  # r3
-    "curation_pipeline",
-    "text_bm25_topk",  # r3 — search
-    "text_inverted_index",  # r3
-    "rag_chunk_retrieval",  # r4
-    "timeseries_monthly_growth",  # r1 — timeseries
-    "events_hypertable_rollup",  # r2
-    "events_asof_join",  # r2
-    "events_funnel",  # r2
-    "events_streaming_static_enrich",  # r4 — stream-static join
-    "tpch_q3_top_orders",  # r1 — TPC-H joins
-    "tpch_q5_regional_revenue",  # r1
-    "tpch_q17_small_quantity",  # r1
-    "tpch_q22_idle_balance",  # r1
-    "window_topk_per_group",  # r1 — window family
-    "join_salted_skew",  # r1 — skew handling
-    "rollup_counts",  # r1 — grouping sets
-    "range_filter",  # r2 — reference §2 ops
-    "grouped_quantiles",  # r2
-    "crosstab_pivot",  # r2
-    "value_counts",  # r2
-    "text_tfidf_topk",  # r2 — text analysis
-    "text_language_id",  # r2
-    "text_benchmark_contamination",  # r2
-    "embedding_vector_stats",  # r2 — embeddings
-    "embedding_label_centroids",  # r2
-    "sample_mixture_weights",  # r2 — sampling
-    "pack_sequences",  # r2 — packing
-    "layout_zorder_stats",  # r2 — layout
-    "json_variant_agg",  # r3 — semi-structured
-    "recursive_cte_hierarchy",  # r3 — SQL features
-    "graph_pagerank_suppliers",  # r3 — graph
-    "privacy_k_anonymity",  # r4 — privacy
-    "sketch_kmv_distinct",  # r4 — sketches
-    "dq_audit_lineitem",  # r5 — data quality
-    "wafer_features_pandas_api",  # r3 — pandas-on-Spark surface
-    # everything else (driver-green in r1-r7) follows in registration order;
-    # pytest's oracle-parity sweep still covers all of them every session
+    # (c) stalest cohort: last driver-green row r1 (relational/window/TPC-H
+    # surface from round 1 — never re-sampled since)
+    "timeseries_monthly_growth",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q22_idle_balance",
+    "tpch_q13_order_counts",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_above_customer_avg",
+    "join_salted_skew",
+    "join_semi",
+    "join_anti",
+    "join_left_outer",
+    "join_null_safe",
+    "rollup_counts",
+    "cube_counts",
+    "distinct_aggregates",
+    "global_topk",
+    "string_functions",
+    "date_functions",
+    "grouped_string_agg",
+    "set_ops_customers",
+    "histogram_order_price",
+    # (c) last driver-green row r2 (reference-§2 ops, text, embeddings,
+    # events, sampling/packing/layout families)
+    "events_hypertable_rollup",
+    "events_asof_join",
+    "events_funnel",
+    "range_filter",
+    "grouped_quantiles",
+    "crosstab_pivot",
+    "value_counts",
+    "drop_nulls",
+    "derived_ratio",
+    "conditional_label",
+    "conditional_label_join",
+    "cast_columns",
+    "iqr_bounds",
+    "iqr_cascade_rows",
+    "null_counts",
+    "distinct_sorted",
+    "boolean_sum",
+    "union_by_name",
+    "text_tfidf_topk",
+    "text_language_id",
+    "text_token_stats",
+    "text_benchmark_contamination",
+    "embedding_vector_stats",
+    "embedding_label_centroids",
+    "dedup_minhash_signatures",
+    "dedup_jaccard_pairs",
+    "sample_mixture_weights",
+    "sample_hash_split",
+    "pack_sequences",
+    "layout_zorder_stats",
+    # everything else (fresh r12 rows or pytest-covered) follows in
+    # registration order; pytest's oracle-parity sweep still covers all of
+    # them every session
 ]
 
 
