@@ -3864,6 +3864,13 @@ def test_nsw_scale_params_match_measured_anchors():
     assert (p10["k_build"], p10["n_probe"], p10["beam_width"]) == (32, 4, 32)
     assert p10["n_cells"] == 512 and p10["entry_sample_mod"] == 224
 
+    # third anchor (r13, BASELINE round-13): the INTERPOLATED mid-decade
+    # point, validated live at sf3 — 60k vectors read recall@5 0.955 with
+    # exactly these derived parameters (tools/validate_nsw_sf3.py)
+    p3 = nsw_scale_params(60_000)
+    assert (p3["k_build"], p3["n_probe"], p3["beam_width"]) == (22, 4, 22)
+    assert p3["n_cells"] == 256 and p3["entry_sample_mod"] == 122
+
     prev = nsw_scale_params(1_000)
     for n in (10_000, 100_000, 1_000_000, 10_000_000):
         cur = nsw_scale_params(n)
@@ -4450,3 +4457,104 @@ def test_ann_auto_dispatch_branches_and_recall(spark, sf_medium):
     ctruth = brute_force_topk(clustered, cq, k=5, arrow_threshold_pairs=None)
     cr = recall(cout, ctruth)
     assert cr >= 0.9, f"ivf-branch recall@5 = {cr:.3f}"
+
+
+def test_ivf_kmeans_recall_and_full_probe_exactness(spark, sf_small):
+    """Production IVF (Lloyd-quantizer cells, no partition column):
+    (1) probing EVERY cell must equal the exact integer-L2 top-k row for
+    row — the degenerate case is a full scan, so any mismatch is a bug in
+    build/assign/scoring, not an approximation; (2) on a clustered corpus
+    a 2-of-16-cell probe must hold recall@5 >= 0.9 (the regime IVF exists
+    for; the weakly-clustered driver corpus reads ~0.4 here, which is the
+    dispatch operator's problem to route around)."""
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        exact_int_l2_topk,
+    )
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = sorted(
+        map(tuple, exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=5).collect())
+    )
+    full = sorted(
+        map(tuple, ivf_kmeans_topk(e, q, dim=64, k=5, n_probe=16, n_cells=16).collect())
+    )
+    assert full == exact
+
+    rows = []
+    for i in range(320):
+        c = i % 8
+        v = [0.0] * 64
+        v[c] = 1.0
+        v[(c + 8 + i % 40) % 64] = 0.05 + 0.001 * (i % 13)
+        rows.append((i, v))
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cq = clustered.filter(F.col("vec_id") % 10 == 0)
+    truth = exact_int_l2_topk(
+        clustered, cq, "vec_id", "embedding", dim=64, k_top=5
+    ).localCheckpoint(eager=False)
+    n_truth = truth.count()
+    approx = ivf_kmeans_topk(clustered, cq, dim=64, k=5, n_probe=2, n_cells=16)
+    hits = (
+        approx.select("query_id", "corpus_id")
+        .join(truth.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    assert n_truth > 0
+    r = hits / n_truth
+    assert r >= 0.9, f"clustered-corpus recall@5 = {r:.3f}"
+
+
+def test_ann_dispatch_labelfree_branches(spark, sf_small):
+    """The label-free dispatch (quantizer cells, no partition column) must
+    make the same kind of data-driven choice as the labeled one: graph
+    branch on the weakly-clustered driver corpus (probe widens past half
+    the quantizer cells) with recall@5 >= 0.9, IVF branch on a clustered
+    corpus THAT CARRIES NO LABEL COLUMN at all."""
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        exact_int_l2_topk,
+    )
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ann_topk_auto_quantized,
+    )
+
+    nsw_cfg = dict(
+        k_build=16, n_probe=3, n_cells=16, beam_width=16, n_entry=16,
+        entry_sample_mod=5, n_hops=4,
+    )
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_auto_quantized(
+        e, q, k=5, target_queries=50, dim=64, n_cells=16, nsw_params=nsw_cfg
+    ).localCheckpoint(eager=False)
+    first = out.select("branch_used", "n_probe_used", "n_cells_used").first()
+    assert first["branch_used"] == "nsw"
+    truth = exact_int_l2_topk(e, q, "vec_id", "embedding", dim=64, k_top=5)
+    truth = truth.localCheckpoint(eager=False)
+    n_truth = truth.count()
+    hits = (
+        out.select("query_id", "corpus_id")
+        .join(truth.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    assert n_truth > 0 and hits / n_truth >= 0.9, hits / n_truth
+
+    rows = []
+    for i in range(320):
+        c = i % 8
+        v = [0.0] * 64
+        v[c] = 1.0
+        v[(c + 8 + i % 40) % 64] = 0.05 + 0.001 * (i % 13)
+        rows.append((i, v))
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cq = clustered.filter(F.col("vec_id") % 10 == 0)
+    cout = ann_topk_auto_quantized(
+        clustered, cq, k=5, target_queries=50, dim=64, n_cells=16,
+        nsw_params=nsw_cfg,
+    ).localCheckpoint(eager=False)
+    cfirst = cout.select("branch_used", "n_probe_used", "n_cells_used").first()
+    assert cfirst["branch_used"] == "ivf"
+    assert 2 * cfirst["n_probe_used"] <= cfirst["n_cells_used"]

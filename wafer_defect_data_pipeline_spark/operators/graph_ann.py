@@ -43,6 +43,123 @@ from pyspark.sql import functions as F
 from .quantization import _subvectors, _two_level_topk
 
 
+def _qarr_col(vec_col: str, scale: int):
+    """Integer-quantized vector column: round(v * scale) as long."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"),
+    )
+
+
+def build_coarse_quantizer(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    n_cells: int = 16,
+    lloyd_steps: int = 2,
+):
+    """Lloyd-refined coarse centroid matrix (n_cells x dim numpy int-valued
+    float64) — the shared quantizer behind :func:`knn_graph` and
+    :func:`~.similarity.ivf_kmeans_topk`. Seeds are the ``n_cells``
+    lowest-id vectors (:func:`~.quantization.pq_codebook` with ``m=1`` —
+    deterministic), refined by ``lloyd_steps`` rounds of kernel assignment
+    + one integer-rounded mean agg over the exploded (N x dim) frame.
+
+    PRECONDITION (checked, n_cells-row readout): the ``n_cells`` lowest
+    ids must be exactly 0..n_cells-1 (true for the testdata tables and
+    the oracle replay, which shares the assumption); sparse-id corpora
+    must be remapped first. The centroid readout is n_cells x dim rows —
+    bounded by contract, the d^2-scale readout decomposition.py documents.
+    """
+    import numpy as np
+
+    from .quantization import _subvectors, pq_codebook
+
+    seed_ids = [
+        r["id"]
+        for r in corpus.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(n_cells)
+        .collect()
+    ]
+    if seed_ids != list(range(n_cells)):
+        raise ValueError(
+            f"coarse quantizer requires the {n_cells} lowest {id_col} values "
+            f"to be exactly 0..{n_cells - 1} (got {seed_ids[:5]}...); remap "
+            "ids to a dense 0-based range first (e.g. row_number() - 1)."
+        )
+
+    def collect_cb(cb_df) -> np.ndarray:
+        C = np.zeros((n_cells, dim), np.float64)
+        for r in cb_df.collect():
+            C[r["code"], r["j"]] = float(r["cv"])
+        return C
+
+    C = collect_cb(
+        pq_codebook(corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale)
+    )
+    sub_full = _subvectors(corpus, id_col, vec_col, dim, scale).select("id", "j", "iv")
+    for _ in range(lloyd_steps):
+        assign = assign_coarse_cells(
+            corpus, C, id_col, vec_col, scale, n_top=1
+        ).select("id", "code")
+        means = (
+            sub_full.join(assign, "id")
+            .groupBy("code", "j")
+            .agg(F.round(F.avg("iv"), 0).cast("long").alias("cv"))
+        )
+        Cn = C.copy()  # centroids with no assignment keep their value
+        for r in means.collect():
+            Cn[r["code"], r["j"]] = float(r["cv"])
+        C = Cn
+    return C
+
+
+def assign_coarse_cells(
+    df: DataFrame,
+    C,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    n_top: int = 1,
+) -> DataFrame:
+    """Per-vector nearest ``n_top`` centroids by integer squared L2 —
+    numpy kernel over Arrow batches with the (tiny) centroid matrix in
+    the closure; no N x n_cells x dim exploded join (the earlier
+    relational formulation fanned out 180M rows at sf1). Quantized values
+    are integer-valued float64 far below 2^53, so results equal the
+    integer SQL replay exactly; ties break (d, code) via lexsort.
+    Returns ``(id, code, rank)`` with rank 1-based."""
+    import numpy as np
+    import pandas as pd
+
+    n_cells = len(C)
+    nt = min(n_top, n_cells)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy()
+            out_id, out_code, out_rank = [], [], []
+            for i in range(len(ids)):
+                d = ((C - X[i]) ** 2).sum(axis=1)
+                order = np.lexsort((np.arange(n_cells), d))[:nt]
+                out_id.extend([ids[i]] * len(order))
+                out_code.extend(order)
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"id": out_id, "code": out_code, "rank": out_rank}
+            ).astype({"id": "int64", "code": "int32", "rank": "int32"})
+
+    return df.select(
+        F.col(id_col).alias("id"), _qarr_col(vec_col, scale).alias("qv")
+    ).mapInPandas(kernel, "id long, code int, rank int")
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -70,89 +187,19 @@ def knn_graph(
     import numpy as np
     import pandas as pd
 
-    from .quantization import _subvectors, pq_codebook
-
-    qarr_col = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"),
-    )
-
-    def collect_cb(cb_df) -> np.ndarray:
-        """Centroid matrix readout — n_cells x dim rows, bounded by contract
-        (the same d^2-scale readout decomposition.py documents)."""
-        C = np.zeros((n_cells, dim), np.float64)
-        for r in cb_df.collect():
-            C[r["code"], r["j"]] = float(r["cv"])
-        return C
-
-    def assign_topn(C: np.ndarray, n_top: int) -> DataFrame:
-        """Per-vector nearest ``n_top`` centroids by integer squared L2 —
-        numpy kernel over Arrow batches with the (tiny) centroid matrix in
-        the closure; no N x n_cells x dim exploded join (the earlier
-        relational formulation fanned out 180M rows at sf1). Quantized
-        values are integer-valued float64 far below 2^53, so results equal
-        the integer SQL replay exactly; ties break (d, code) via lexsort."""
-        nt = min(n_top, n_cells)
-
-        def kernel(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                X = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
-                ids = pdf["id"].to_numpy()
-                out_id, out_code, out_rank = [], [], []
-                for i in range(len(ids)):
-                    d = ((C - X[i]) ** 2).sum(axis=1)
-                    order = np.lexsort((np.arange(n_cells), d))[:nt]
-                    out_id.extend([ids[i]] * len(order))
-                    out_code.extend(order)
-                    out_rank.extend(range(1, len(order) + 1))
-                yield pd.DataFrame(
-                    {"id": out_id, "code": out_code, "rank": out_rank}
-                ).astype({"id": "int64", "code": "int32", "rank": "int32"})
-
-        return corpus.select(F.col(id_col).alias("id"), qarr_col.alias("qv")).mapInPandas(
-            kernel, "id long, code int, rank int"
-        )
+    qarr_col = _qarr_col(vec_col, scale)
 
     # seed centroids: the n_cells lowest-id vectors (pq_codebook's
     # deterministic seeding, m=1), then Lloyd-refine — raw seeds are a poor
     # quantizer (measured recall@5 0.40 raw vs 0.60 after two steps at
-    # sf0.001). Each step: kernel assignment + one integer-rounded mean agg
-    # over the (N x dim)-row exploded frame — no per-centroid fan-out.
-    #
-    # PRECONDITION (checked, n_cells-row readout): pq_codebook's seed codes
-    # are the raw seed ids, and collect_cb/assign_topn index C[code] with
-    # them, so the n_cells lowest ids MUST be exactly 0..n_cells-1 (true for
-    # the testdata tables and the oracle replay, which shares the
-    # assumption). A sparse-id corpus must be remapped by the caller first.
-    seed_ids = [
-        r["id"]
-        for r in corpus.select(F.col(id_col).alias("id"))
-        .orderBy("id")
-        .limit(n_cells)
-        .collect()
-    ]
-    if seed_ids != list(range(n_cells)):
-        raise ValueError(
-            f"knn_graph requires the {n_cells} lowest {id_col} values to be "
-            f"exactly 0..{n_cells - 1} (got {seed_ids[:5]}...); remap ids to "
-            "a dense 0-based range first (e.g. row_number() - 1)."
-        )
-    C = collect_cb(pq_codebook(corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale))
-    sub_full = _subvectors(corpus, id_col, vec_col, dim, scale).select("id", "j", "iv")
-    for _ in range(lloyd_steps):
-        assign = assign_topn(C, 1).select("id", "code")
-        means = (
-            sub_full.join(assign, "id")
-            .groupBy("code", "j")
-            .agg(F.round(F.avg("iv"), 0).cast("long").alias("cv"))
-        )
-        Cn = C.copy()  # centroids with no assignment keep their value
-        for r in means.collect():
-            Cn[r["code"], r["j"]] = float(r["cv"])
-        C = Cn
-    ranked = assign_topn(C, n_probe)
+    # sf0.001). Build + assignment now live in build_coarse_quantizer /
+    # assign_coarse_cells (shared with the production IVF path,
+    # similarity.ivf_kmeans_topk); the dense-0-based-id precondition is
+    # checked there.
+    C = build_coarse_quantizer(
+        corpus, id_col, vec_col, dim, scale, n_cells, lloyd_steps
+    )
+    ranked = assign_coarse_cells(corpus, C, id_col, vec_col, scale, n_probe)
     cells = ranked.filter(F.col("rank") == 1).select(
         F.col("id").alias("cand"), F.col("code").alias("cell")
     )

@@ -288,6 +288,89 @@ def ivf_topk_auto(
     )
 
 
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    k: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 16,
+    lloyd_steps: int = 2,
+) -> DataFrame:
+    """Production IVF: cells come from a LLOYD-REFINED coarse quantizer
+    (the :func:`~.graph_ann.build_coarse_quantizer` shared with the graph
+    build) instead of an existing partition column — the shape
+    :func:`ivf_topk`'s docstring promised ("a production build would
+    k-means the corpus for centroids"). Integer-quantized L2 end to end
+    (the PQ family's trick), so build, assignment, probing, and scoring
+    all replay bit-exactly in a SQL oracle.
+
+    Scale shape: quantizer build is ``lloyd_steps`` kernel-assign +
+    mean-agg rounds; per-query work is one n_cells kernel row + an
+    equi-join on the probed cell ids (corpus pre-partitioned by cell at
+    100 TB, so the per-cell scoring is co-located) + exact L2 within —
+    |corpus| * n_probe / n_cells scored candidates per query.
+    Returns ``(query_id, rank, corpus_id, l2_dist)``."""
+    from .graph_ann import assign_coarse_cells, build_coarse_quantizer
+    from .quantization import _subvectors, _two_level_topk
+
+    C = build_coarse_quantizer(
+        corpus, id_col, vec_col, dim, scale, n_cells, lloyd_steps
+    )
+    cells = assign_coarse_cells(corpus, C, id_col, vec_col, scale, 1).select(
+        F.col("id").alias("cand"), F.col("code").alias("cell")
+    )
+    probes = assign_coarse_cells(queries, C, id_col, vec_col, scale, n_probe).select(
+        F.col("id").alias("query_id"), F.col("code").alias("cell")
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("cand") != F.col("query_id"))
+        .select("query_id", "cand")
+    )
+    csub = _subvectors(corpus, id_col, vec_col, dim, scale).select(
+        F.col("id").alias("cand"), "j", F.col("iv").alias("cv")
+    )
+    qsub = _subvectors(queries, id_col, vec_col, dim, scale).select(
+        F.col("id").alias("query_id"), "j", F.col("iv").alias("qv")
+    )
+    delta = F.col("cv") - F.col("qv")
+    scored = (
+        cand.join(csub, "cand")
+        .join(F.broadcast(qsub), ["query_id", "j"])
+        .groupBy("query_id", "cand")
+        .agg(F.sum(delta * delta).alias("l2_dist"))
+        .select("query_id", F.col("cand").alias("id"), "l2_dist")
+    )
+    return _two_level_topk(scored, "l2_dist", k)
+
+
+def ann_dispatch_decision(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    target_recall: float = 0.95,
+    target_queries: int = 500,
+) -> tuple[int, int, str]:
+    """The dispatch's decision alone: ``(n_probe, n_cells, branch)`` with
+    branch ``"ivf"`` iff ``2 * n_probe <= n_cells``. Factored out so a
+    build-once pipeline can persist the decision next to the index it
+    selects (``similarity_ann_dispatch_prebuilt``) and serve later query
+    batches without re-probing."""
+    n = corpus.count()
+    sample_mod = ivf_sample_mod(n, target_queries)
+    n_probe = ivf_auto_n_probe(
+        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod
+    )
+    n_cells = corpus.select(cell_col).distinct().count()
+    return n_probe, n_cells, ("ivf" if 2 * n_probe <= n_cells else "nsw")
+
+
 def ann_topk_auto(
     corpus: DataFrame,
     queries: DataFrame,
@@ -317,20 +400,17 @@ def ann_topk_auto(
     ``n_cells_used`` — so the dispatch itself is oracle-checkable: a
     decision flip shows up as a value mismatch, not a silent plan change.
     """
-    n = corpus.count()
-    sample_mod = ivf_sample_mod(n, target_queries)
-    n_probe = ivf_auto_n_probe(
-        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod
+    n_probe, n_cells, branch = ann_dispatch_decision(
+        corpus, id_col, vec_col, cell_col, k, target_recall, target_queries
     )
-    n_cells = corpus.select(cell_col).distinct().count()
-    if 2 * n_probe <= n_cells:
+    if branch == "ivf":
         out = ivf_topk(corpus, queries, id_col, vec_col, cell_col, k, n_probe).select(
             "query_id", "rank", "corpus_id"
         ).withColumn("branch_used", F.lit("ivf"))
     else:
         from .graph_ann import knn_graph, nsw_scale_params, nsw_search
 
-        p = dict(nsw_scale_params(n), **(nsw_params or {}))
+        p = dict(nsw_scale_params(corpus.count()), **(nsw_params or {}))
         g = knn_graph(
             corpus, id_col, vec_col, dim=dim,
             k_build=p["k_build"], n_probe=p["n_probe"], n_cells=p["n_cells"],
@@ -345,6 +425,44 @@ def ann_topk_auto(
     return (
         out.withColumn("n_probe_used", F.lit(n_probe))
         .withColumn("n_cells_used", F.lit(n_cells))
+    )
+
+
+def ann_topk_auto_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    target_recall: float = 0.95,
+    target_queries: int = 500,
+    dim: int = 64,
+    n_cells: int = 16,
+    lloyd_steps: int = 2,
+    nsw_params: dict | None = None,
+) -> DataFrame:
+    """:func:`ann_topk_auto` with NO partition column required — the one
+    assumption the labeled dispatch still made. Cells come from the shared
+    Lloyd-refined coarse quantizer (:func:`~.graph_ann.
+    build_coarse_quantizer`), each corpus vector is tagged with its
+    nearest cell, and the identical decision machinery (capped-sample
+    self-recall curve -> n_probe; IVF iff ``2*n_probe <= n_cells``) runs
+    over those derived cells. At 100 TB this is the deployable form: raw
+    embedding tables don't ship a clustering column, the quantizer IS the
+    clustering, and the whole chain — quantizer build, assignment,
+    decision, chosen branch — stays deterministic and SQL-replayable."""
+    from .graph_ann import assign_coarse_cells, build_coarse_quantizer
+
+    C = build_coarse_quantizer(
+        corpus, id_col, vec_col, dim, 1000, n_cells, lloyd_steps
+    )
+    cells = assign_coarse_cells(corpus, C, id_col, vec_col, 1000, 1).select(
+        F.col("id").alias(id_col), F.col("code").alias("__qcell")
+    )
+    corpus2 = corpus.select(id_col, vec_col).join(cells, id_col)
+    return ann_topk_auto(
+        corpus2, queries, id_col, vec_col, "__qcell", k, target_recall,
+        target_queries, dim, nsw_params,
     )
 
 

@@ -58,10 +58,11 @@ _MINS16 = ",\n             ".join(
     for i in range(4)
 )
 
-register(
-    "dedup_cluster_assignment",
-    _cluster_assignment,
-    rf"""
+# Shared CTE block: planted-chain corpus -> MinHash bands -> verified pairs
+# -> recursive-CTE connected components. Reused verbatim by the cluster
+# assignment oracles (below) and the diversity-cap oracle, which appends a
+# different final projection.
+_CC_CTES = rf"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, source, text FROM documents
       UNION ALL
@@ -103,7 +104,13 @@ register(
       SELECT e.w, reach.r FROM reach JOIN edges e ON e.v = reach.v
     ), comp AS (
       SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
-    )
+    )"""
+
+register(
+    "dedup_cluster_assignment",
+    _cluster_assignment,
+    _CC_CTES
+    + """
     SELECT c.doc_id, CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component
     FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
     ORDER BY c.doc_id
@@ -1222,6 +1229,127 @@ def _cluster_assignment_auto(spark, sf_dir):
 register("dedup_cluster_assignment_auto", _cluster_assignment_auto, _cc_oracle())
 
 
+# --- diversity cap: at most M docs kept per near-dup cluster -----------------
+def _diversity_cap(spark, sf_dir):
+    """Cluster-aware downsampling — the curation step AFTER cluster
+    assignment: within each near-dup cluster keep at most M=2 documents,
+    ranked by a quality proxy (here text length desc, doc_id asc — the
+    score column is pluggable; the mechanism is the point). A pure window
+    over the component map, so the extra cost over clustering is one
+    shuffle on component — at 100 TB the cluster sizes are the skew to
+    watch, and rank-then-filter windows truncate hot clusters at M rows
+    read-out. Emits the full audit row (rank + kept flag), not just the
+    survivors, so downstream filters replay the decision."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    gen1 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    gen2 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
+    )
+    corpus = d.unionByName(gen1).unionByName(gen2)
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=16, n_bands=4, shingle_k=3, threshold=0.6
+    )
+    labeled = cluster_assignment(corpus, "doc_id", pairs)
+    w = W.partitionBy("component").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("rank_in_cluster", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "rank_in_cluster",
+            (F.col("rank_in_cluster") <= 2).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "curation_diversity_cap",
+    _diversity_cap,
+    _CC_CTES
+    + """
+    , labeled AS (
+      SELECT c.doc_id,
+             CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component,
+             length(c.text) AS qlen
+      FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+    )
+    SELECT doc_id, component, CAST(rnk AS INT) AS rank_in_cluster,
+           rnk <= 2 AS kept
+    FROM (SELECT doc_id, component, row_number() OVER (
+            PARTITION BY component ORDER BY qlen DESC, doc_id ASC) AS rnk
+          FROM labeled) t
+    ORDER BY doc_id
+    """,
+)
+
+
+# --- training-export shards: deterministic shard write + manifest ------------
+def _export_shards(spark, sf_dir):
+    """The pipeline's LAST step: write the curated corpus as deterministic
+    training shards and emit the manifest a trainer consumes. Shard id is
+    the repo's md5-uniform of doc_id mod 16 (engine-portable — NOT
+    xxhash64, which the oracle can't replay), the write is a real
+    partitionBy parquet write to a scratch dir, and the manifest is
+    computed from the FILES READ BACK — so the query exercises write +
+    read-back + aggregate, like csv_roundtrip does for the CSV sink.
+    Manifest: per-shard doc count, total chars, and an order-insensitive
+    content checksum (sum of the 60-bit id-hash as DECIMAL(38,0) — BIGINT
+    sums overflow under ANSI). At 100 TB the shard column is the write
+    partitioning, so each shard is one contiguous file set and the
+    manifest agg is map-side combinable."""
+    import uuid as _uuid
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    out = f"/tmp/wdps_export_shards_{_uuid.uuid4().hex[:8]}"
+    d.select(
+        "doc_id", "n_chars", F.pmod(u, F.lit(16)).cast("int").alias("shard"),
+        u.alias("idhash"),
+    ).repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("idhash").cast("decimal(38,0)")).cast("string").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+register(
+    "curation_export_shards",
+    _export_shards,
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS idhash
+      FROM documents
+    )
+    SELECT CAST(idhash % 16 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(sum(CAST(idhash AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
 # --- k-anonymity audit (privacy governance) ---------------------------------
 def _k_anonymity(spark, sf_dir):
     """Quasi-identifier group-size audit: rows whose (lang, source,
@@ -1351,6 +1479,98 @@ register(
            CAST(n + len(list_filter({_DP_T_SQL}, t -> t <= u1))
                   - len(list_filter({_DP_T_SQL}, t -> t <= u2)) AS BIGINT) AS dp_count
     FROM u ORDER BY lang
+    """,
+)
+
+
+# --- DP composition: two releases under an eps budget ------------------------
+# The count release above is one statistic; a real governance report composes
+# several under one privacy budget. This releases per-language (total docs,
+# long docs, long-doc share): two sensitivity-1 counts, each noised with
+# eps=0.5 discrete Laplace (sequential composition -> total eps=1), then the
+# share computed from the NOISED values — post-processing, which consumes no
+# budget (Dwork & Roth, "The Algorithmic Foundations of Differential
+# Privacy", 2014 — public literature). Independent noise streams come from
+# distinct hash prefixes; eps=0.5 has a fatter geometric tail, so its
+# inverse-CDF table extends to magnitude 88 (tail mass e^-44 ~ 8e-20).
+_DP_T_HALF = _dp_thresholds(eps=0.5, max_mag=88)
+
+
+def _dp_long_doc_share(spark, sf_dir):
+    """eps=1 DP release of per-language document totals, long-doc counts
+    (n_chars > 500), and their ratio: one groupBy (the only shuffle), two
+    eps=0.5 discrete-Laplace draws per group as pure projections, ratio
+    post-processed from the noised pair (clamped at 0, denominator floored
+    at 1)."""
+    from ..operators.privacy import _uniform60
+
+    d = read_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_chars") > 500, 1).otherwise(0)).alias("n_long"),
+    )
+    thr = F.array(*[F.lit(t) for t in _DP_T_HALF])
+    u = g.select(
+        "lang", "n", "n_long",
+        _uniform60("dpA1:", F.col("lang")).alias("ua1"),
+        _uniform60("dpA2:", F.col("lang")).alias("ua2"),
+        _uniform60("dpB1:", F.col("lang")).alias("ub1"),
+        _uniform60("dpB2:", F.col("lang")).alias("ub2"),
+    )
+
+    def k(c):
+        return F.size(F.filter(thr, lambda t: t <= F.col(c))).cast("long")
+
+    dp_docs = F.greatest(F.col("n") + k("ua1") - k("ua2"), F.lit(0).cast("long"))
+    dp_long = F.greatest(
+        F.col("n_long") + k("ub1") - k("ub2"), F.lit(0).cast("long")
+    )
+    return u.select(
+        "lang",
+        dp_docs.alias("dp_docs"),
+        dp_long.alias("dp_long_docs"),
+        (
+            F.round(
+                dp_long.cast("double")
+                / F.greatest(dp_docs, F.lit(1).cast("long")).cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("dp_long_share"),
+    ).orderBy("lang")
+
+
+_DP_T_HALF_SQL = "[" + ", ".join(str(t) for t in _DP_T_HALF) + "]"
+
+register(
+    "privacy_dp_long_doc_share",
+    _dp_long_doc_share,
+    f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+      FROM documents GROUP BY lang
+    ), u AS (
+      SELECT lang, n, n_long,
+             CAST(concat('0x', substring(md5('dpA1:' || lang), 1, 15)) AS BIGINT) AS ua1,
+             CAST(concat('0x', substring(md5('dpA2:' || lang), 1, 15)) AS BIGINT) AS ua2,
+             CAST(concat('0x', substring(md5('dpB1:' || lang), 1, 15)) AS BIGINT) AS ub1,
+             CAST(concat('0x', substring(md5('dpB2:' || lang), 1, 15)) AS BIGINT) AS ub2
+      FROM c
+    ), kk AS (
+      SELECT lang,
+             greatest(CAST(n + len(list_filter({_DP_T_HALF_SQL}, t -> t <= ua1))
+                             - len(list_filter({_DP_T_HALF_SQL}, t -> t <= ua2)) AS BIGINT),
+                      0) AS dp_docs,
+             greatest(CAST(n_long + len(list_filter({_DP_T_HALF_SQL}, t -> t <= ub1))
+                                  - len(list_filter({_DP_T_HALF_SQL}, t -> t <= ub2)) AS BIGINT),
+                      0) AS dp_long_docs
+      FROM u
+    )
+    SELECT lang, dp_docs, dp_long_docs,
+           round(CAST(dp_long_docs AS DOUBLE) / greatest(dp_docs, 1), 4) + 0.0
+             AS dp_long_share
+    FROM kk ORDER BY lang
     """,
 )
 

@@ -1015,57 +1015,12 @@ register(
 )
 
 
-# --- graph ANN: k-NN graph + fixed-hop beam search (NSW-style) ---------------
-def _nsw_sql(
-    beam_width: int = 12,
-    k_build: int = 8,
-    n_probe: int = 2,
-    n_entry: int = 4,
-    entry_mod: int | None = None,
-    prefix_ctes: str = "",
-    extra_cols: str = "",
-    drop_dist: bool = False,
-) -> str:
-    """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
-    chain one (candidates -> score -> beam) CTE triple per hop. Integer
-    distances end to end, so the replay is bit-exact. ``entry_mod`` set
-    replays the coarse-to-fine sampled-entry mode (md5-uniform node
-    sample, per-query top-``n_entry`` seeds) the scale config uses.
-    ``prefix_ctes`` splices caller CTEs (d-prefixed names to avoid
-    collisions) ahead of the build; ``extra_cols``/``drop_dist`` reshape
-    the final projection (the dispatch query's metric-neutral output)."""
-    hops = 4
-    score = (
-        "SELECT c.query_id, c.node,"
-        " sum((s.iv - q.qv) * (s.iv - q.qv)) AS dist"
-        " FROM {cand} c JOIN sub s ON s.node = c.node"
-        " JOIN qsub q ON q.query_id = c.query_id AND q.j = s.j"
-        " GROUP BY 1, 2"
-    )
-    beam = (
-        "SELECT query_id, node, dist FROM ("
-        "SELECT *, row_number() OVER (PARTITION BY query_id"
-        f" ORDER BY dist, node) AS r FROM {{scored}}) t WHERE r <= {beam_width}"
-    )
-    if entry_mod is None:
-        entries_sql = (
-            f"SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT {n_entry}"
-        )
-        beam0_sql = beam.format(scored="beam0s")
-    else:
-        # md5-uniform sample (exactly nsw_search's sampled-entry filter),
-        # per-query top-n_entry seeds from the scored sample
-        entries_sql = (
-            "SELECT vec_id AS node FROM embeddings WHERE "
-            "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-            f" % {entry_mod} = 0"
-        )
-        beam0_sql = (
-            "SELECT query_id, node, dist FROM ("
-            "SELECT *, row_number() OVER (PARTITION BY query_id"
-            f" ORDER BY dist, node) AS r FROM beam0s) t WHERE r <= {n_entry}"
-        )
-    parts = [f"""
+# --- shared integer-quantized coarse-quantizer CTEs --------------------------
+# Seed-centroid (16 lowest ids) + two unrolled Lloyd rounds + per-node cell
+# ranking, all in integer L2 — the SQL replay of graph_ann.
+# build_coarse_quantizer / assign_coarse_cells, shared by the NSW build
+# oracles and the production-IVF oracle (similarity_ivf_kmeans_topk).
+_QUANT_CTES = """
     ex AS (
       SELECT vec_id, u.pos - 1 AS pos,
              CAST(round(CAST(u.val AS DOUBLE) * 1000) AS BIGINT) AS iv
@@ -1117,7 +1072,62 @@ def _nsw_sql(
       SELECT query_id, code,
              row_number() OVER (PARTITION BY query_id ORDER BY d, code) AS r
       FROM celld
-    ), cells AS (
+    )"""
+
+
+# --- graph ANN: k-NN graph + fixed-hop beam search (NSW-style) ---------------
+def _nsw_sql(
+    beam_width: int = 12,
+    k_build: int = 8,
+    n_probe: int = 2,
+    n_entry: int = 4,
+    entry_mod: int | None = None,
+    prefix_ctes: str = "",
+    extra_cols: str = "",
+    drop_dist: bool = False,
+    include_quant: bool = True,
+) -> str:
+    """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
+    chain one (candidates -> score -> beam) CTE triple per hop. Integer
+    distances end to end, so the replay is bit-exact. ``entry_mod`` set
+    replays the coarse-to-fine sampled-entry mode (md5-uniform node
+    sample, per-query top-``n_entry`` seeds) the scale config uses.
+    ``prefix_ctes`` splices caller CTEs (d-prefixed names to avoid
+    collisions) ahead of the build; ``extra_cols``/``drop_dist`` reshape
+    the final projection (the dispatch query's metric-neutral output)."""
+    hops = 4
+    score = (
+        "SELECT c.query_id, c.node,"
+        " sum((s.iv - q.qv) * (s.iv - q.qv)) AS dist"
+        " FROM {cand} c JOIN sub s ON s.node = c.node"
+        " JOIN qsub q ON q.query_id = c.query_id AND q.j = s.j"
+        " GROUP BY 1, 2"
+    )
+    beam = (
+        "SELECT query_id, node, dist FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY dist, node) AS r FROM {{scored}}) t WHERE r <= {beam_width}"
+    )
+    if entry_mod is None:
+        entries_sql = (
+            f"SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT {n_entry}"
+        )
+        beam0_sql = beam.format(scored="beam0s")
+    else:
+        # md5-uniform sample (exactly nsw_search's sampled-entry filter),
+        # per-query top-n_entry seeds from the scored sample
+        entries_sql = (
+            "SELECT vec_id AS node FROM embeddings WHERE "
+            "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {entry_mod} = 0"
+        )
+        beam0_sql = (
+            "SELECT query_id, node, dist FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY dist, node) AS r FROM beam0s) t WHERE r <= {n_entry}"
+        )
+    quant = f"{_QUANT_CTES}, " if include_quant else ""
+    parts = [f"""{quant}cells AS (
       SELECT query_id AS cand, code AS cell FROM cellr WHERE r = 1
     ), bprobes AS (
       SELECT query_id AS src, code AS cell FROM cellr WHERE r <= {n_probe}
@@ -1252,6 +1262,55 @@ register(
 )
 
 
+# --- production IVF: Lloyd-refined quantizer cells ---------------------------
+def _ivf_kmeans(spark, sf_dir):
+    """operators/similarity.ivf_kmeans_topk: IVF whose cells come from the
+    Lloyd-refined coarse quantizer (graph_ann.build_coarse_quantizer, the
+    same build the NSW graph uses) instead of an existing partition
+    column — the production shape ivf_topk's docstring promised. Integer
+    L2 end to end, so the unrolled oracle replays seed + 2 Lloyd rounds +
+    assignment + probing + scoring bit-exactly."""
+    from ..operators.similarity import ivf_kmeans_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_kmeans_topk(
+        e, q, dim=64, k=5, n_probe=2, n_cells=16
+    ).orderBy("query_id", "rank")
+
+
+register(
+    "similarity_ivf_kmeans_topk",
+    _ivf_kmeans,
+    "WITH "
+    + _QUANT_CTES
+    + """, kcells AS (
+      SELECT query_id AS cand, code AS cell FROM cellr WHERE r = 1
+    ), qprobes AS (
+      SELECT query_id, code AS cell FROM cellr
+      WHERE r <= 2 AND query_id % 50 = 0
+    ), candp AS (
+      SELECT q.query_id, c.cand FROM qprobes q JOIN kcells c ON c.cell = q.cell
+      WHERE c.cand <> q.query_id
+    ), kscored AS (
+      SELECT cp.query_id, cp.cand AS corpus_id,
+             sum((a.iv - b.iv) * (a.iv - b.iv)) AS dist
+      FROM candp cp
+      JOIN sub a ON a.node = cp.query_id
+      JOIN sub b ON b.node = cp.cand AND b.j = a.j
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
+           CAST(dist AS BIGINT) AS l2_dist
+    FROM (SELECT query_id, corpus_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, corpus_id) AS rank
+          FROM kscored) t
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+
+
 # --- IVF vs graph-ANN priced dispatch (r12 verdict item 4) -------------------
 def _ann_auto_dispatch(spark, sf_dir):
     """operators/similarity.ann_topk_auto: the capped-sample IVF
@@ -1338,6 +1397,113 @@ _DISPATCH_COLS = """,
 register(
     "similarity_ann_auto_dispatch",
     _ann_auto_dispatch,
+    _nsw_sql(
+        beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5,
+        prefix_ctes=_DISPATCH_CTES, extra_cols=_DISPATCH_COLS, drop_dist=True,
+    ),
+)
+
+
+def _ann_dispatch_labelfree(spark, sf_dir):
+    """operators/similarity.ann_topk_auto_quantized: the dispatch with NO
+    partition column — cells are the Lloyd-quantizer assignment, and the
+    same decision machinery runs over them (here: n_probe widens to 13 of
+    16 quantizer cells on the driver corpus -> graph branch). The oracle
+    replays quantizer build + assignment (shared _QUANT_CTES), rebinds
+    the decision CTEs onto the derived cells (qemb), and then replays the
+    chosen NSW branch — fully label-free end to end."""
+    from ..operators.similarity import ann_topk_auto_quantized
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ann_topk_auto_quantized(
+        e, q, k=5, target_recall=0.95, target_queries=50, dim=64, n_cells=16,
+        nsw_params=dict(
+            k_build=16, n_probe=3, n_cells=16, beam_width=16, n_entry=16,
+            entry_sample_mod=5, n_hops=4,
+        ),
+    ).orderBy("query_id", "rank")
+
+
+# decision CTEs rebound onto the quantizer-cell view: qasg = nearest cell
+# per vector (from the shared quantizer CTEs), qemb = embeddings with the
+# derived cell as `label`, then the SAME d-prefixed decision block with its
+# table references rewritten qemb-ward. The NSW build CTEs follow with
+# include_quant=False (the quantizer block already leads the prefix — CTE
+# names must be unique and earlier-defined in DuckDB).
+_LABELFREE_CTES = (
+    _QUANT_CTES
+    + """, qasg AS (
+      SELECT query_id AS vec_id, code AS qcell FROM cellr WHERE r = 1
+    ), qemb AS (
+      SELECT e.vec_id, e.embedding, q.qcell AS label
+      FROM embeddings e JOIN qasg q USING (vec_id)
+    ), """
+    + _DISPATCH_CTES.replace("embeddings", "qemb").lstrip()
+)
+
+register(
+    "similarity_ann_dispatch_labelfree",
+    _ann_dispatch_labelfree,
+    _nsw_sql(
+        beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5,
+        prefix_ctes=_LABELFREE_CTES, extra_cols=_DISPATCH_COLS,
+        drop_dist=True, include_quant=False,
+    ),
+)
+
+
+def _ann_dispatch_prebuilt(spark, sf_dir):
+    """The dispatch's build-once serving shape (mirror of
+    similarity_nsw_probe_prebuilt / ivfpq_probe_prebuilt): the decision
+    probe runs ONCE, its verdict is persisted as a one-row parquet
+    manifest NEXT TO the index it selected (here the NSW edge list), and
+    the query batch is answered entirely from the LOADED artifacts — the
+    probe never re-runs per batch, which is the point of the dispatch at
+    serving time. Everything is deterministic, so probe-after-load is
+    bit-equal to the fresh dispatch and the SAME oracle hash-checks it."""
+    import uuid as _uuid
+
+    from ..operators.graph_ann import knn_graph, nsw_search
+    from ..operators.similarity import ann_dispatch_decision
+
+    e = read_table(spark, sf_dir, "embeddings")
+    base = f"/tmp/wdps_ann_dispatch_{_uuid.uuid4().hex[:8]}"
+
+    # build phase: decide once, persist decision + the chosen index
+    n_probe, n_cells, branch = ann_dispatch_decision(e, target_queries=50)
+    spark.createDataFrame(
+        [(branch, n_probe, n_cells)], "branch string, n_probe int, n_cells int"
+    ).write.mode("overwrite").parquet(f"{base}/decision")
+    if branch == "nsw":
+        knn_graph(e, dim=64, k_build=16, n_probe=3, n_cells=16).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/index")
+
+    # serve phase: answer the batch from the loaded artifacts only
+    dec = spark.read.parquet(f"{base}/decision").first()
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    if dec["branch"] == "nsw":
+        g = spark.read.parquet(f"{base}/index")
+        out = nsw_search(
+            g, e, q, dim=64, beam_width=16, n_hops=4, k_top=5, n_entry=16,
+            entry_sample_mod=5,
+        ).select("query_id", "rank", "corpus_id")
+    else:  # pragma: no cover — not taken on the driver corpus
+        out = ivf_topk(e, q, k=5, n_probe=int(dec["n_probe"])).select(
+            "query_id", "rank", "corpus_id"
+        )
+    return (
+        out.withColumn("branch_used", F.lit(dec["branch"]))
+        .withColumn("n_probe_used", F.lit(int(dec["n_probe"])))
+        .withColumn("n_cells_used", F.lit(int(dec["n_cells"])))
+        .orderBy("query_id", "rank")
+    )
+
+
+register(
+    "similarity_ann_dispatch_prebuilt",
+    _ann_dispatch_prebuilt,
     _nsw_sql(
         beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5,
         prefix_ctes=_DISPATCH_CTES, extra_cols=_DISPATCH_COLS, drop_dist=True,

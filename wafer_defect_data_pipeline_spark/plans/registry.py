@@ -93,8 +93,14 @@ def _load_all() -> None:
 _PRIORITY: list[str] = [
     # (a) new or changed THIS round (r13)
     "similarity_ann_auto_dispatch",  # NEW r13: IVF vs graph-ANN priced dispatch
+    "similarity_ann_dispatch_prebuilt",  # NEW r13: decision+index persisted, served loaded
+    "similarity_ann_dispatch_labelfree",  # NEW r13: quantizer cells, no partition column
     "similarity_ivf_auto_topk",  # CHANGED r13: derived sample_mod (+ new column)
     "privacy_dp_group_counts",  # CHANGED r13: mechanism factored to operators/privacy
+    "privacy_dp_long_doc_share",  # NEW r13: eps-budget composition + post-processing
+    "curation_diversity_cap",  # NEW r13: per-cluster keep-at-most-M window
+    "curation_export_shards",  # NEW r13: shard write + read-back manifest
+    "dedup_cluster_assignment",  # CHANGED r13: oracle refactored to shared CTE block
     "dedup_duplicated_spans",  # CHANGED r13: auto window salts sampled hot grams
     "dedup_strip_spans",  # CHANGED r13: same auto path via strip_duplicated_spans
     "dedup_span_stats",  # CHANGED r13: same auto path
@@ -103,6 +109,8 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_420_decode_stats",  # CHANGED r13: same decode path
     "multimodal_jpeg_progressive_decode_stats",  # CHANGED r13: same decode path
     "multimodal_decode_quarantine",  # CHANGED r13: error taxonomy includes DHT class
+    "similarity_ivf_kmeans_topk",  # NEW r13: production IVF (quantizer cells)
+    "similarity_nsw_topk",  # CHANGED r13: build shares the refactored quantizer
     "similarity_nsw_scale_topk",  # anchor twin of the dispatch's NSW branch
     # (b) rows-only refresh (wafer KMeans + float stateful profile, both
     # inherently non-SQL, both exact-twinned)
