@@ -181,8 +181,16 @@ def _regressions(
         band = max(sp[1] - sp[0], 0.15 * a, 0.05)
         if v / norm > a + band:
             flagged[name] = {"warm": v, "anchor": a, "band": round(band, 3)}
-    if flagged and norm > 1.0:
+    # the applied factor is ALWAYS reported when normalization ran, flags
+    # or not — a run whose every query is uniformly slower must not read
+    # as a clean pass with no trace (the gate would otherwise silently
+    # absorb a genuinely uniform plan/config regression); past 1.25x the
+    # uniform slowdown itself is surfaced as a suspect condition for a
+    # human (or the next round's builder) to adjudicate on an idle host.
+    if norm > 1.0:
         flagged["__run_median_ratio"] = {"ratio": round(norm, 3)}
+        if norm > 1.25:
+            flagged["__run_median_ratio"]["uniform_slowdown_suspected"] = 1.0
     return flagged
 
 
@@ -303,10 +311,13 @@ def main() -> None:
         # past 1.5x, totals from this run are host noise, not plan data
         compact["unreliable"] = f"spread_max_ratio {compact['spread_max_ratio']} > 1.5"
     real_regressed = {n: d for n, d in regressed.items() if not n.startswith("__")}
+    meta = regressed.get("__run_median_ratio")
+    if meta:
+        compact["run_median_ratio"] = meta["ratio"]
+        if "uniform_slowdown_suspected" in meta:
+            compact["uniform_slowdown_suspected"] = True
     if real_regressed:
         compact["regressed_n"] = len(real_regressed)
-        if "__run_median_ratio" in regressed:
-            compact["run_median_ratio"] = regressed["__run_median_ratio"]["ratio"]
         compact["regressed"] = "; ".join(
             f"{n} {d['warm']}s vs {d['anchor']}s" for n, d in sorted(real_regressed.items())
         )[:200]

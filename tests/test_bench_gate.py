@@ -83,15 +83,27 @@ def test_uniform_load_normalized_but_real_regression_sticks_out():
     qs = {f"q{i}": 1.0 for i in range(8)}
     sp = {f"q{i}": [0.95, 1.05] for i in range(8)}
     a = _anchor(qs, sp)
-    # every query uniformly 1.3x slower: median ratio 1.3 cancels it all
+    # every query uniformly 1.3x slower: median ratio 1.3 cancels the
+    # per-query flags, but the run is NOT a silent clean pass — the
+    # applied factor is always reported, and past 1.25x the uniform
+    # slowdown itself is surfaced as a suspect condition (a genuinely
+    # uniform plan/config regression must leave a trace)
     warm_uniform = {n: 1.3 for n in qs}
-    assert bench._regressions(warm_uniform, a) == {}
+    out_u = bench._regressions(warm_uniform, a)
+    assert set(out_u) == {"__run_median_ratio"}
+    assert out_u["__run_median_ratio"]["ratio"] == 1.3
+    assert "uniform_slowdown_suspected" in out_u["__run_median_ratio"]
     # same load, but q3 additionally 3x slower -> only q3 flags, and the
     # applied run-level factor is reported alongside
     warm_mixed = dict(warm_uniform, q3=3.9)
     out = bench._regressions(warm_mixed, a)
     assert set(out) == {"q3", "__run_median_ratio"}
     assert out["__run_median_ratio"]["ratio"] == 1.3
+    # a mildly warm run (<= 1.25x) reports the factor without the suspect bit
+    warm_mild = {n: 1.2 for n in qs}
+    out_m = bench._regressions(warm_mild, a)
+    assert set(out_m) == {"__run_median_ratio"}
+    assert "uniform_slowdown_suspected" not in out_m["__run_median_ratio"]
 
 
 def test_small_sets_never_self_normalize():

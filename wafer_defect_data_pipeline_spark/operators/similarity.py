@@ -410,7 +410,15 @@ def ann_topk_auto(
     else:
         from .graph_ann import knn_graph, nsw_scale_params, nsw_search
 
-        p = dict(nsw_scale_params(corpus.count()), **(nsw_params or {}))
+        # derive defaults only for knobs the caller didn't pin — when all
+        # are pinned (the registered oracle queries), skip the extra
+        # corpus.count() pass entirely (on the quantized path that count
+        # would re-run the assignment kernel)
+        p = dict(nsw_params or {})
+        needed = {"k_build", "n_probe", "n_cells", "beam_width", "n_entry",
+                  "entry_sample_mod"}
+        if not needed <= set(p):
+            p = dict(nsw_scale_params(corpus.count()), **p)
         g = knn_graph(
             corpus, id_col, vec_col, dim=dim,
             k_build=p["k_build"], n_probe=p["n_probe"], n_cells=p["n_cells"],
@@ -459,7 +467,16 @@ def ann_topk_auto_quantized(
     cells = assign_coarse_cells(corpus, C, id_col, vec_col, 1000, 1).select(
         F.col("id").alias(id_col), F.col("code").alias("__qcell")
     )
-    corpus2 = corpus.select(id_col, vec_col).join(cells, id_col)
+    # pin the assigned view: the dispatch runs many actions over it (the
+    # decision count, the multi-job recall curve, the distinct-cell count,
+    # the chosen branch) and an unpinned lineage would re-run the
+    # assignment kernel + join once per action — the repo's standing
+    # checkpoint-before-reuse discipline (see nsw_search's graph pin)
+    corpus2 = (
+        corpus.select(id_col, vec_col)
+        .join(cells, id_col)
+        .localCheckpoint(eager=False)
+    )
     return ann_topk_auto(
         corpus2, queries, id_col, vec_col, "__qcell", k, target_recall,
         target_queries, dim, nsw_params,

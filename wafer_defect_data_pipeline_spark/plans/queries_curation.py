@@ -1308,14 +1308,16 @@ def _export_shards(spark, sf_dir):
     sums overflow under ANSI). At 100 TB the shard column is the write
     partitioning, so each shard is one contiguous file set and the
     manifest agg is map-side combinable."""
-    import uuid as _uuid
-
     d = read_table(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
     )
-    out = f"/tmp/wdps_export_shards_{_uuid.uuid4().hex[:8]}"
+    # FIXED path keyed by sf + overwrite (the csv_roundtrip convention):
+    # a uuid-fresh dir per call accumulates a full parquet copy of the
+    # corpus on every sweep/bench/pytest run until /tmp fills
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/wdps_export_shards_{sf_tag}"
     d.select(
         "doc_id", "n_chars", F.pmod(u, F.lit(16)).cast("int").alias("shard"),
         u.alias("idhash"),
@@ -1471,8 +1473,8 @@ register(
       SELECT lang, count(*) AS n FROM documents GROUP BY lang
     ), u AS (
       SELECT lang, n,
-             CAST(concat('0x', substring(md5('dp1:' || lang), 1, 15)) AS BIGINT) AS u1,
-             CAST(concat('0x', substring(md5('dp2:' || lang), 1, 15)) AS BIGINT) AS u2
+             CAST(concat('0x', substring(md5('dp1:' || coalesce(lang, '__NULL__')), 1, 15)) AS BIGINT) AS u1,
+             CAST(concat('0x', substring(md5('dp2:' || coalesce(lang, '__NULL__')), 1, 15)) AS BIGINT) AS u2
       FROM c
     )
     SELECT lang,
@@ -1552,10 +1554,10 @@ register(
       FROM documents GROUP BY lang
     ), u AS (
       SELECT lang, n, n_long,
-             CAST(concat('0x', substring(md5('dpA1:' || lang), 1, 15)) AS BIGINT) AS ua1,
-             CAST(concat('0x', substring(md5('dpA2:' || lang), 1, 15)) AS BIGINT) AS ua2,
-             CAST(concat('0x', substring(md5('dpB1:' || lang), 1, 15)) AS BIGINT) AS ub1,
-             CAST(concat('0x', substring(md5('dpB2:' || lang), 1, 15)) AS BIGINT) AS ub2
+             CAST(concat('0x', substring(md5('dpA1:' || coalesce(lang, '__NULL__')), 1, 15)) AS BIGINT) AS ua1,
+             CAST(concat('0x', substring(md5('dpA2:' || coalesce(lang, '__NULL__')), 1, 15)) AS BIGINT) AS ua2,
+             CAST(concat('0x', substring(md5('dpB1:' || coalesce(lang, '__NULL__')), 1, 15)) AS BIGINT) AS ub1,
+             CAST(concat('0x', substring(md5('dpB2:' || coalesce(lang, '__NULL__')), 1, 15)) AS BIGINT) AS ub2
       FROM c
     ), kk AS (
       SELECT lang,

@@ -1214,12 +1214,12 @@ def _nsw_probe_prebuilt(spark, sf_dir):
     query). The graph is deterministic (integer-L2, id tie-breaks), so
     probe-after-load is bit-equal to the fresh build and the SAME
     unrolled SQL oracle hash-checks it."""
-    import uuid as _uuid
-
     from ..operators.graph_ann import knn_graph, nsw_search
 
     e = read_table(spark, sf_dir, "embeddings")
-    gdir = f"/tmp/wdps_nsw_graph_{_uuid.uuid4().hex[:8]}"
+    # fixed sf-keyed scratch path (see _ann_dispatch_prebuilt) — the uuid
+    # form this used before round 13 leaked a graph copy per invocation
+    gdir = f"/tmp/wdps_nsw_graph_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
     knn_graph(e, dim=64, k_build=8, n_probe=2, n_cells=16).write.mode(
         "overwrite"
     ).parquet(gdir)
@@ -1431,6 +1431,12 @@ def _ann_dispatch_labelfree(spark, sf_dir):
 # table references rewritten qemb-ward. The NSW build CTEs follow with
 # include_quant=False (the quantizer block already leads the prefix — CTE
 # names must be unique and earlier-defined in DuckDB).
+#
+# The rewrite is a substring replace, so pin the occurrence count: if an
+# edit to _DISPATCH_CTES ever adds the token somewhere that must KEEP
+# referring to the base table (a comment, a literal), this assert fails
+# loudly instead of silently corrupting only the labelfree twin.
+assert _DISPATCH_CTES.count("embeddings") == 5, _DISPATCH_CTES.count("embeddings")
 _LABELFREE_CTES = (
     _QUANT_CTES
     + """, qasg AS (
@@ -1462,13 +1468,13 @@ def _ann_dispatch_prebuilt(spark, sf_dir):
     probe never re-runs per batch, which is the point of the dispatch at
     serving time. Everything is deterministic, so probe-after-load is
     bit-equal to the fresh dispatch and the SAME oracle hash-checks it."""
-    import uuid as _uuid
-
     from ..operators.graph_ann import knn_graph, nsw_search
     from ..operators.similarity import ann_dispatch_decision
 
     e = read_table(spark, sf_dir, "embeddings")
-    base = f"/tmp/wdps_ann_dispatch_{_uuid.uuid4().hex[:8]}"
+    # fixed sf-keyed scratch path + overwrite (csv_roundtrip convention) —
+    # uuid-fresh dirs accumulate across sweeps until /tmp fills
+    base = f"/tmp/wdps_ann_dispatch_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
 
     # build phase: decide once, persist decision + the chosen index
     n_probe, n_cells, branch = ann_dispatch_decision(e, target_queries=50)
