@@ -184,12 +184,15 @@ def _regressions(
     # the applied factor is ALWAYS reported when normalization ran, flags
     # or not — a run whose every query is uniformly slower must not read
     # as a clean pass with no trace (the gate would otherwise silently
-    # absorb a genuinely uniform plan/config regression); past 1.25x the
-    # uniform slowdown itself is surfaced as a suspect condition for a
-    # human (or the next round's builder) to adjudicate on an idle host.
+    # absorb a genuinely uniform plan/config regression); past 1.15x — the
+    # per-query band floor, so anything normalization can hide that the
+    # bands wouldn't also absorb (r13 ADVICE: the old 1.25x cutoff left a
+    # real 15-25% across-the-board regression with only the ratio
+    # breadcrumb) — the uniform slowdown itself is surfaced as a suspect
+    # condition requiring an idle-host re-run to adjudicate.
     if norm > 1.0:
         flagged["__run_median_ratio"] = {"ratio": round(norm, 3)}
-        if norm > 1.25:
+        if norm > 1.15:
             flagged["__run_median_ratio"]["uniform_slowdown_suspected"] = 1.0
     return flagged
 

@@ -2510,6 +2510,57 @@ def test_span_window_salts_moderate_hot_grams(spark):
     assert outs["auto"] == outs["window"] == outs["combine"]
 
 
+def test_span_probe_combine_flip_uses_unfiltered_max(spark):
+    """r13 ADVICE: the combine-flip test must run against the UNFILTERED
+    sampled max gram count. On a tiny sample where
+    ``flood_factor * per_reducer < min_count`` every gram count (>= 1) can
+    exceed the flip threshold yet sit below the salt filter's min_count
+    floor — the r13 salt-band filter silently turned the documented r7
+    'combine' verdict into 'window' there. One one-position doc: t=1,
+    flood threshold = 4/shuffle.partitions(=8) = 0.5 < 1, so its count-1
+    gram is above the flip threshold but below min_count=2."""
+    from wafer_defect_data_pipeline_spark.operators.dedup import (
+        probe_span_strategy,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "doc00" + "q" * 15)],
+        "doc_id long, text string",
+    )
+    strategy, flood = probe_span_strategy(
+        docs, "doc_id", "text", k=20, sample_mod=1
+    )
+    assert strategy == "combine"
+    assert flood == []  # count-1 grams never enter the salt list
+
+
+def test_scratch_dir_is_pid_private_and_sweeps_dead_siblings(tmp_path):
+    """scratch.scratch_dir (r13 ADVICE: fixed sf-keyed /tmp paths raced
+    across concurrent runs): the returned path carries this process's pid,
+    a dead sibling is swept on entry, and a sibling owned by a LIVE pid
+    (pid 1 here) is left alone."""
+    import os
+
+    from wafer_defect_data_pipeline_spark.scratch import scratch_dir
+
+    base = str(tmp_path)
+    dead = tmp_path / "wdps_t_sf0.01_pid999999999"  # pid far above pid_max
+    dead.mkdir()
+    (dead / "part-0.parquet").write_text("stale")
+    live = tmp_path / "wdps_t_sf0.01_pid1"
+    live.mkdir()
+
+    p = scratch_dir("t_sf0.01", base=base)
+    assert p == os.path.join(base, f"wdps_t_sf0.01_pid{os.getpid()}")
+    assert not dead.exists(), "dead sibling must be swept"
+    assert live.exists(), "live-pid sibling must be left alone"
+    # other tags' dirs are never touched
+    other = tmp_path / "wdps_other_pid999999999"
+    other.mkdir()
+    scratch_dir("t_sf0.01", base=base)
+    assert other.exists()
+
+
 def test_jaccard_pairs_auto_both_paths_match_exact(spark, sf_small):
     """jaccard_pairs_auto must return the exact-join answer on BOTH sides of
     the density probe: budget_factor=0 forces the LSH+verify fallback, the

@@ -704,18 +704,26 @@ def probe_span_strategy(
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     per_reducer = t / max(n_part, 1)
     salt_thr = max(float(min_count), salt_factor * per_reducer)
-    hot = (
+    # UNFILTERED top-N: the combine-flip test must see the sampled MAX, not
+    # the max among salt-eligible grams — on a tiny sample where
+    # flood_factor * per_reducer < min_count, the salt_thr filter could
+    # drop a gram that exceeds the flip threshold and silently turn the old
+    # "combine" verdict into "window" (r13 ADVICE). Collecting the top
+    # max_salted unfiltered is the SAME single gram-count aggregate (the
+    # ordering puts below-threshold grams last, so the salt list — the
+    # Python-side filter below — is unchanged whenever >= max_salted grams
+    # clear salt_thr, and gains nothing spurious otherwise).
+    top = (
         _gram_positions(sample, id_col, text_col, k)
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= salt_thr)
         .orderBy(F.desc("n"), F.asc("gh"))
         .limit(max_salted)
         .collect()
     )
-    if hot and hot[0]["n"] > flood_factor * per_reducer:
+    if top and top[0]["n"] > flood_factor * per_reducer:
         return "combine", []
-    return "window", [int(r["gh"]) for r in hot]
+    return "window", [int(r["gh"]) for r in top if r["n"] >= salt_thr]
 
 
 def choose_span_strategy(

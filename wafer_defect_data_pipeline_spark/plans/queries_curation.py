@@ -1313,11 +1313,13 @@ def _export_shards(spark, sf_dir):
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
     )
-    # FIXED path keyed by sf + overwrite (the csv_roundtrip convention):
-    # a uuid-fresh dir per call accumulates a full parquet copy of the
-    # corpus on every sweep/bench/pytest run until /tmp fills
+    # pid-suffixed sf-keyed scratch (scratch.py): a uuid-fresh dir per call
+    # accumulates a full parquet corpus copy per sweep until /tmp fills,
+    # and a fixed sf-keyed path races across concurrent runs (r13 ADVICE)
+    from ..scratch import scratch_dir
+
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = f"/tmp/wdps_export_shards_{sf_tag}"
+    out = scratch_dir(f"export_shards_{sf_tag}")
     d.select(
         "doc_id", "n_chars", F.pmod(u, F.lit(16)).cast("int").alias("shard"),
         u.alias("idhash"),

@@ -1216,10 +1216,13 @@ def _nsw_probe_prebuilt(spark, sf_dir):
     unrolled SQL oracle hash-checks it."""
     from ..operators.graph_ann import knn_graph, nsw_search
 
+    from ..scratch import scratch_dir
+
     e = read_table(spark, sf_dir, "embeddings")
-    # fixed sf-keyed scratch path (see _ann_dispatch_prebuilt) — the uuid
-    # form this used before round 13 leaked a graph copy per invocation
-    gdir = f"/tmp/wdps_nsw_graph_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    # pid-suffixed sf-keyed scratch (scratch.py): the uuid form leaked a
+    # graph copy per invocation (fixed r13); the fixed sf-keyed form raced
+    # across concurrent runs on the same sf (r13 ADVICE)
+    gdir = scratch_dir(f"nsw_graph_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
     knn_graph(e, dim=64, k_build=8, n_probe=2, n_cells=16).write.mode(
         "overwrite"
     ).parquet(gdir)
@@ -1471,10 +1474,12 @@ def _ann_dispatch_prebuilt(spark, sf_dir):
     from ..operators.graph_ann import knn_graph, nsw_search
     from ..operators.similarity import ann_dispatch_decision
 
+    from ..scratch import scratch_dir
+
     e = read_table(spark, sf_dir, "embeddings")
-    # fixed sf-keyed scratch path + overwrite (csv_roundtrip convention) —
-    # uuid-fresh dirs accumulate across sweeps until /tmp fills
-    base = f"/tmp/wdps_ann_dispatch_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    # pid-suffixed sf-keyed scratch (scratch.py): no accumulation within a
+    # process, no cross-process overwrite race (r13 ADVICE)
+    base = scratch_dir(f"ann_dispatch_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
 
     # build phase: decide once, persist decision + the chosen index
     n_probe, n_cells, branch = ann_dispatch_decision(e, target_queries=50)
