@@ -4611,6 +4611,76 @@ def test_ann_dispatch_labelfree_branches(spark, sf_small):
     assert 2 * cfirst["n_probe_used"] <= cfirst["n_cells_used"]
 
 
+def test_int_l2_kernels_match_pre_consolidation_shapes(spark):
+    """r13 verdict item 3: the four integer-L2 scorer copies
+    (assign_coarse_cells, knn_graph's cell_knn, nsw_search's score, the
+    IVF candidate scorer) now share quantization.int_l2_topk_block /
+    score_int_l2_pairs. Safety net: drive both shared kernels against
+    inline replicas of the OLD per-site code on deterministic data —
+    including distance ties, the one place a tie-break divergence would
+    silently reorder ANN output."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        int_l2_topk_block,
+        score_int_l2_pairs,
+    )
+
+    # --- numpy shape 1: assign_coarse_cells (no exclusion, ids = codes) ---
+    rng = [(i * 2654435761) % 97 for i in range(6 * 4)]
+    C = np.array(rng, np.float64).reshape(6, 4)
+    C[3] = C[1]  # planted exact tie between codes 1 and 3
+    x = C[1].copy()
+    codes = np.arange(6)
+    new_ids, new_d = int_l2_topk_block(x, C, codes, 3)
+    old_order = np.lexsort((np.arange(6), ((C - x) ** 2).sum(axis=1)))[:3]
+    assert list(new_ids) == list(old_order)
+    assert list(new_ids[:2]) == [1, 3]  # tie resolved by ascending code
+
+    # --- numpy shape 2: cell_knn (self-hit exclusion, arbitrary ids) ---
+    ids = np.array([10, 7, 42, 3, 99], np.int64)
+    B = np.array([(i * 7919) % 53 for i in range(5 * 4)], np.float64).reshape(5, 4)
+    B[2] = B[4]  # tie between ids 42 and 99
+    src = 7
+    ci, di = int_l2_topk_block(B[2], B, ids, 3, exclude_id=src)
+    d_old = ((B - B[2]) ** 2).sum(axis=1)
+    keep = ids != src
+    d2, i2 = d_old[keep], ids[keep]
+    idx = np.lexsort((i2, d2))[:3]
+    assert list(ci) == list(i2[idx]) and list(di) == list(d2[idx].astype(np.int64))
+    assert 7 not in ci and list(ci[:2]) == [42, 99]
+
+    # --- relational shape: nsw score / IVF candidate scorer ---
+    sub = spark.createDataFrame(
+        [(n, j, (n * 3 + j) % 5) for n in range(4) for j in range(3)],
+        "node long, j int, cv long",
+    )
+    qsub = spark.createDataFrame(
+        [(q, j, (q + j) % 4) for q in (0, 2) for j in range(3)],
+        "query_id long, j int, qv long",
+    )
+    pairs = spark.createDataFrame(
+        [(q, n) for q in (0, 2) for n in range(4) if n != q],
+        "query_id long, node long",
+    )
+    new = {
+        (r["query_id"], r["node"]): r["dist"]
+        for r in score_int_l2_pairs(pairs, sub, qsub).collect()
+    }
+    delta = F2.col("cv") - F2.col("qv")
+    old = {
+        (r["query_id"], r["node"]): r["dist"]
+        for r in pairs.join(sub, "node")
+        .join(F2.broadcast(qsub), ["query_id", "j"])
+        .groupBy("query_id", "node")
+        .agg(F2.sum(delta * delta).alias("dist"))
+        .collect()
+    }
+    assert new == old and len(new) == 6
+
+
 def test_dp_stable_histogram_suppresses_small_groups(spark):
     """r13 ADVICE (medium): partition selection for unknown key domains.
     dp_group_counts_stable must (1) use the documented threshold tau =

@@ -130,13 +130,17 @@ def assign_coarse_cells(
     the closure; no N x n_cells x dim exploded join (the earlier
     relational formulation fanned out 180M rows at sf1). Quantized values
     are integer-valued float64 far below 2^53, so results equal the
-    integer SQL replay exactly; ties break (d, code) via lexsort.
+    integer SQL replay exactly; ties break (d, code) via the shared
+    :func:`~.quantization.int_l2_topk_block` lexsort.
     Returns ``(id, code, rank)`` with rank 1-based."""
     import numpy as np
     import pandas as pd
 
+    from .quantization import int_l2_topk_block
+
     n_cells = len(C)
     nt = min(n_top, n_cells)
+    codes = np.arange(n_cells)
 
     def kernel(batches):
         for pdf in batches:
@@ -146,8 +150,7 @@ def assign_coarse_cells(
             ids = pdf["id"].to_numpy()
             out_id, out_code, out_rank = [], [], []
             for i in range(len(ids)):
-                d = ((C - X[i]) ** 2).sum(axis=1)
-                order = np.lexsort((np.arange(n_cells), d))[:nt]
+                order, _ = int_l2_topk_block(X[i], C, codes, nt)
                 out_id.extend([ids[i]] * len(order))
                 out_code.extend(order)
                 out_rank.extend(range(1, len(order) + 1))
@@ -226,6 +229,8 @@ def knn_graph(
         corpus.select(F.col(id_col).alias("cand"), qarr_col.alias("mqv")), "cand"
     ).select("cell", "cand", F.col("mqv").alias("qv"))
 
+    from .quantization import int_l2_topk_block
+
     def cell_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
             return pd.DataFrame({"src": [], "cand": [], "dist": []}).astype(
@@ -236,17 +241,12 @@ def knn_graph(
         cand_ids = right["cand"].to_numpy()
         out_src, out_cand, out_dist = [], [], []
         for i, src in enumerate(left["src"].to_numpy()):
-            d = ((B - A[i]) ** 2).sum(axis=1)
-            keep = cand_ids != src
-            di, ci = d[keep], cand_ids[keep]
-            if not len(di):
-                continue
-            k = min(k_build, len(di))
-            # exact (dist, cand) tie-break, matching the SQL row_number
-            idx = np.lexsort((ci, di))[:k]
-            out_src.extend([src] * k)
-            out_cand.extend(ci[idx])
-            out_dist.extend(di[idx].astype(np.int64))
+            # shared (dist, cand)-lexsort kernel with self-hit exclusion,
+            # matching the SQL row_number ORDER BY dist, cand
+            ci, di = int_l2_topk_block(A[i], B, cand_ids, k_build, exclude_id=src)
+            out_src.extend([src] * len(ci))
+            out_cand.extend(ci)
+            out_dist.extend(di)
         return pd.DataFrame({"src": out_src, "cand": out_cand, "dist": out_dist}).astype(
             {"src": "int64", "cand": "int64", "dist": "int64"}
         )
@@ -350,15 +350,12 @@ def nsw_search(
         F.col("id").alias("query_id"), "j", F.col("iv").alias("qv")
     )
 
+    from .quantization import score_int_l2_pairs
+
     def score(frontier: DataFrame) -> DataFrame:
-        """(query_id, node) → + integer squared L2 to the query vector."""
-        delta = F.col("cv") - F.col("qv")
-        return (
-            frontier.join(sub, "node")
-            .join(F.broadcast(qsub), ["query_id", "j"])
-            .groupBy("query_id", "node")
-            .agg(F.sum(delta * delta).alias("dist"))
-        )
+        """(query_id, node) → + integer squared L2 to the query vector
+        (the shared relational scorer, r13 verdict item 3)."""
+        return score_int_l2_pairs(frontier, sub, qsub, "query_id", "node", "dist")
 
     w = W.partitionBy("query_id").orderBy("dist", "node")
     if entry_sample_mod:

@@ -337,14 +337,12 @@ def ivf_kmeans_topk(
     qsub = _subvectors(queries, id_col, vec_col, dim, scale).select(
         F.col("id").alias("query_id"), "j", F.col("iv").alias("qv")
     )
-    delta = F.col("cv") - F.col("qv")
-    scored = (
-        cand.join(csub, "cand")
-        .join(F.broadcast(qsub), ["query_id", "j"])
-        .groupBy("query_id", "cand")
-        .agg(F.sum(delta * delta).alias("l2_dist"))
-        .select("query_id", F.col("cand").alias("id"), "l2_dist")
-    )
+    # shared relational integer-L2 scorer (r13 verdict item 3)
+    from .quantization import score_int_l2_pairs
+
+    scored = score_int_l2_pairs(
+        cand, csub, qsub, "query_id", "cand", "l2_dist"
+    ).select("query_id", F.col("cand").alias("id"), "l2_dist")
     return _two_level_topk(scored, "l2_dist", k)
 
 
