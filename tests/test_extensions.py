@@ -4611,6 +4611,91 @@ def test_ann_dispatch_labelfree_branches(spark, sf_small):
     assert 2 * cfirst["n_probe_used"] <= cfirst["n_cells_used"]
 
 
+def test_ann_dispatch_redecide_trigger_and_versioning(spark, tmp_path):
+    """r13 verdict item 1, the contract pieces: (1) the staleness trigger
+    fires on growth >= 1.5x or on the batch-count override and stays quiet
+    on a small admission; (2) a re-decision is persisted BESIDE the old
+    version (audit trail), the loader returns the latest, and
+    decision_age_batches increments while serving a STALE decision."""
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ann_dispatch_should_redecide,
+        load_latest_dispatch_decision,
+        persist_dispatch_decision,
+    )
+
+    # trigger rule
+    assert not ann_dispatch_should_redecide(1050, 1000, 1)
+    assert ann_dispatch_should_redecide(1500, 1000, 1)
+    assert ann_dispatch_should_redecide(2000, 1000, 0)
+    assert ann_dispatch_should_redecide(1050, 1000, 1, every_batches=1)
+    assert not ann_dispatch_should_redecide(1050, 1000, 1, every_batches=2)
+
+    # versioned persistence: v2 lands beside v1, loader picks the latest
+    base = str(tmp_path / "disp")
+    persist_dispatch_decision(spark, base, 1, "ivf", 2, 10, 0, 1000)
+    d1 = load_latest_dispatch_decision(spark, base)
+    assert (d1["version"], d1["branch"]) == (1, "ivf")
+    # small admission at batch 1: no re-decision -> the SAME row serves
+    # with age 1 - 0 = 1
+    assert 1 - int(d1["decided_at_batch"]) == 1
+    persist_dispatch_decision(spark, base, 2, "nsw", 6, 10, 1, 1500)
+    d2 = load_latest_dispatch_decision(spark, base)
+    assert (d2["version"], d2["branch"], d2["decided_at_batch"]) == (2, "nsw", 1)
+    # both versions remain on disk — audit trail, not overwrite
+    both = spark.read.parquet(f"{base}/decision/v*")
+    assert sorted(r["version"] for r in both.collect()) == [1, 2]
+
+
+def test_ann_dispatch_redecide_recall_holds_on_both_branches(spark, sf_small):
+    """r13 verdict item 1, the quality gate: on the staged drift corpus the
+    decision flips ivf -> nsw, and the branch each day actually serves
+    must hold recall@5 >= 0.9 against its exact ground truth (cosine
+    brute force for the IVF day, exact integer L2 for the NSW day — each
+    branch's own metric)."""
+    from pyspark.sql import functions as F2
+
+    from wafer_defect_data_pipeline_spark.operators.quantization import (
+        exact_int_l2_topk,
+    )
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ann_dispatch_decision,
+        brute_force_topk,
+    )
+    from wafer_defect_data_pipeline_spark.plans.queries_similarity import (
+        _redecide_serve,
+        _staged_redecide_snapshots,
+    )
+
+    snap1, batch = _staged_redecide_snapshots(spark, sf_small)
+    snap1 = snap1.localCheckpoint(eager=False)
+    snap2 = snap1.unionByName(batch).localCheckpoint(eager=False)
+
+    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50)
+    p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50)
+    assert b1 == "ivf" and b2 == "nsw", (b1, p1, c1, b2, p2, c2)
+
+    def recall(got, truth):
+        g = {(r["query_id"], r["corpus_id"]) for r in got.collect()}
+        t = {(r["query_id"], r["corpus_id"]) for r in truth.collect()}
+        return len(g & t) / len(t)
+
+    q1 = snap1.filter(F2.col("vec_id") % 50 == 0)
+    day1 = _redecide_serve(
+        snap1, q1, {"branch": b1, "n_probe": p1, "n_cells": c1}
+    )
+    r1 = recall(day1, brute_force_topk(snap1, q1, k=5))
+    assert r1 >= 0.9, r1
+
+    q2 = snap2.filter(F2.col("vec_id") % 50 == 0)
+    day2 = _redecide_serve(
+        snap2, q2, {"branch": b2, "n_probe": p2, "n_cells": c2}
+    )
+    r2 = recall(
+        day2, exact_int_l2_topk(snap2, q2, "vec_id", "embedding", dim=64, k_top=5)
+    )
+    assert r2 >= 0.9, r2
+
+
 def test_int_l2_kernels_match_pre_consolidation_shapes(spark):
     """r13 verdict item 3: the four integer-L2 scorer copies
     (assign_coarse_cells, knn_graph's cell_knn, nsw_search's score, the

@@ -369,6 +369,67 @@ def ann_dispatch_decision(
     return n_probe, n_cells, ("ivf" if 2 * n_probe <= n_cells else "nsw")
 
 
+def ann_dispatch_should_redecide(
+    n_snapshot: int,
+    n_at_decision: int,
+    batches_since_decision: int,
+    every_batches: int | None = None,
+    growth_factor: float = 1.5,
+) -> bool:
+    """Staleness trigger for a persisted dispatch decision (r13 verdict
+    item 1: the prebuilt manifest was written once and served forever,
+    but corpora drift — a corpus that de-clusters after admissions leaves
+    IVF serving at collapsed recall with no signal). Re-probe when the
+    admitted snapshot has grown to ``growth_factor x`` the corpus the
+    decision was priced on, or — if ``every_batches`` is set — every that
+    many admitted batches regardless of growth. Both inputs are driver
+    integers the admit loop already has (the snapshot count is one narrow
+    scan; the DeltaManifest versions every admission), so the trigger
+    itself costs nothing at 100 TB; only a FIRING trigger pays the
+    capped-sample probe, which is O(target_queries x n)."""
+    if every_batches is not None and batches_since_decision >= every_batches:
+        return True
+    return n_snapshot >= growth_factor * max(int(n_at_decision), 1)
+
+
+_DECISION_SCHEMA = (
+    "version int, branch string, n_probe int, n_cells int, "
+    "decided_at_batch int, n_at_decision long"
+)
+
+
+def persist_dispatch_decision(
+    spark,
+    base: str,
+    version: int,
+    branch: str,
+    n_probe: int,
+    n_cells: int,
+    decided_at_batch: int,
+    n_at_decision: int,
+) -> None:
+    """Write decision ``version`` BESIDE the previous ones
+    (``{base}/decision/v{version}`` — never overwriting an older version),
+    so the serving layer can always answer "what was decided, when, on how
+    much data" and a re-decision leaves an audit trail instead of erasing
+    the prior verdict."""
+    spark.createDataFrame(
+        [(version, branch, n_probe, n_cells, decided_at_batch, int(n_at_decision))],
+        _DECISION_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{base}/decision/v{version}")
+
+
+def load_latest_dispatch_decision(spark, base: str):
+    """Highest-version persisted decision row (Row with the
+    ``_DECISION_SCHEMA`` fields). ``decision_age_batches`` for a batch
+    ``b`` served from it is ``b - decided_at_batch``."""
+    return (
+        spark.read.parquet(f"{base}/decision/v*")
+        .orderBy(F.desc("version"))
+        .first()
+    )
+
+
 def ann_topk_auto(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1076,26 +1076,19 @@ _QUANT_CTES = """
 
 
 # --- graph ANN: k-NN graph + fixed-hop beam search (NSW-style) ---------------
-def _nsw_sql(
+def _nsw_ctes(
     beam_width: int = 12,
     k_build: int = 8,
     n_probe: int = 2,
     n_entry: int = 4,
     entry_mod: int | None = None,
-    prefix_ctes: str = "",
-    extra_cols: str = "",
-    drop_dist: bool = False,
     include_quant: bool = True,
+    hops: int = 4,
 ) -> str:
-    """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
-    chain one (candidates -> score -> beam) CTE triple per hop. Integer
-    distances end to end, so the replay is bit-exact. ``entry_mod`` set
-    replays the coarse-to-fine sampled-entry mode (md5-uniform node
-    sample, per-query top-``n_entry`` seeds) the scale config uses.
-    ``prefix_ctes`` splices caller CTEs (d-prefixed names to avoid
-    collisions) ahead of the build; ``extra_cols``/``drop_dist`` reshape
-    the final projection (the dispatch query's metric-neutral output)."""
-    hops = 4
+    """The build+search CTE chain of :func:`_nsw_sql` WITHOUT the leading
+    ``WITH`` or the final SELECT — ends at ``beam{hops}``. Factored out so
+    a composite oracle (the redecide query's day-2 arm) can splice the
+    whole NSW replay as CTEs and project from ``beam{hops}`` itself."""
     score = (
         "SELECT c.query_id, c.node,"
         " sum((s.iv - q.qv) * (s.iv - q.qv)) AS dist"
@@ -1172,16 +1165,47 @@ def _nsw_sql(
     ), hop{h}s AS ({score.format(cand=f'hop{h}c')}
     ), beam{h} AS ({beam.format(scored=f'hop{h}s')}
     )""")
+    return "".join(parts)
+
+
+def _nsw_sql(
+    beam_width: int = 12,
+    k_build: int = 8,
+    n_probe: int = 2,
+    n_entry: int = 4,
+    entry_mod: int | None = None,
+    prefix_ctes: str = "",
+    extra_cols: str = "",
+    drop_dist: bool = False,
+    include_quant: bool = True,
+) -> str:
+    """Unrolled beam-search oracle: build the IVF-bounded k-NN graph, then
+    chain one (candidates -> score -> beam) CTE triple per hop (the chain
+    itself lives in :func:`_nsw_ctes`). Integer distances end to end, so
+    the replay is bit-exact. ``entry_mod`` set replays the coarse-to-fine
+    sampled-entry mode (md5-uniform node sample, per-query top-``n_entry``
+    seeds) the scale config uses. ``prefix_ctes`` splices caller CTEs
+    (d-prefixed names to avoid collisions) ahead of the build;
+    ``extra_cols``/``drop_dist`` reshape the final projection (the
+    dispatch query's metric-neutral output)."""
+    hops = 4
     dist_col = "" if drop_dist else ",\n           CAST(dist AS BIGINT) AS l2_dist"
-    parts.append(f"""
+    final = f"""
     SELECT query_id, CAST(rank AS INT) AS rank, corpus_id{dist_col}{extra_cols}
     FROM (SELECT query_id, node AS corpus_id, dist,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY dist, node) AS rank
           FROM beam{hops}) t
     WHERE rank <= 5 ORDER BY query_id, rank
-    """)
-    return "WITH " + prefix_ctes + "".join(parts)
+    """
+    return (
+        "WITH "
+        + prefix_ctes
+        + _nsw_ctes(
+            beam_width, k_build, n_probe, n_entry, entry_mod, include_quant, hops
+        )
+        + final
+    )
 
 
 def _nsw_topk(spark, sf_dir):
@@ -1338,59 +1362,76 @@ def _ann_auto_dispatch(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-_DISPATCH_CTES = f"""
-    dex AS (
+def _decision_ctes(src: str = "embeddings", pfx: str = "d", target: int = 50) -> str:
+    """The dispatch DECISION replay as a CTE block — capped-sample
+    self-recall curve -> n_probe, plus the distinct-cell count — exactly
+    operators/similarity.ann_dispatch_decision's machinery. Parameterized
+    by source table and CTE-name prefix so a staged oracle can replay the
+    decision on MULTIPLE snapshots side by side (the redecide query runs
+    it on day-1 and day-2 corpora with distinct prefixes)."""
+    return f"""
+    {pfx}ex AS (
       SELECT label, u.pos - 1 AS pos, u.val
-      FROM embeddings,
+      FROM {src},
            LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
                            generate_subscripts(embedding, 1) AS pos) u
-    ), dper AS (
-      SELECT label, pos, avg(val) AS avg_val FROM dex GROUP BY label, pos
-    ), dcent AS (
-      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM dper GROUP BY label
-    ), dsmod AS (
-      SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) AS m FROM embeddings
-    ), dsamp AS (
+    ), {pfx}per AS (
+      SELECT label, pos, avg(val) AS avg_val FROM {pfx}ex GROUP BY label, pos
+    ), {pfx}cent AS (
+      SELECT label, array_agg(avg_val ORDER BY pos) AS centroid FROM {pfx}per GROUP BY label
+    ), {pfx}smod AS (
+      SELECT CAST(ceil(count(*) / {target}.0) AS BIGINT) AS m FROM {src}
+    ), {pfx}samp AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings
+      FROM {src}
       WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-            % (SELECT m FROM dsmod) = 0
-    ), dtruth AS (
+            % (SELECT m FROM {pfx}smod) = 0
+    ), {pfx}truth AS (
       SELECT query_id, corpus_id FROM (
         SELECT s.query_id, c.vec_id AS corpus_id,
                row_number() OVER (PARTITION BY s.query_id ORDER BY
                  {_COS_Q_CENT.format(q="s.qv", c="CAST(c.embedding AS DOUBLE[])")} DESC,
                  c.vec_id ASC) AS rank
-        FROM dsamp s JOIN embeddings c ON c.vec_id <> s.query_id
+        FROM {pfx}samp s JOIN {src} c ON c.vec_id <> s.query_id
       ) t WHERE rank <= 5
-    ), dcellr AS (
+    ), {pfx}cellr AS (
       SELECT query_id, label,
              row_number() OVER (PARTITION BY query_id ORDER BY
                {_COS_Q_CENT.format(q="qv", c="centroid")} DESC, label ASC) AS cell_rank
-      FROM dsamp CROSS JOIN dcent
-    ), dcurve AS (
+      FROM {pfx}samp CROSS JOIN {pfx}cent
+    ), {pfx}curve AS (
       SELECT cr.cell_rank, count(*) AS pairs
-      FROM dtruth t
-      JOIN embeddings n2 ON n2.vec_id = t.corpus_id
-      JOIN dcellr cr ON cr.query_id = t.query_id AND cr.label = n2.label
+      FROM {pfx}truth t
+      JOIN {src} n2 ON n2.vec_id = t.corpus_id
+      JOIN {pfx}cellr cr ON cr.query_id = t.query_id AND cr.label = n2.label
       GROUP BY cr.cell_rank
-    ), dpick AS (
+    ), {pfx}pick AS (
       SELECT coalesce(
         (SELECT min(cell_rank) FROM (
            SELECT cell_rank,
                   sum(pairs) OVER (ORDER BY cell_rank) * 1.0 /
-                  (SELECT sum(pairs) FROM dcurve) AS cum_recall
-           FROM dcurve) c WHERE cum_recall >= 0.95),
-        (SELECT count(*) FROM dcent)) AS n_probe
-    ), dcells AS (
-      SELECT count(*) AS n_cells FROM dcent
+                  (SELECT sum(pairs) FROM {pfx}curve) AS cum_recall
+           FROM {pfx}curve) c WHERE cum_recall >= 0.95),
+        (SELECT count(*) FROM {pfx}cent)) AS n_probe
+    ), {pfx}cells AS (
+      SELECT count(*) AS n_cells FROM {pfx}cent
     ),"""
 
-_DISPATCH_COLS = """,
-           CASE WHEN 2 * (SELECT n_probe FROM dpick) <= (SELECT n_cells FROM dcells)
+
+def _decision_cols(pfx: str = "d") -> str:
+    """Decision-record output columns replayed from a :func:`_decision_ctes`
+    block: branch rule (IVF iff it still prunes half the corpus), derived
+    n_probe, cell count."""
+    return f""",
+           CASE WHEN 2 * (SELECT n_probe FROM {pfx}pick) <= (SELECT n_cells FROM {pfx}cells)
                 THEN 'ivf' ELSE 'nsw' END AS branch_used,
-           CAST((SELECT n_probe FROM dpick) AS INT) AS n_probe_used,
-           CAST((SELECT n_cells FROM dcells) AS INT) AS n_cells_used"""
+           CAST((SELECT n_probe FROM {pfx}pick) AS INT) AS n_probe_used,
+           CAST((SELECT n_cells FROM {pfx}cells) AS INT) AS n_cells_used"""
+
+
+_DISPATCH_CTES = _decision_ctes()
+
+_DISPATCH_COLS = _decision_cols()
 
 # The oracle replays the decision (same capped-sample recall curve as
 # similarity_ivf_auto_topk, d-prefixed CTEs) AND the branch it selects on
@@ -1520,6 +1561,293 @@ register(
         prefix_ctes=_DISPATCH_CTES, extra_cols=_DISPATCH_COLS, drop_dist=True,
     ),
 )
+
+
+# --- dispatch staleness: re-decide on drift (r13 verdict item 1) -------------
+_REDECIDE_NSW = dict(
+    k_build=16, n_probe=3, n_cells=16, beam_width=16, n_entry=16,
+    entry_sample_mod=5, n_hops=4,
+)
+
+
+def _staged_redecide_snapshots(spark, sf_dir):
+    """Two-day staged drift on the embeddings id spine, fully md5-derived
+    (the streaming-ANN staging discipline, so the oracle rebuilds both
+    corpora bit-exactly): day 1 is STRONGLY clustered — 8 axis-spike
+    cells, vector[j] = 4.0*(j == vec_id%8) + md5byte('s1:id:j')/256 — and
+    the day-2 admissions (ids +1,000,000, every even spine id, so the
+    snapshot grows exactly 1.5x) are uniform md5 noise with round-robin
+    labels: the admitted corpus DE-CLUSTERS, which is precisely the drift
+    the staleness trigger exists to catch."""
+    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
+
+    def byte(prefix, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix),
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            / F.lit(256.0)
+        )
+
+    dims = F.sequence(F.lit(0), F.lit(63))
+    snap1 = ids.select(
+        "vec_id",
+        (F.col("vec_id") % 8).cast("int").alias("label"),
+        F.transform(
+            dims,
+            lambda i: F.when(i == F.col("vec_id") % 8, F.lit(4.0))
+            .otherwise(F.lit(0.0))
+            + byte("s1:", i),
+        ).alias("embedding"),
+    )
+    # admitted ids are RENUMBERED densely (orig/2 + 1e6) so their %8
+    # labels cover all eight cells — keeping the raw even spine ids would
+    # land every admission on the four even labels, skewing the centroid
+    # mix instead of uniformly de-clustering it
+    batch = (
+        ids.filter(F.col("vec_id") % 2 == 0)
+        .select(
+            ((F.col("vec_id") / F.lit(2)).cast("long") + F.lit(1_000_000)).alias(
+                "vec_id"
+            )
+        )
+        .select(
+            "vec_id",
+            (F.col("vec_id") % 8).cast("int").alias("label"),
+            F.transform(dims, lambda i: byte("s2:", i)).alias("embedding"),
+        )
+    )
+    return snap1, batch
+
+
+def _redecide_serve(corpus, queries, dec):
+    """Serve a query batch from a LOADED decision row — the branch is
+    whatever the persisted verdict says, never re-derived at serve time."""
+    from ..operators.graph_ann import knn_graph, nsw_search
+
+    if dec["branch"] == "ivf":
+        return ivf_topk(
+            corpus, queries, k=5, n_probe=int(dec["n_probe"])
+        ).select("query_id", "rank", "corpus_id")
+    p = _REDECIDE_NSW
+    g = knn_graph(
+        corpus, dim=64, k_build=p["k_build"], n_probe=p["n_probe"],
+        n_cells=p["n_cells"],
+    )
+    return nsw_search(
+        g, corpus, queries, dim=64, beam_width=p["beam_width"],
+        n_hops=p["n_hops"], k_top=5, n_entry=p["n_entry"],
+        entry_sample_mod=p["entry_sample_mod"],
+    ).select("query_id", "rank", "corpus_id")
+
+
+def _ann_dispatch_redecide(spark, sf_dir):
+    """The prebuilt dispatch's STALENESS contract (r13 verdict item 1):
+    the persisted decision is re-priced against the admitted snapshot when
+    the staleness trigger fires (here the 1.5x growth rule —
+    operators/similarity.ann_dispatch_should_redecide), the new verdict is
+    persisted BESIDE the old (decision/v1, decision/v2 — an audit trail,
+    not an overwrite), and every served batch carries
+    ``decision_version`` + ``decision_age_batches``. On the staged drift
+    the decision FLIPS: day 1's axis-spike corpus prices n_probe=1 ->
+    IVF; after the de-clustering admissions the re-probe widens past
+    n_cells/2 -> NSW. The oracle replays BOTH decisions
+    (:func:`_decision_ctes` on each staged snapshot), the trigger rule,
+    the version/age arithmetic, and the branch each day actually serves
+    (IVF probe replay on day 1, the unrolled NSW build+search on day 2) —
+    a trigger or flip divergence is a hash mismatch, never a silent
+    serving-quality collapse."""
+    from ..operators.similarity import (
+        ann_dispatch_decision,
+        ann_dispatch_should_redecide,
+        load_latest_dispatch_decision,
+        persist_dispatch_decision,
+    )
+    from ..scratch import scratch_dir
+
+    snap1, batch = _staged_redecide_snapshots(spark, sf_dir)
+    # pin both snapshots: the decision machinery runs many actions (count,
+    # recall-curve brute force, distinct cells) over each
+    snap1 = snap1.localCheckpoint(eager=False)
+    n1 = snap1.count()
+    base = scratch_dir(f"ann_redecide_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+
+    # day 1 (batch 0): price the dispatch, persist v1, serve from it
+    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50)
+    persist_dispatch_decision(
+        spark, base, 1, b1, p1, c1, decided_at_batch=0, n_at_decision=n1
+    )
+    dec1 = load_latest_dispatch_decision(spark, base)
+    day1 = _redecide_serve(
+        snap1, snap1.filter(F.col("vec_id") % 50 == 0), dec1
+    ).select(
+        F.lit(1).cast("int").alias("day"),
+        "query_id", "rank", "corpus_id",
+        F.lit(dec1["branch"]).alias("branch_used"),
+        F.lit(int(dec1["n_probe"])).cast("int").alias("n_probe_used"),
+        F.lit(int(dec1["n_cells"])).cast("int").alias("n_cells_used"),
+        F.lit(int(dec1["version"])).cast("int").alias("decision_version"),
+        F.lit(0 - int(dec1["decided_at_batch"])).cast("int").alias(
+            "decision_age_batches"
+        ),
+    )
+
+    # day 2 (batch 1): admit the drift batch; the growth trigger fires and
+    # the re-probe runs against the ADMITTED snapshot
+    snap2 = snap1.unionByName(batch).localCheckpoint(eager=False)
+    n2 = snap2.count()
+    if ann_dispatch_should_redecide(
+        n2, int(dec1["n_at_decision"]), 1 - int(dec1["decided_at_batch"])
+    ):
+        p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50)
+        persist_dispatch_decision(
+            spark, base, int(dec1["version"]) + 1, b2, p2, c2,
+            decided_at_batch=1, n_at_decision=n2,
+        )
+    dec2 = load_latest_dispatch_decision(spark, base)
+    day2 = _redecide_serve(
+        snap2, snap2.filter(F.col("vec_id") % 50 == 0), dec2
+    ).select(
+        F.lit(2).cast("int").alias("day"),
+        "query_id", "rank", "corpus_id",
+        F.lit(dec2["branch"]).alias("branch_used"),
+        F.lit(int(dec2["n_probe"])).cast("int").alias("n_probe_used"),
+        F.lit(int(dec2["n_cells"])).cast("int").alias("n_cells_used"),
+        F.lit(int(dec2["version"])).cast("int").alias("decision_version"),
+        F.lit(1 - int(dec2["decided_at_batch"])).cast("int").alias(
+            "decision_age_batches"
+        ),
+    )
+    return day1.unionByName(day2).orderBy("day", "query_id", "rank")
+
+
+def _redecide_sql() -> str:
+    """Staged oracle for the redecide query: rebuild both staged snapshots
+    from md5, replay the DECISION on each (shared :func:`_decision_ctes`,
+    prefixes e1/e2), replay the TRIGGER (count ratio vs the 1.5x rule) and
+    the version/age arithmetic it implies, then replay each day's actual
+    serving branch — day 1 as the IVF probe (reusing e1's centroids and
+    derived n_probe), day 2 as the unrolled NSW build+search on the
+    admitted snapshot (:func:`_nsw_ctes` rebound snap2-ward). If the data
+    ever stopped flipping the decision, the SQL would keep replaying the
+    staged branches but LABEL them from the replayed trigger/decisions
+    while Spark serves the loaded verdict — a guaranteed hash mismatch,
+    same discipline as the dispatch twins."""
+
+    def byte(pfx: str) -> str:
+        return (
+            f"CAST(concat('0x', substring(md5(concat('{pfx}', "
+            "CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) "
+            "AS INT) / 256.0"
+        )
+
+    staged = f"""snap1 AS (
+      SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+             list_transform(range(0, 64), i ->
+               CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('s1:')}) AS embedding
+      FROM embeddings
+    ), newids AS (
+      SELECT vec_id // 2 + 1000000 AS vec_id FROM embeddings WHERE vec_id % 2 = 0
+    ), b2 AS (
+      SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+             list_transform(range(0, 64), i -> {byte('s2:')}) AS embedding
+      FROM newids
+    ), snap2 AS (
+      SELECT * FROM snap1 UNION ALL SELECT * FROM b2
+    ), trig AS (
+      SELECT CASE WHEN (SELECT count(*) FROM snap2) >= 1.5 * (SELECT count(*) FROM snap1)
+                  THEN 1 ELSE 0 END AS fired
+    ),"""
+    decrows = """
+    e1dec AS (
+      SELECT CASE WHEN 2 * (SELECT n_probe FROM e1pick) <= (SELECT n_cells FROM e1cells)
+                  THEN 'ivf' ELSE 'nsw' END AS branch_used,
+             CAST((SELECT n_probe FROM e1pick) AS INT) AS n_probe_used,
+             CAST((SELECT n_cells FROM e1cells) AS INT) AS n_cells_used
+    ), e2dec AS (
+      SELECT CASE WHEN 2 * (SELECT n_probe FROM e2pick) <= (SELECT n_cells FROM e2cells)
+                  THEN 'ivf' ELSE 'nsw' END AS branch_used,
+             CAST((SELECT n_probe FROM e2pick) AS INT) AS n_probe_used,
+             CAST((SELECT n_cells FROM e2cells) AS INT) AS n_cells_used
+    ), servedec AS (
+      SELECT CASE WHEN t.fired = 1 THEN b.branch_used ELSE a.branch_used END AS branch_used,
+             CASE WHEN t.fired = 1 THEN b.n_probe_used ELSE a.n_probe_used END AS n_probe_used,
+             CASE WHEN t.fired = 1 THEN b.n_cells_used ELSE a.n_cells_used END AS n_cells_used,
+             CAST(1 + t.fired AS INT) AS decision_version,
+             CAST(1 - t.fired AS INT) AS decision_age_batches
+      FROM trig t CROSS JOIN e1dec a CROSS JOIN e2dec b
+    ),"""
+    day1 = f"""
+    q1 AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM snap1 WHERE vec_id % 50 = 0
+    ), q1probe AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="q.qv", c="c.centroid")} DESC, c.label ASC) AS pr
+        FROM q1 q CROSS JOIN e1cent c) t
+      WHERE pr <= (SELECT n_probe FROM e1pick)
+    ), day1r AS (
+      SELECT query_id, rank, corpus_id FROM (
+        SELECT p.query_id, m.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="p.qv", c="CAST(m.embedding AS DOUBLE[])")} DESC,
+                 m.vec_id ASC) AS rank
+        FROM q1probe p JOIN snap1 m ON m.label = p.label AND m.vec_id <> p.query_id
+      ) t WHERE rank <= 5
+    ),"""
+    nsw = _nsw_ctes(beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5)
+    # pinned-occurrence rebind (the labelfree-twin convention): the NSW
+    # build+search must read the ADMITTED snapshot, nothing else
+    assert nsw.count("embeddings") == 4, nsw.count("embeddings")
+    nsw = nsw.replace("embeddings", "snap2")
+    final = """
+    SELECT day, query_id, CAST(rank AS INT) AS rank, corpus_id,
+           branch_used, n_probe_used, n_cells_used,
+           decision_version, decision_age_batches
+    FROM (
+      SELECT CAST(1 AS INT) AS day, r.query_id, r.rank, r.corpus_id,
+             d.branch_used, d.n_probe_used, d.n_cells_used,
+             CAST(1 AS INT) AS decision_version,
+             CAST(0 AS INT) AS decision_age_batches
+      FROM day1r r CROSS JOIN e1dec d
+      UNION ALL
+      SELECT CAST(2 AS INT) AS day, t.query_id, t.rank, t.corpus_id,
+             s.branch_used, s.n_probe_used, s.n_cells_used,
+             s.decision_version, s.decision_age_batches
+      FROM (SELECT query_id, node AS corpus_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rank
+            FROM beam4) t CROSS JOIN servedec s
+      WHERE t.rank <= 5
+    ) u ORDER BY day, query_id, rank
+    """
+    return (
+        "WITH "
+        + staged
+        + _decision_ctes("snap1", "e1")
+        + _decision_ctes("snap2", "e2")
+        + decrows
+        + day1
+        + nsw
+        + final
+    )
+
+
+register("similarity_ann_dispatch_redecide", _ann_dispatch_redecide, _redecide_sql())
 
 
 # --- streaming ANN admit loop (probe-then-admit; see streaming/similarity) --
