@@ -77,77 +77,48 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 13 front-loads:
-# (a) queries NEW or CHANGED this round — the IVF->NSW priced dispatch, the
-# derived-sample-mod IVF auto probe (new sample_mod_used column), the
-# refactored DP release, the span family whose auto path gained hot-gram
-# window salting, the quarantine/JPEG queries whose decode paths gained the
-# missing-DHT error classification; (b) the 2 rows-only queries so each
+# row ever predates the implementation it vouches for. Round 14 front-loads:
+# (a) queries NEW or CHANGED this round — the dispatch staleness/redecide
+# contract, the end-to-end curation pipeline, DP partition selection, the
+# integer-L2 scorer consolidation (every ANN/IVF/NSW oracle must re-green on
+# the shared kernels), the pid-suffixed scratch paths (prebuilt/export
+# serving queries), the span probe's unfiltered-max combine flip, and the
+# _cc_chain/_decision_ctes/_nsw_ctes oracle-generator refactors (text-equal,
+# but the driver record should vouch); (b) the 2 rows-only queries so each
 # keeps a fresh executes-cleanly row; (c) the STALEST cohort by last driver
-# green row — the r1/r2 relational, window, TPC-H, reference-§2, text and
-# embedding families the 50-query window hasn't revisited since rounds 1-2
-# (computed from CORRECTNESS_r01-r12; every one is still pytest
-# oracle-parity-covered per session, but the driver record should vouch for
-# them again too). Names not listed follow in registration order; a listed
-# name missing from the registry is a hard error (catches renames).
+# green row — the r2 reference-§2/text/embedding/sampling tail that r13's
+# 50-query window (which ended at events_hypertable_rollup) did not reach.
+# Names not listed follow in registration order; a listed name missing from
+# the registry is a hard error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) new or changed THIS round (r13)
-    "similarity_ann_auto_dispatch",  # NEW r13: IVF vs graph-ANN priced dispatch
-    "similarity_ann_dispatch_prebuilt",  # NEW r13: decision+index persisted, served loaded
-    "similarity_ann_dispatch_labelfree",  # NEW r13: quantizer cells, no partition column
-    "similarity_ivf_auto_topk",  # CHANGED r13: derived sample_mod (+ new column)
-    "privacy_dp_group_counts",  # CHANGED r13: mechanism factored to operators/privacy
-    "privacy_dp_long_doc_share",  # NEW r13: eps-budget composition + post-processing
-    "curation_diversity_cap",  # NEW r13: per-cluster keep-at-most-M window
-    "curation_export_shards",  # NEW r13: shard write + read-back manifest
-    "dedup_cluster_assignment",  # CHANGED r13: oracle refactored to shared CTE block
-    "dedup_duplicated_spans",  # CHANGED r13: auto window salts sampled hot grams
-    "dedup_strip_spans",  # CHANGED r13: same auto path via strip_duplicated_spans
-    "dedup_span_stats",  # CHANGED r13: same auto path
-    "multimodal_audio_quarantine",  # CHANGED r13: fixture rate term de-deadened
-    "multimodal_jpeg_decode_stats",  # CHANGED r13: missing-DHT ValueError class
-    "multimodal_jpeg_420_decode_stats",  # CHANGED r13: same decode path
-    "multimodal_jpeg_progressive_decode_stats",  # CHANGED r13: same decode path
-    "multimodal_decode_quarantine",  # CHANGED r13: error taxonomy includes DHT class
-    "similarity_ivf_kmeans_topk",  # NEW r13: production IVF (quantizer cells)
-    "similarity_nsw_topk",  # CHANGED r13: build shares the refactored quantizer
-    "similarity_nsw_scale_topk",  # anchor twin of the dispatch's NSW branch
+    # (a) new or changed THIS round (r14)
+    "similarity_ann_dispatch_redecide",  # NEW r14: staleness trigger + versioned decisions, staged flip
+    "curation_end_to_end",  # NEW r14: six curation stages composed, funnel audit columns
+    "privacy_dp_stable_histogram",  # NEW r14: (eps,delta) partition selection
+    "privacy_dp_group_counts",  # CHANGED r14: public-key-domain precondition + ledger arg
+    "privacy_dp_long_doc_share",  # CHANGED r14: same
+    "similarity_ann_dispatch_prebuilt",  # CHANGED r14: pid scratch + shared scorer
+    "similarity_nsw_probe_prebuilt",  # CHANGED r14: pid scratch + shared scorer
+    "curation_export_shards",  # CHANGED r14: pid scratch
+    "similarity_ann_auto_dispatch",  # CHANGED r14: shared scorer + generator refactor
+    "similarity_ann_dispatch_labelfree",  # CHANGED r14: same
+    "similarity_ivf_kmeans_topk",  # CHANGED r14: shared relational scorer
+    "similarity_nsw_topk",  # CHANGED r14: shared kernels in build+search
+    "similarity_nsw_scale_topk",  # CHANGED r14: same
+    "similarity_ivf_auto_topk",  # decision machinery control (unchanged math)
+    "dedup_duplicated_spans",  # CHANGED r14: probe tests unfiltered sampled max
+    "dedup_strip_spans",  # CHANGED r14: same probe
+    "dedup_span_stats",  # CHANGED r14: same probe
+    "dedup_cluster_assignment",  # CHANGED r14: oracle via _cc_chain generator
+    "dedup_cluster_assignment_star",  # same oracle, star algorithm control
+    "dedup_cluster_assignment_auto",  # same oracle, auto algorithm control
+    "curation_diversity_cap",  # CHANGED r14: oracle via _cc_chain generator
     # (b) rows-only refresh (wafer KMeans + float stateful profile, both
     # inherently non-SQL, both exact-twinned)
     "events_stateful_profile",
     "wafer_pipeline_on_lineitem",
-    # (c) stalest cohort: last driver-green row r1 (relational/window/TPC-H
-    # surface from round 1 — never re-sampled since)
-    "timeseries_monthly_growth",
-    "tpch_q3_top_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q17_small_quantity",
-    "tpch_q22_idle_balance",
-    "tpch_q13_order_counts",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q19_disjunctive",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_above_customer_avg",
-    "join_salted_skew",
-    "join_semi",
-    "join_anti",
-    "join_left_outer",
-    "join_null_safe",
-    "rollup_counts",
-    "cube_counts",
-    "distinct_aggregates",
-    "global_topk",
-    "string_functions",
-    "date_functions",
-    "grouped_string_agg",
-    "set_ops_customers",
-    "histogram_order_price",
-    # (c) last driver-green row r2 (reference-§2 ops, text, embeddings,
-    # events, sampling/packing/layout families)
-    "events_hypertable_rollup",
+    # (c) stalest cohort: last driver-green row r2 — the tail r13's window
+    # never reached (it ended at events_hypertable_rollup)
     "events_asof_join",
     "events_funnel",
     "range_filter",
@@ -177,7 +148,7 @@ _PRIORITY: list[str] = [
     "sample_hash_split",
     "pack_sequences",
     "layout_zorder_stats",
-    # everything else (fresh r12 rows or pytest-covered) follows in
+    # everything else (fresh r12/r13 rows or pytest-covered) follows in
     # registration order; pytest's oracle-parity sweep still covers all of
     # them every session
 ]
