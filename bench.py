@@ -96,6 +96,12 @@ HEADLINE = [
     # round-13 addition: the IVF vs graph-ANN priced dispatch (probe +
     # decision + the NSW branch it takes on this corpus)
     "similarity_ann_auto_dispatch",
+    # round-14 additions: the six-stage composed curation pipeline (exact
+    # dedup -> cluster+cap -> quality -> decontaminate -> pack -> shards)
+    # and the dispatch staleness contract (two staged snapshots, two
+    # decision probes, versioned persistence, both serving branches)
+    "curation_end_to_end",
+    "similarity_ann_dispatch_redecide",
 ]
 
 
@@ -113,11 +119,22 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def _anchor_file(sf: float) -> str:
+    """Per-sf anchor record: the default sf0.1 sweep anchors on
+    BENCH_local.json; sf >= 1 scale runs anchor on their own committed
+    BENCH_sf{N}.json (r13 verdict item 5: at sf0.1 the heavy families are
+    60-90% fixed per-job cost, so the sf0.1 gate can't detect a real 2x
+    regression in their compute term — the sf1 anchor can). Writing the
+    full record to the same per-sf file also stops an sf1/sf3 sweep from
+    clobbering the committed sf0.1 anchor (the r11 restore-dance)."""
+    return f"BENCH_sf{int(sf)}.json" if sf >= 1 else "BENCH_local.json"
+
+
 def _load_anchor(sf: float) -> dict | None:
     """Committed per-query anchor for the regression gate (r11 verdict #7).
 
-    Reads BENCH_local.json from git HEAD — NOT the working tree — so a
-    second bench run in the same session compares against the committed
+    Reads the per-sf anchor file from git HEAD — NOT the working tree — so
+    a second bench run in the same session compares against the committed
     record, not its own first run. Only used when the anchor was recorded
     at the same sf (comparing sf0.1 medians to an sf1 run is meaningless).
     """
@@ -125,7 +142,7 @@ def _load_anchor(sf: float) -> dict | None:
 
     try:
         raw = subprocess.run(
-            ["git", "-C", _REPO_ROOT, "show", "HEAD:BENCH_local.json"],
+            ["git", "-C", _REPO_ROOT, "show", f"HEAD:{_anchor_file(sf)}"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout
         anchor = json.loads(raw)
@@ -291,7 +308,7 @@ def main() -> None:
     # official record loses its head (BENCH_r02/r04-r07 all have
     # "parsed": null). Compact = totals first, warm-only, 2-decimal — ~1.3k
     # chars for the 34-query headline set, safely under the capture window.
-    with open(os.path.join(_REPO_ROOT, "BENCH_local.json"), "w") as f:
+    with open(os.path.join(_REPO_ROOT, _anchor_file(sf)), "w") as f:
         json.dump(out, f, indent=1)
     ratios = [
         mx / mn for mn, mx in (v for v in spread.values() if v) if mn > 0

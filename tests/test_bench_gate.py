@@ -77,6 +77,29 @@ def test_load_anchor_reads_committed_head_record():
     assert anchor["queries"] and anchor["spread"]
 
 
+def test_anchor_file_routes_per_sf():
+    # r13 verdict item 5: sf >= 1 scale runs anchor on their own committed
+    # BENCH_sf{N}.json (the sf0.1 gate is fixed-cost-dominated for the
+    # heavy families); the default sweep keeps BENCH_local.json, and an
+    # sf1/sf3 run no longer clobbers the sf0.1 anchor record
+    assert bench._anchor_file(0.1) == "BENCH_local.json"
+    assert bench._anchor_file(0.01) == "BENCH_local.json"
+    assert bench._anchor_file(1.0) == "BENCH_sf1.json"
+    assert bench._anchor_file(3.0) == "BENCH_sf3.json"
+    assert bench._anchor_file(10.0) == "BENCH_sf10.json"
+
+
+def test_sf1_anchor_loads_from_head_when_committed():
+    try:
+        a = bench._load_anchor(1.0)
+    except Exception:
+        pytest.skip("git show unavailable")
+    if a is None:
+        pytest.skip("no committed BENCH_sf1.json at HEAD")
+    assert a["sf"] == 1.0
+    assert a["queries"] and a["spread"]
+
+
 def test_uniform_load_normalized_but_real_regression_sticks_out():
     # r12 ADVICE: a uniform host-load slowdown must not flag the whole set;
     # a genuinely regressed query must still flag THROUGH the normalization.

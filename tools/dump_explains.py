@@ -1,8 +1,16 @@
-"""Regenerate EXPLAIN.md: formatted physical plans for the headline queries.
+"""Regenerate the plan-evidence artifacts: one STABLE file per query under
+explains/ plus a summary table in EXPLAIN.md.
 
-Evidence artifact for plan-quality claims (pushdown, pruning, broadcast
-choice, zero-exchange bucketed joins): run after changing any headline
-query's plan shape.
+Evidence for plan-quality claims (pushdown, pruning, broadcast choice,
+zero-exchange bucketed joins): run after changing any headline query's plan
+shape. r13 verdict item 7: the old single-file EXPLAIN.md regenerated as an
+8-9k-line diff that buried real plan changes — now each query writes
+explains/<name>.txt with volatile tokens NORMALIZED (expression ids
+renumbered in first-appearance order, plan_id stripped), so a plan
+regression is a one-file diff, and EXPLAIN.md carries one summary row per
+query (node/exchange/scan/broadcast/codegen counts). The tool exits
+non-zero if ANY plan contains CartesianProduct — the standing 0-cartesian
+assertion, now explicit instead of grep-implicit.
 
     python tools/dump_explains.py [sf_dir]
 """
@@ -78,25 +86,56 @@ EXTRA = [
     "curation_diversity_cap",
     "privacy_dp_long_doc_share",
     "curation_export_shards",
+    # round-14 additions
+    "similarity_ann_dispatch_redecide",
+    "curation_end_to_end",
+    "privacy_dp_stable_histogram",
 ]
+import re  # noqa: E402
+
 from wafer_defect_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 from wafer_defect_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def normalize_plan(plan: str) -> str:
+    """Strip run-volatile tokens so the same logical plan always writes the
+    same bytes: expression ids (#123) renumbered in first-appearance order,
+    plan_id= dropped, cached-RDD numbers dropped. Everything else — node
+    order, PushedFilters, ReadSchema — is the plan shape we want diffs on."""
+    seen: dict[str, str] = {}
+
+    def renum(m: re.Match) -> str:
+        return seen.setdefault(m.group(0), f"#{len(seen) + 1}")
+
+    plan = re.sub(r"#\d+", renum, plan)
+    plan = re.sub(r", plan_id=\d+", "", plan)
+    plan = re.sub(r"\[plan_id=\d+\]", "", plan)
+    plan = re.sub(r"ExistingRDD\[\d+\]", "ExistingRDD[n]", plan)
+    plan = re.sub(r"Scan ExistingRDD( LocalCheckpointScan)?\[", r"Scan ExistingRDD\1[", plan)
+    return plan
+
+
+_COUNTERS = {
+    "nodes": re.compile(r"^\(\d+\) ", re.M),
+    "exchanges": re.compile(r"^\(\d+\) Exchange", re.M),
+    "scans": re.compile(r"^\(\d+\) Scan parquet", re.M),
+    "bcast_joins": re.compile(r"^\(\d+\) BroadcastHashJoin", re.M),
+    "smj": re.compile(r"^\(\d+\) SortMergeJoin", re.M),
+    "codegen": re.compile(r"WholeStageCodegen"),
+    "cartesian": re.compile(r"CartesianProduct"),
+}
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="dump-explains")
     qs = all_queries()
-    out = [
-        "# EXPLAIN — headline query physical plans",
-        "",
-        f"`explain('formatted')` for every `bench.py` headline query at `{sf_dir}`,",
-        "regenerated by `tools/dump_explains.py`. What to look for: `PushedFilters`",
-        "and narrow `ReadSchema` on scans (pushdown + pruning), `BroadcastHashJoin`",
-        "on small dims, no `Exchange` between bucketed scans and their join,",
-        "`WholeStageCodegen` spans over the hot expressions.",
-        "",
-    ]
+    exp_dir = _REPO / "explains"
+    exp_dir.mkdir(exist_ok=True)
+    for old in exp_dir.glob("*.txt"):  # drop artifacts of renamed queries
+        old.unlink()
+    rows: list[tuple] = []
+    cartesian_hits: list[str] = []
     for name in list(HEADLINE) + EXTRA:
         fn = qs.get(name)
         if fn is None:
@@ -106,13 +145,42 @@ def main() -> None:
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            plan = buf.getvalue().rstrip()
+            plan = normalize_plan(buf.getvalue().rstrip())
         except Exception as exc:  # noqa: BLE001 — keep the artifact complete
             plan = f"<failed to plan: {type(exc).__name__}: {exc}>"
-        out += [f"## {name}", "", "```", plan, "```", ""]
+        (exp_dir / f"{name}.txt").write_text(plan + "\n")
+        c = {k: len(p.findall(plan)) for k, p in _COUNTERS.items()}
+        if c["cartesian"]:
+            cartesian_hits.append(name)
+        rows.append((name, c))
+    out = [
+        "# EXPLAIN — plan-shape summary",
+        "",
+        f"`explain('formatted')` at `{sf_dir}`, regenerated by",
+        "`tools/dump_explains.py`. Full per-query plans live under `explains/`",
+        "(one stable file each — expression ids renumbered deterministically, so",
+        "a plan regression is a one-file diff). What to look for in a plan:",
+        "`PushedFilters` and narrow `ReadSchema` on scans (pushdown + pruning),",
+        "`BroadcastHashJoin` on small dims, no `Exchange` between bucketed scans",
+        "and their join, `WholeStageCodegen` spans over the hot expressions.",
+        "The tool FAILS if any plan contains CartesianProduct.",
+        "",
+        "| query | nodes | exchanges | parquet scans | broadcast joins | SMJ | codegen | cartesian |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, c in rows:
+        out.append(
+            f"| [{name}](explains/{name}.txt) | {c['nodes']} | {c['exchanges']} "
+            f"| {c['scans']} | {c['bcast_joins']} | {c['smj']} | {c['codegen']} "
+            f"| {c['cartesian']} |"
+        )
+    out.append("")
     (_REPO / "EXPLAIN.md").write_text("\n".join(out))
-    print(f"wrote EXPLAIN.md ({len(HEADLINE) + len(EXTRA)} queries)")
+    print(f"wrote EXPLAIN.md summary + {len(rows)} files under explains/")
     spark.stop()
+    if cartesian_hits:
+        print(f"CARTESIAN PRODUCT in plans: {cartesian_hits}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
