@@ -4849,6 +4849,36 @@ def test_privacy_ledger_accounts_and_refuses(spark):
     assert led2.entries == []
 
 
+def test_dp_registered_queries_accept_ledger(spark, sf_small):
+    """r13 verdict item 8, the wiring half: BOTH registered DP queries take
+    an optional ledger= kwarg, charge the correct composed amount (eps=1
+    each — the long-doc-share's two internal eps=0.5 draws compose to one
+    atomic charge), refuse together past budget, and release IDENTICAL
+    values with or without accounting (oracles unchanged)."""
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import (
+        PrivacyBudgetExceeded,
+        PrivacyLedger,
+    )
+    from wafer_defect_data_pipeline_spark.plans.registry import _ordered
+
+    reg = _ordered()
+    gc = reg["privacy_dp_group_counts"].fn
+    ls = reg["privacy_dp_long_doc_share"].fn
+
+    led = PrivacyLedger(eps_budget=2.0)
+    with_led = gc(spark, sf_small, ledger=led).collect()
+    assert with_led == gc(spark, sf_small).collect()
+    ls(spark, sf_small, ledger=led).collect()
+    assert led.spent() == (2.0, 0.0)
+    assert [e[1] for e in led.entries] == ["group_counts:lang", "long_doc_share"]
+    # third release over the same table refuses — cross-QUERY composition,
+    # the thing the per-query eps claims never tracked before the ledger
+    with _pytest.raises(PrivacyBudgetExceeded):
+        gc(spark, sf_small, ledger=led)
+
+
 def test_dp_null_group_key_still_gets_noise(spark):
     """A NULL group key must NOT be released with zero noise: concat(NULL)
     would null the hash-uniform, the inverse-CDF would count zero

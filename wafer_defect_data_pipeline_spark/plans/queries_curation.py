@@ -1463,11 +1463,14 @@ from ..operators.privacy import geometric_thresholds as _dp_thresholds
 _DP_T = _dp_thresholds(eps=1.0)
 
 
-def _dp_group_counts(spark, sf_dir):
+def _dp_group_counts(spark, sf_dir, ledger=None):
     """eps=1 DP release of per-language document counts: one groupBy
     (sensitivity 1 under add/remove-one-document adjacency), then discrete
     Laplace noise added as a pure projection — the noise join is free, the
-    aggregate is the only shuffle.
+    aggregate is the only shuffle. ``ledger`` (optional PrivacyLedger) is
+    charged (eps=1, 0) for the release before the plan is built;
+    accounting never changes the released values, so the oracle is
+    identical with or without it.
 
     KEY-DOMAIN PRECONDITION (r13 ADVICE): ``lang`` is a PUBLIC fixed
     enumeration (the language-ID label set ships with the classifier,
@@ -1478,7 +1481,10 @@ def _dp_group_counts(spark, sf_dir):
     from ..operators.privacy import dp_group_counts
 
     d = read_table(spark, sf_dir, "documents")
-    return dp_group_counts(d, "lang", eps=1.0, noise="deterministic").orderBy("lang")
+    return dp_group_counts(
+        d, "lang", eps=1.0, noise="deterministic", ledger=ledger,
+        table="documents",
+    ).orderBy("lang")
 
 
 _DP_T_SQL = "[" + ", ".join(str(t) for t in _DP_T) + "]"
@@ -1572,15 +1578,23 @@ register(
 _DP_T_HALF = _dp_thresholds(eps=0.5, max_mag=88)
 
 
-def _dp_long_doc_share(spark, sf_dir):
+def _dp_long_doc_share(spark, sf_dir, ledger=None):
     """eps=1 DP release of per-language document totals, long-doc counts
     (n_chars > 500), and their ratio: one groupBy (the only shuffle), two
     eps=0.5 discrete-Laplace draws per group as pure projections, ratio
     post-processed from the noised pair (clamped at 0, denominator floored
     at 1). Same PUBLIC-key-domain precondition as privacy_dp_group_counts
     (lang is a fixed public enumeration); unknown domains must go through
-    privacy_dp_stable_histogram's partition selection."""
+    privacy_dp_stable_histogram's partition selection. ``ledger``
+    (optional PrivacyLedger) is charged ONE composed (eps=1, 0) entry up
+    front — the two eps=0.5 component draws compose sequentially INSIDE
+    the query and the share is free post-processing; a single charge
+    keeps the refusal atomic (two separate charges could spend the first
+    and refuse the second, leaking budget with nothing released)."""
     from ..operators.privacy import _uniform60
+
+    if ledger is not None:
+        ledger.charge("documents", "long_doc_share", 1.0, 0.0)
 
     d = read_table(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(
