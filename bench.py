@@ -127,7 +127,9 @@ def _anchor_file(sf: float) -> str:
     regression in their compute term — the sf1 anchor can). Writing the
     full record to the same per-sf file also stops an sf1/sf3 sweep from
     clobbering the committed sf0.1 anchor (the r11 restore-dance)."""
-    return f"BENCH_sf{int(sf)}.json" if sf >= 1 else "BENCH_local.json"
+    # %g keeps non-integer sfs distinct (sf1.5 -> BENCH_sf1.5.json) instead
+    # of int()-truncating onto the sf1 anchor
+    return f"BENCH_sf{sf:g}.json" if sf >= 1 else "BENCH_local.json"
 
 
 def _load_anchor(sf: float) -> dict | None:
@@ -324,7 +326,7 @@ def main() -> None:
         "queries": {
             n: (round(v, 2) if v is not None else None) for n, v in warm.items()
         },
-        "full": "BENCH_local.json",
+        "full": _anchor_file(sf),
     }
     if compact["spread_max_ratio"] is not None and compact["spread_max_ratio"] > 1.5:
         # self-label hot-host runs: when one query's own 3 warm runs spread

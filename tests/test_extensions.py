@@ -4696,6 +4696,23 @@ def test_ann_dispatch_redecide_recall_holds_on_both_branches(spark, sf_small):
     assert r2 >= 0.9, r2
 
 
+def test_ann_dispatch_redecide_rerunnable_same_process(spark, sf_small):
+    """Review finding (r14): a prior invocation's decision/v2 survived in
+    the pid-keyed scratch, so a second same-process run loaded the stale
+    v2 as day 1's decision and served the wrong branch (bench runs this
+    query 4x per process). The query now wipes its decision dir at entry:
+    two consecutive runs must produce IDENTICAL rows."""
+    from wafer_defect_data_pipeline_spark.plans.registry import _ordered
+
+    fn = _ordered()["similarity_ann_dispatch_redecide"].fn
+    r1 = [tuple(r) for r in fn(spark, sf_small).collect()]
+    r2 = [tuple(r) for r in fn(spark, sf_small).collect()]
+    assert r1 == r2
+    # and the staged flip is present: day 1 ivf v1, day 2 nsw v2, age 0
+    days = {(r[0], r[4], r[7], r[8]) for r in r1}
+    assert days == {(1, "ivf", 1, 0), (2, "nsw", 2, 0)}, days
+
+
 def test_int_l2_kernels_match_pre_consolidation_shapes(spark):
     """r13 verdict item 3: the four integer-L2 scorer copies
     (assign_coarse_cells, knn_graph's cell_knn, nsw_search's score, the

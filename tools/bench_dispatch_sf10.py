@@ -57,6 +57,8 @@ def recall_at_k(approx_df, truth_df, k: int) -> float:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "sf10"
+    if mode not in _QUERY_MOD:  # fail BEFORE Spark startup, with the menu
+        sys.exit(f"unknown mode {mode!r}; expected one of {sorted(_QUERY_MOD)}")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else f"localdata/{mode}"
     spark = get_spark(app_name=f"dispatch-decade-{mode}")
 

@@ -109,7 +109,6 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r", plan_id=\d+", "", plan)
     plan = re.sub(r"\[plan_id=\d+\]", "", plan)
     plan = re.sub(r"ExistingRDD\[\d+\]", "ExistingRDD[n]", plan)
-    plan = re.sub(r"Scan ExistingRDD( LocalCheckpointScan)?\[", r"Scan ExistingRDD\1[", plan)
     return plan
 
 

@@ -664,11 +664,15 @@ def probe_span_strategy(
     ``xxhash64(id) % sample_mod``): (1) the sample's total position count
     ``t`` from one doc-LENGTH aggregate — a pure projection, no explode
     (``sum(len(text) - k + 1)`` equals the exploded sum exactly); (2) the
-    sampled per-gram counts, FILTERED to grams at or above the salt
-    threshold ``salt_factor x t / shuffle.partitions`` — the explode runs
-    once, same as the old single-job probe, and only the few hot grams are
-    collected (top ``max_salted`` by count). Nothing outside the sample is
-    touched: at 100 TB the probe costs 1/``sample_mod`` of one pass. A
+    sampled per-gram counts' UNFILTERED top ``max_salted`` rows — the
+    explode runs once, same as the old single-job probe, and only
+    ``max_salted`` rows are collected. The combine-flip test runs against
+    the unfiltered sampled max (r13 ADVICE: filtering by the salt
+    threshold first could, on a tiny sample, drop a gram that exceeds the
+    flip threshold and silently flip the documented r7 "combine" verdict
+    to "window"); the salt list is then the Python-side subset at or above
+    ``salt_factor x t / shuffle.partitions``. Nothing outside the sample
+    is touched: at 100 TB the probe costs 1/``sample_mod`` of one pass. A
     cross-doc flood gram appears in ~every doc, so the sample sees
     ~``1/sample_mod`` of its occurrences and both estimates scale back by
     the same factor — which CANCELS in the decision ratios. A within-doc

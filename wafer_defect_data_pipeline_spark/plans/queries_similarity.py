@@ -1684,6 +1684,13 @@ def _ann_dispatch_redecide(spark, sf_dir):
     snap1 = snap1.localCheckpoint(eager=False)
     n1 = snap1.count()
     base = scratch_dir(f"ann_redecide_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    # the staged scenario STARTS at version 1: wipe any decision versions a
+    # prior same-process invocation left in the pid-keyed scratch (bench
+    # runs this query 4x per process — without the wipe, run 2 would load
+    # run 1's v2 as "day 1's" decision and serve the wrong branch)
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{base}/decision", ignore_errors=True)
 
     # day 1 (batch 0): price the dispatch, persist v1, serve from it
     p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50)
