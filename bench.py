@@ -128,8 +128,10 @@ def _anchor_file(sf: float) -> str:
     full record to the same per-sf file also stops an sf1/sf3 sweep from
     clobbering the committed sf0.1 anchor (the r11 restore-dance)."""
     # %g keeps non-integer sfs distinct (sf1.5 -> BENCH_sf1.5.json) instead
-    # of int()-truncating onto the sf1 anchor
-    return f"BENCH_sf{sf:g}.json" if sf >= 1 else "BENCH_local.json"
+    # of int()-truncating onto the sf1 anchor. BENCH_local.json is reserved
+    # STRICTLY for the default sf0.1 sweep (r14 ADVICE: routing every sub-1
+    # sf there let a one-off sf0.5 run clobber the committed sf0.1 record).
+    return "BENCH_local.json" if sf == 0.1 else f"BENCH_sf{sf:g}.json"
 
 
 def _load_anchor(sf: float) -> dict | None:
@@ -153,6 +155,90 @@ def _load_anchor(sf: float) -> dict | None:
     if anchor.get("sf") != sf:
         return None
     return anchor
+
+
+def _band(anchor: dict | None, name: str) -> float | None:
+    """The per-query tolerance band shared by the gate flag and the retime
+    verdict: max(anchor's own recorded warm spread, 15% of its median,
+    50 ms). None when the anchor has no usable record for ``name``."""
+    if not anchor:
+        return None
+    a = (anchor.get("queries") or {}).get(name)
+    sp = (anchor.get("spread") or {}).get(name)
+    if a is None or not sp:
+        return None
+    return max(sp[1] - sp[0], 0.15 * a, 0.05)
+
+
+def _retime_verdict(median: float, anchor_median: float, band: float) -> str:
+    """Isolated re-time adjudication: NO run-level normalization — the
+    re-time ran alone, so its median either clears the anchor band
+    (``noise``: the sweep flag was host contention) or it doesn't
+    (``regressed``: the slowdown reproduces in isolation)."""
+    return "regressed" if median > anchor_median + band else "noise"
+
+
+def _adjudicate_flags(
+    flagged: dict,
+    anchor: dict | None,
+    retime_fn,
+    budget_s: float = 900.0,
+    load_fn=None,
+) -> dict[str, dict]:
+    """Machine-checkable adjudication of gate flags (r14 verdict item 1).
+
+    r14's seven rotating flags were adjudicated in PROSE ("re-timed
+    isolated, attributed to host noise") — readings the next round could
+    only trust, not check. Now every real flagged query is automatically
+    re-timed in isolation (1 cold + 3 warm, sequential, nothing else
+    running in this process) and the readings land IN the committed per-sf
+    bench record under ``retimes``; the compact line's final
+    ``regressed_n`` counts re-time verdicts, not sweep flags.
+
+    ``retime_fn(name) -> (cold, [warm...])`` is injected so the
+    flag→retime→verdict flow unit-tests without Spark. A query whose
+    re-time would blow the ``budget_s`` wall budget is recorded as
+    ``unadjudicated`` and stays counted as regressed — a flag is never
+    cleared without evidence."""
+    retimes: dict[str, dict] = {}
+    spent = 0.0
+    for name in sorted(n for n in flagged if not n.startswith("__")):
+        a = (anchor or {}).get("queries", {}).get(name)
+        band = _band(anchor, name)
+        if a is None or band is None:  # pragma: no cover — flag implies both
+            continue
+        if spent > budget_s:
+            retimes[name] = {
+                "skipped": f"retime budget {budget_s}s exhausted",
+                "verdict": "unadjudicated",
+            }
+            continue
+        entry: dict = {}
+        if load_fn is not None:
+            entry["load_1min"] = round(load_fn(), 2)
+        t0 = time.perf_counter()
+        try:
+            cold, runs = retime_fn(name)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            retimes[name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200],
+                "verdict": "unadjudicated",
+            }
+            continue
+        spent += time.perf_counter() - t0
+        med = sorted(runs)[len(runs) // 2]
+        entry.update(
+            {
+                "cold": cold,
+                "runs": runs,
+                "median": med,
+                "anchor": a,
+                "band": round(band, 3),
+                "verdict": _retime_verdict(med, a, band),
+            }
+        )
+        retimes[name] = entry
+    return retimes
 
 
 def _regressions(
@@ -180,7 +266,6 @@ def _regressions(
     if not anchor:
         return {}
     a_warm = anchor.get("queries") or {}
-    a_spread = anchor.get("spread") or {}
     ratios = [
         v / a_warm[n]
         for n, v in warm.items()
@@ -194,10 +279,9 @@ def _regressions(
     flagged: dict[str, dict[str, float]] = {}
     for name, v in warm.items():
         a = a_warm.get(name)
-        sp = a_spread.get(name)
-        if v is None or a is None or not sp:
+        band = _band(anchor, name)
+        if v is None or a is None or band is None:
             continue
-        band = max(sp[1] - sp[0], 0.15 * a, 0.05)
         if v / norm > a + band:
             flagged[name] = {"warm": v, "anchor": a, "band": round(band, 3)}
     # the applied factor is ALWAYS reported when normalization ran, flags
@@ -285,7 +369,48 @@ def main() -> None:
             spread[name] = None
 
     total = round(sum(v for v in warm.values() if v is not None), 3)
-    regressed = _regressions(warm, _load_anchor(sf))
+    anchor = _load_anchor(sf)
+    regressed = _regressions(warm, anchor)
+
+    # r14 verdict item 1: adjudicate every real gate flag with an isolated
+    # re-time recorded in this file, so the committed record carries its
+    # own verdict instead of prose. One idle settle before the loop (the
+    # sweep's own load lingers in the 1-min average), then per-query
+    # 1 cold + 3 warm, sequential.
+    retimes: dict[str, dict] = {}
+    real_flags = {n: d for n, d in regressed.items() if not n.startswith("__")}
+    if real_flags:
+        load_max = float(os.environ.get("SPARK_GRAFT_RETIME_LOAD_MAX", "4.0"))
+        idle_budget = float(os.environ.get("SPARK_GRAFT_RETIME_IDLE_WAIT", "180"))
+        waited = 0.0
+        while os.getloadavg()[0] > load_max and waited < idle_budget:
+            time.sleep(5)
+            waited += 5
+        retimes["__idle"] = {
+            "load_1min_at_start": round(os.getloadavg()[0], 2),
+            "idle_waited_s": waited,
+            "load_max": load_max,
+        }
+
+        def _retime_one(name: str) -> tuple[float, list[float]]:
+            fn = registry[name]
+            runs: list[float] = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            return runs[0], runs[1:]
+
+        retimes.update(
+            _adjudicate_flags(
+                real_flags,
+                anchor,
+                _retime_one,
+                budget_s=float(os.environ.get("SPARK_GRAFT_RETIME_BUDGET_S", "900")),
+                load_fn=lambda: os.getloadavg()[0],
+            )
+        )
+
     out = {
         "metric": "headline_total",
         "value": total,
@@ -298,6 +423,10 @@ def main() -> None:
         "regressed": regressed,
         "regression_rule": "warm median > committed HEAD anchor median + "
         "max(anchor spread band, 15%, 50ms); same-sf anchors only",
+        "retimes": retimes,
+        "retime_rule": "each sweep flag re-timed isolated (1 cold + 3 warm "
+        "after idle settle); final regressed_n counts retime verdicts — "
+        "'noise' clears the flag, 'regressed'/'unadjudicated' keep it",
         "sf": _sf_from_dir(sf_dir),
     }
     if canary:
@@ -332,16 +461,38 @@ def main() -> None:
         # self-label hot-host runs: when one query's own 3 warm runs spread
         # past 1.5x, totals from this run are host noise, not plan data
         compact["unreliable"] = f"spread_max_ratio {compact['spread_max_ratio']} > 1.5"
-    real_regressed = {n: d for n, d in regressed.items() if not n.startswith("__")}
+    # final verdict per flag comes from the ISOLATED RE-TIME, not the noisy
+    # sweep: a flag whose retime median clears the band is noise and drops
+    # out of regressed_n; anything the retime couldn't clear (regressed /
+    # unadjudicated) stays counted (r14 verdict item 1)
+    real_regressed = {
+        n: d
+        for n, d in regressed.items()
+        if not n.startswith("__")
+        and retimes.get(n, {}).get("verdict") != "noise"
+    }
+    n_noise = sum(
+        1 for n, r in retimes.items()
+        if not n.startswith("__") and r.get("verdict") == "noise"
+    )
     meta = regressed.get("__run_median_ratio")
     if meta:
         compact["run_median_ratio"] = meta["ratio"]
         if "uniform_slowdown_suspected" in meta:
             compact["uniform_slowdown_suspected"] = True
+    if real_flags:
+        compact["flags_n"] = len(real_flags)
+        compact["retime_noise_n"] = n_noise
     if real_regressed:
         compact["regressed_n"] = len(real_regressed)
         compact["regressed"] = "; ".join(
-            f"{n} {d['warm']}s vs {d['anchor']}s" for n, d in sorted(real_regressed.items())
+            f"{n} {d['warm']}s vs {d['anchor']}s"
+            + (
+                f" (retime {retimes[n]['median']}s)"
+                if retimes.get(n, {}).get("median") is not None
+                else ""
+            )
+            for n, d in sorted(real_regressed.items())
         )[:200]
     if errors:
         compact["errors_n"] = len(errors)
@@ -358,9 +509,27 @@ def main() -> None:
     record_run(
         "bench",
         f"headline_total {total}s warm over {n_timed} queries at sf{sf}"
-        + (f"; {len(real_regressed)} regressed vs HEAD anchor" if real_regressed else "")
+        + (
+            f"; {len(real_flags)} flagged, {n_noise} cleared by retime, "
+            f"{len(real_regressed)} regressed vs HEAD anchor"
+            if real_flags
+            else ""
+        )
         + (f"; {len(errors)} errors: {'; '.join(sorted(errors))[:200]}" if errors else ""),
     )
+    for name, r in sorted(retimes.items()):
+        if name.startswith("__"):
+            continue
+        record_run(
+            "bench-retime",
+            f"{name} at sf{sf}: "
+            + (
+                f"median {r['median']}s vs anchor {r['anchor']}s "
+                f"band {r['band']} -> {r['verdict']} (runs {r['runs']})"
+                if "median" in r
+                else f"{r['verdict']}: {r.get('skipped') or r.get('error')}"
+            ),
+        )
     spark.stop()
 
 

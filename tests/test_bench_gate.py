@@ -83,7 +83,11 @@ def test_anchor_file_routes_per_sf():
     # heavy families); the default sweep keeps BENCH_local.json, and an
     # sf1/sf3 run no longer clobbers the sf0.1 anchor record
     assert bench._anchor_file(0.1) == "BENCH_local.json"
-    assert bench._anchor_file(0.01) == "BENCH_local.json"
+    # r14 ADVICE: BENCH_local.json is STRICTLY the sf0.1 record — any other
+    # sf (including sub-1 one-offs) gets its own per-sf file, so an sf0.5
+    # run can't clobber the committed default anchor in the working tree
+    assert bench._anchor_file(0.01) == "BENCH_sf0.01.json"
+    assert bench._anchor_file(0.5) == "BENCH_sf0.5.json"
     assert bench._anchor_file(1.0) == "BENCH_sf1.json"
     assert bench._anchor_file(3.0) == "BENCH_sf3.json"
     assert bench._anchor_file(10.0) == "BENCH_sf10.json"
@@ -135,3 +139,60 @@ def test_small_sets_never_self_normalize():
     # a 1-query run's own regression must not cancel itself via the median
     a = _anchor({"q1": 1.0}, {"q1": [0.95, 1.05]})
     assert set(bench._regressions({"q1": 1.6}, a)) == {"q1"}
+
+
+# --- r14 verdict item 1: flag -> isolated retime -> machine verdict ---------
+
+
+def test_retime_noise_clears_flag_and_regression_sticks():
+    a = _anchor({"q_noise": 1.0, "q_real": 1.0},
+                {"q_noise": [0.95, 1.05], "q_real": [0.95, 1.05]})
+    flagged = bench._regressions({"q_noise": 1.6, "q_real": 1.6}, a)
+    assert set(flagged) == {"q_noise", "q_real"}
+    # isolated retime: q_noise comes back inside the band (host noise),
+    # q_real reproduces its slowdown
+    readings = {"q_noise": (1.2, [1.02, 1.05, 1.0]), "q_real": (1.7, [1.62, 1.58, 1.6])}
+    retimes = bench._adjudicate_flags(flagged, a, lambda n: readings[n])
+    assert retimes["q_noise"]["verdict"] == "noise"
+    assert retimes["q_noise"]["median"] == 1.02
+    assert retimes["q_noise"]["runs"] == [1.02, 1.05, 1.0]
+    assert retimes["q_real"]["verdict"] == "regressed"
+    assert retimes["q_real"]["anchor"] == 1.0
+    # the final gate count (what main() puts in regressed_n) keeps only
+    # what the retime could not clear
+    final = {n for n in flagged
+             if not n.startswith("__") and retimes.get(n, {}).get("verdict") != "noise"}
+    assert final == {"q_real"}
+
+
+def test_retime_budget_exhaustion_stays_regressed():
+    a = _anchor({"q1": 1.0}, {"q1": [0.95, 1.05]})
+    flagged = bench._regressions({"q1": 5.0}, a)
+    retimes = bench._adjudicate_flags(flagged, a, lambda n: (1.0, [1.0]), budget_s=-1.0)
+    assert retimes["q1"]["verdict"] == "unadjudicated"
+    assert "skipped" in retimes["q1"]
+
+
+def test_retime_error_is_isolated_and_unadjudicated():
+    a = _anchor({"q1": 1.0, "q2": 1.0}, {"q1": [1.0, 1.0], "q2": [1.0, 1.0]})
+    flagged = bench._regressions({"q1": 5.0, "q2": 5.0}, a)
+
+    def boom_or_ok(n):
+        if n == "q1":
+            raise RuntimeError("executor lost")
+        return (1.0, [0.9, 1.0, 1.1])
+
+    retimes = bench._adjudicate_flags(flagged, a, boom_or_ok)
+    assert retimes["q1"]["verdict"] == "unadjudicated"
+    assert "executor lost" in retimes["q1"]["error"]
+    assert retimes["q2"]["verdict"] == "noise"
+
+
+def test_retime_records_load_when_probe_given():
+    a = _anchor({"q1": 1.0}, {"q1": [0.95, 1.05]})
+    flagged = bench._regressions({"q1": 5.0}, a)
+    retimes = bench._adjudicate_flags(
+        flagged, a, lambda n: (1.0, [1.0, 1.0, 1.0]), load_fn=lambda: 0.42
+    )
+    assert retimes["q1"]["load_1min"] == 0.42
+    assert retimes["q1"]["verdict"] == "noise"

@@ -2554,11 +2554,41 @@ def test_scratch_dir_is_pid_private_and_sweeps_dead_siblings(tmp_path):
     assert p == os.path.join(base, f"wdps_t_sf0.01_pid{os.getpid()}")
     assert not dead.exists(), "dead sibling must be swept"
     assert live.exists(), "live-pid sibling must be left alone"
-    # other tags' dirs are never touched
+    # other tags' FRESH dirs are never touched
     other = tmp_path / "wdps_other_pid999999999"
     other.mkdir()
     scratch_dir("t_sf0.01", base=base)
     assert other.exists()
+
+
+def test_scratch_dir_age_fallback_sweeps_stale_foreign_dirs(tmp_path):
+    """r14 ADVICE: a recycled PID owned by an unrelated live process defeats
+    the liveness check forever, and one-off tags never recur for the
+    exact-tag sweep — dirs accumulated in /tmp indefinitely. The age
+    fallback sweeps ANY wdps_* dir not owned by this process once its
+    mtime passes STALE_AGE_SECONDS; fresh foreign dirs and this process's
+    own dirs (however old) are left alone."""
+    import os
+
+    from wafer_defect_data_pipeline_spark.scratch import scratch_dir
+
+    base = str(tmp_path)
+    # live foreign pid (1), one-off tag, STALE mtime -> swept by age
+    stale_foreign = tmp_path / "wdps_oneoff_sf0.5_pid1"
+    stale_foreign.mkdir()
+    os.utime(stale_foreign, (0, 0))
+    # live foreign pid, FRESH mtime -> kept
+    fresh_foreign = tmp_path / "wdps_oneoff_sf0.7_pid1"
+    fresh_foreign.mkdir()
+    # this process's OWN dir, stale mtime -> kept (we may still be using it)
+    own = tmp_path / f"wdps_mine_pid{os.getpid()}"
+    own.mkdir()
+    os.utime(own, (0, 0))
+
+    scratch_dir("unrelated_tag", base=base)
+    assert not stale_foreign.exists(), "stale foreign dir must be age-swept"
+    assert fresh_foreign.exists(), "fresh foreign dir must be kept"
+    assert own.exists(), "own dirs are never age-swept"
 
 
 def test_jaccard_pairs_auto_both_paths_match_exact(spark, sf_small):
@@ -4646,6 +4676,70 @@ def test_ann_dispatch_redecide_trigger_and_versioning(spark, tmp_path):
     assert sorted(r["version"] for r in both.collect()) == [1, 2]
 
 
+def test_recall_drift_trigger_constant_size_shape_drift(spark):
+    """r14 verdict item 6: a corpus that drifts in SHAPE at constant size
+    never trips the growth/batch-count triggers — the recall-drift trigger
+    is the only signal. Drill: an axis-spike clustered corpus prices
+    n_probe=1; replacing every vector IN PLACE with noise (same ids, same
+    labels, same count) collapses ivf_recall_at(n_probe=1) below any sane
+    floor, and ann_dispatch_should_redecide fires on the recall term while
+    the count terms stay provably silent."""
+    from wafer_defect_data_pipeline_spark.operators.similarity import (
+        ann_dispatch_should_redecide,
+        ivf_recall_at,
+    )
+
+    # pure trigger arithmetic: recall term fires independently of growth
+    assert not ann_dispatch_should_redecide(1000, 1000, 1)  # constant size
+    assert ann_dispatch_should_redecide(
+        1000, 1000, 1, served_recall=0.4, recall_floor=0.9
+    )
+    assert not ann_dispatch_should_redecide(
+        1000, 1000, 1, served_recall=0.95, recall_floor=0.9
+    )
+    # floor unset -> recall ignored (backward-compatible default)
+    assert not ann_dispatch_should_redecide(1000, 1000, 1, served_recall=0.1)
+
+    # measured drill on a real corpus, constant size throughout
+    import hashlib
+
+    def noise(tag, i, j):
+        h = hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()
+        return int(h[:2], 16) / 256.0
+
+    n = 400
+    day1_rows = [
+        (
+            i,
+            i % 8,
+            [
+                (4.0 if j == i % 8 else 0.0) + noise("t1", i, j)
+                for j in range(64)
+            ],
+        )
+        for i in range(n)
+    ]
+    day2_rows = [
+        (i, i % 8, [noise("t2", i, j) for j in range(64)]) for i in range(n)
+    ]
+    schema = "vec_id long, label int, embedding array<double>"
+    snap1 = spark.createDataFrame(day1_rows, schema)
+    snap2 = spark.createDataFrame(day2_rows, schema)
+
+    r1 = ivf_recall_at(snap1, n_probe=1, target_queries=50)
+    r2 = ivf_recall_at(snap2, n_probe=1, target_queries=50)
+    assert r1 >= 0.9, r1  # clustered: n_probe=1 serves fine
+    assert r2 < 0.5, r2  # in-place noise: recall@1 collapses
+    # growth trigger blind (count constant), recall trigger fires
+    assert not ann_dispatch_should_redecide(n, n, 1)
+    assert ann_dispatch_should_redecide(
+        n, n, 1, served_recall=r2, recall_floor=0.9
+    )
+    # empty sample -> 1.0 (no evidence of drift must not fire the trigger)
+    empty = spark.createDataFrame([], schema)
+    assert ivf_recall_at(empty, n_probe=1, sample_mod=1) == 1.0
+
+
 def test_ann_dispatch_redecide_recall_holds_on_both_branches(spark, sf_small):
     """r13 verdict item 1, the quality gate: on the staged drift corpus the
     decision flips ivf -> nsw, and the branch each day actually serves
@@ -4894,6 +4988,85 @@ def test_dp_registered_queries_accept_ledger(spark, sf_small):
     # the thing the per-query eps claims never tracked before the ledger
     with _pytest.raises(PrivacyBudgetExceeded):
         gc(spark, sf_small, ledger=led)
+
+
+def test_privacy_ledger_persistence_restart_drill(spark, tmp_path):
+    """r14 verdict item 3: the in-memory ledger reset per process, so two
+    sessions against the same table could jointly overspend. With
+    ``ledger_dir`` every charge is durably published before it counts;
+    the drill: process A (a REAL subprocess) spends, process B recovers
+    from the directory and REFUSES when the combined spend would exceed
+    the budget. Released values stay identical with and without
+    accounting (the ledger is never part of the plan)."""
+    import subprocess
+    import sys
+    from pathlib import Path as _Path
+
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import (
+        LedgerConflictError,
+        PrivacyBudgetExceeded,
+        PrivacyLedger,
+        dp_group_counts,
+    )
+
+    d = str(tmp_path / "ledger")
+
+    # process A: attach with budget (2.0, 1e-6), spend eps=1.5
+    script = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from wafer_defect_data_pipeline_spark.operators.privacy import PrivacyLedger\n"
+        "led = PrivacyLedger(2.0, 1e-6, ledger_dir={d!r})\n"
+        "led.charge('docs', 'group_counts:lang', 1.5, 0.0)\n"
+        "print('spent', led.spent())\n"
+    ).format(repo=str(_Path(__file__).resolve().parent.parent), d=d)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=120
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "spent (1.5, 0.0)" in proc.stdout
+
+    # process B (this one): recover budget + spend from the directory alone
+    led_b = PrivacyLedger.recover(d)
+    assert led_b.eps_budget == 2.0 and led_b.delta_budget == 1e-6
+    assert led_b.spent() == (1.5, 0.0)
+    # a charge that would push the COMBINED spend past budget refuses and
+    # publishes nothing — this is exactly the cross-process overspend the
+    # in-memory ledger allowed
+    with _pytest.raises(PrivacyBudgetExceeded):
+        led_b.charge("docs", "stable_histogram:lang", 1.0, 0.0)
+    assert led_b.spent() == (1.5, 0.0)
+    # a within-budget charge lands and is immediately visible to ANOTHER
+    # attached instance without re-recovering (charge re-reads the log)
+    led_b.charge("docs", "stable_histogram:lang", 0.5, 1e-6)
+    led_c = PrivacyLedger(2.0, 1e-6, ledger_dir=d)
+    assert led_c.spent() == (2.0, 1e-6)
+    with _pytest.raises(PrivacyBudgetExceeded):
+        led_c.charge("docs", "one_more", 0.01, 0.0)
+
+    # attaching with a DIFFERENT budget is a conflict, not a silent rebase
+    with _pytest.raises(LedgerConflictError):
+        PrivacyLedger(5.0, 0.0, ledger_dir=d)
+
+    # accounting stays out of the plan: released values are identical with
+    # a persistent ledger, an in-memory ledger, and no ledger at all
+    df = spark.createDataFrame([(f"g{i % 3}",) for i in range(30)], "g string")
+    bare = dp_group_counts(df, "g").collect()
+    led_d = PrivacyLedger(9.0, 0.0, ledger_dir=str(tmp_path / "ledger2"))
+    assert dp_group_counts(df, "g", ledger=led_d, table="t").collect() == bare
+
+    # the create-exclusive publish primitive: second writer of the same
+    # path loses instead of clobbering
+    p = str(tmp_path / "probe.json")
+    assert PrivacyLedger._publish(p, {"v": 1}, may_exist=True) is True
+    assert PrivacyLedger._publish(p, {"v": 2}, may_exist=True) is False
+    with _pytest.raises(FileExistsError):
+        PrivacyLedger._publish(p, {"v": 3})
+    import json as _json
+
+    with open(p) as fh:
+        assert _json.load(fh) == {"v": 1}
 
 
 def test_dp_null_group_key_still_gets_noise(spark):

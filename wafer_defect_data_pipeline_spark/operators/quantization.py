@@ -37,6 +37,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -266,9 +268,8 @@ def int_l2_topk_block(x, B, ids, k: int, exclude_id=None):
     row_number. Rows whose id equals ``exclude_id`` are skipped (the
     self-hit exclusion). Returns ``(ids_topk, dists_topk)`` with distances
     as int64 (inputs are integer-valued float64 below 2^53, so the float
-    arithmetic is exact)."""
-    import numpy as np
-
+    arithmetic is exact). numpy is imported at module level — this runs
+    once per query row inside mapInPandas hot loops (r14 ADVICE)."""
     d = ((B - x) ** 2).sum(axis=1)
     if exclude_id is not None:
         keep = ids != exclude_id

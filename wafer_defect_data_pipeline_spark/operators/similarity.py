@@ -252,6 +252,35 @@ def ivf_auto_n_probe(
     return max(hist)
 
 
+def ivf_recall_at(
+    corpus: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    sample_mod: int | None = None,
+    target_queries: int = 500,
+) -> float:
+    """Sampled self-recall@k of IVF serving at a FIXED probe count — the
+    capped-sample probe evaluated at the n_probe a persisted decision is
+    currently SERVING (r14 verdict item 6). Cumulative share of the
+    :func:`ivf_recall_curve` histogram at ``cell_rank <= n_probe``;
+    returns 1.0 on an empty sample (no evidence of drift — a trigger must
+    not fire on no data). Cost is the probe's O(target_queries x n) brute
+    force — linear in the corpus, same as the decision probe itself."""
+    hist = {
+        int(r["cell_rank"]): int(r["pairs"])
+        for r in ivf_recall_curve(
+            corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries
+        ).collect()
+    }
+    total = sum(hist.values())
+    if total == 0:
+        return 1.0
+    return sum(p for r, p in hist.items() if r <= int(n_probe)) / total
+
+
 def ivf_topk_auto(
     corpus: DataFrame,
     queries: DataFrame,
@@ -375,6 +404,8 @@ def ann_dispatch_should_redecide(
     batches_since_decision: int,
     every_batches: int | None = None,
     growth_factor: float = 1.5,
+    served_recall: float | None = None,
+    recall_floor: float | None = None,
 ) -> bool:
     """Staleness trigger for a persisted dispatch decision (r13 verdict
     item 1: the prebuilt manifest was written once and served forever,
@@ -384,10 +415,27 @@ def ann_dispatch_should_redecide(
     decision was priced on, or — if ``every_batches`` is set — every that
     many admitted batches regardless of growth. Both inputs are driver
     integers the admit loop already has (the snapshot count is one narrow
-    scan; the DeltaManifest versions every admission), so the trigger
-    itself costs nothing at 100 TB; only a FIRING trigger pays the
-    capped-sample probe, which is O(target_queries x n)."""
+    scan; the DeltaManifest versions every admission), so these triggers
+    cost nothing at 100 TB; only a FIRING trigger pays the capped-sample
+    probe, which is O(target_queries x n).
+
+    Recall-drift trigger (r14 verdict item 6): growth/batch-count alone
+    never re-decides on a corpus that drifts in SHAPE at constant size —
+    in-place updates can de-cluster every cell while the row count stays
+    flat, leaving a served IVF decision at collapsed recall forever. Pass
+    ``served_recall`` (the :func:`ivf_recall_at` capped-sample self-recall
+    of the snapshot at the decision's served ``n_probe``) and a
+    ``recall_floor``: the trigger fires when the measured recall drops
+    below the floor. Unlike the count triggers this one costs a probe per
+    EVALUATION, not per firing — cadence it with ``every_batches``-style
+    scheduling in the admit loop when that matters."""
     if every_batches is not None and batches_since_decision >= every_batches:
+        return True
+    if (
+        served_recall is not None
+        and recall_floor is not None
+        and served_recall < recall_floor
+    ):
         return True
     return n_snapshot >= growth_factor * max(int(n_at_decision), 1)
 

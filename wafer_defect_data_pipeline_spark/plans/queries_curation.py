@@ -1668,7 +1668,7 @@ register(
 
 
 # --- end-to-end curation pipeline (r13 verdict item 2) -----------------------
-def _curation_end_to_end(spark, sf_dir):
+def _curation_end_to_end(spark, sf_dir, stage_walls=None):
     """The single query a real LLM-data user runs first: documents ->
     exact dedup -> near-dup cluster + diversity cap -> quality filter ->
     decontaminate-strip vs a held-out benchmark -> token-budget pack ->
@@ -1689,13 +1689,29 @@ def _curation_end_to_end(spark, sf_dir):
     Scale shape: each stage is the already-graded operator (single
     shuffle each; LSH+verify+CC for pairs; gram broadcast for the strip);
     the composition adds NO new shuffle — stages hand off by column
-    contract, and the shard column is the final write partitioning."""
+    contract, and the shard column is the final write partitioning.
+
+    ``stage_walls`` (optional dict, r14 verdict item 5): filled with the
+    wall seconds of each stage's materializing action (every stage is
+    localCheckpoint-pinned and counted, so the count wall IS the stage
+    wall). Side-channel diagnostics only — never part of the plan or the
+    oracle; tools/bench_curation_decade.py uses it for the decade table."""
+    import time as _time
+
     from pyspark.sql import Window as W
 
     from ..functions.text import quality_score
     from ..operators.dedup import exact_dedup, strip_contaminated_spans
     from ..operators.packing import pack_concat_chunks
     from ..scratch import scratch_dir
+
+    _t = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        if stage_walls is not None:
+            stage_walls[stage] = round(_time.perf_counter() - _t, 3)
+        _t = _time.perf_counter()
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
@@ -1731,10 +1747,12 @@ def _curation_end_to_end(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     n_input = corpus.count()
+    _mark("input")
 
     # stage 1: exact dedup (min-id per identical text)
     deduped = exact_dedup(corpus, ["text"], "doc_id").localCheckpoint(eager=False)
     n_exact = deduped.count()
+    _mark("exact_dedup")
 
     # stage 2: near-dup cluster (LSH candidates -> exact-Jaccard verify ->
     # connected components) + diversity cap M=2 per cluster
@@ -1751,12 +1769,14 @@ def _curation_end_to_end(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     n_capped = capped.count()
+    _mark("cluster_cap")
 
     # stage 3: quality gate (C4/Gopher-style heuristic score)
     qkept = capped.filter(quality_score("text") >= 0.55).localCheckpoint(
         eager=False
     )
     n_quality = qkept.count()
+    _mark("quality_gate")
 
     # stage 4: decontaminate — drop the held-out bench docs themselves,
     # surgically strip bench-overlapping spans from everything else, and
@@ -1772,6 +1792,7 @@ def _curation_end_to_end(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     n_curated = curated.count()
+    _mark("decontaminate")
 
     # stage 5: token-budget packing on the CLEANED lengths
     packed = pack_concat_chunks(curated, "source", "doc_id", "clean_len", seq_len=2048)
@@ -1785,6 +1806,7 @@ def _curation_end_to_end(spark, sf_dir):
         u.alias("idhash"),
     ).localCheckpoint(eager=False)
     n_packs = staged.select("source", "pack_id").distinct().count()
+    _mark("token_pack")
 
     # stage 6: shard export + manifest from the files READ BACK
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -1792,6 +1814,7 @@ def _curation_end_to_end(spark, sf_dir):
     staged.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(out)
+    _mark("shard_export")
     back = spark.read.parquet(out)
     return (
         back.groupBy("shard")

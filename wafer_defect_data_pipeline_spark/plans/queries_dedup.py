@@ -306,7 +306,8 @@ def _mllib_minhash(spark, sf_dir):
     (fit → approxSimilarityJoin) under the same oracle discipline.
     """
     from pyspark.ml.feature import MinHashLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.linalg import VectorUDT
+    from pyspark.sql import types as T
 
     d = read_table(spark, sf_dir, "documents")
     planted = (
@@ -333,13 +334,36 @@ def _mllib_minhash(spark, sf_dir):
         .agg(F.sort_array(F.collect_set("idx")).alias("idxs"))
     )
     dim = _MLLIB_FEATURE_DIM
-    to_vec = F.udf(
-        # MLlib's input type forces VectorUDT construction through a UDF;
-        # with a constant dim it builds from the bounded per-doc index list
-        lambda idxs: Vectors.sparse(dim, idxs, [1.0] * len(idxs)),
-        VectorUDT(),
+    # Sparse VectorUDT construction WITHOUT a Python worker (r14 verdict
+    # item 4 — the package's last row-at-a-time F.udf): VectorUDT's sqlType
+    # is struct<type:tinyint, size:int, indices:array<int>, values:
+    # array<double>> (type 0 = sparse). Build that struct with native
+    # expressions, write it to parquet, and read it back declaring the UDT
+    # schema — Spark's parquet reader resolves the UDT to its sqlType and
+    # wraps, so the whole features table is produced JVM-side (no
+    # BatchEvalPython / ArrowEvalPython in the plan). The disk hop is the
+    # production shape anyway: materialized features feeding an LSH fit.
+    from ..scratch import scratch_dir
+
+    struct_feats = idx_sets.select(
+        "doc_id",
+        F.struct(
+            F.lit(0).cast("tinyint").alias("type"),
+            F.lit(dim).alias("size"),
+            F.col("idxs").cast("array<int>").alias("indices"),
+            F.transform("idxs", lambda _: F.lit(1.0)).alias("values"),
+        ).alias("features"),
     )
-    feats = idx_sets.select("doc_id", to_vec("idxs").alias("features"))
+    fdir = scratch_dir(f"mllib_feats_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    struct_feats.write.mode("overwrite").parquet(fdir)
+    feats = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("features", VectorUDT()),
+            ]
+        )
+    ).parquet(fdir)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)

@@ -1578,8 +1578,21 @@ def _staged_redecide_snapshots(spark, sf_dir):
     the day-2 admissions (ids +1,000,000, every even spine id, so the
     snapshot grows exactly 1.5x) are uniform md5 noise with round-robin
     labels: the admitted corpus DE-CLUSTERS, which is precisely the drift
-    the staleness trigger exists to catch."""
+    the staleness trigger exists to catch.
+
+    Spine modulus (r14 verdict item 2): at sf1 the day-2 NSW build on the
+    30k admitted snapshot at the ORACLE-PINNED toy config (n_cells=16) was
+    131 s of the 417 s anchor — oracle-STAGING cost, not contract cost. The
+    spine is therefore subsampled 3x once the embeddings table reaches 10k
+    rows (count-derived, so the DuckDB oracle replays the same modulus from
+    its own count — the check_new moduli discipline); below 10k the
+    modulus is 1 and every committed hash at sf<=0.1 is byte-identical to
+    the r14 record. The contract exercised is unchanged: same trigger
+    arithmetic, same flip, same toy config — only the staged corpus is
+    proportionate to what the pinned config was designed for."""
     ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    m = 3 if ids.count() >= 10000 else 1
+    ids = ids.filter(F.col("vec_id") % m == 0)
 
     def byte(prefix, j):
         return (
@@ -1618,9 +1631,9 @@ def _staged_redecide_snapshots(spark, sf_dir):
     # land every admission on the four even labels, skewing the centroid
     # mix instead of uniformly de-clustering it
     batch = (
-        ids.filter(F.col("vec_id") % 2 == 0)
+        ids.filter(F.col("vec_id") % (2 * m) == 0)
         .select(
-            ((F.col("vec_id") / F.lit(2)).cast("long") + F.lit(1_000_000)).alias(
+            ((F.col("vec_id") / F.lit(2 * m)).cast("long") + F.lit(1_000_000)).alias(
                 "vec_id"
             )
         )
@@ -1761,13 +1774,19 @@ def _redecide_sql() -> str:
             "AS INT) / 256.0"
         )
 
-    staged = f"""snap1 AS (
+    staged = f"""smod0 AS (
+      -- count-derived spine modulus (r14 verdict item 2): the staged
+      -- corpus subsamples 3x once embeddings reaches 10k rows, so the
+      -- oracle-pinned toy NSW config stays proportionate at scale
+      SELECT CASE WHEN count(*) >= 10000 THEN 3 ELSE 1 END AS m FROM embeddings
+    ), snap1 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i ->
                CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('s1:')}) AS embedding
-      FROM embeddings
+      FROM embeddings WHERE vec_id % (SELECT m FROM smod0) = 0
     ), newids AS (
-      SELECT vec_id // 2 + 1000000 AS vec_id FROM embeddings WHERE vec_id % 2 = 0
+      SELECT vec_id // (2 * (SELECT m FROM smod0)) + 1000000 AS vec_id
+      FROM embeddings WHERE vec_id % (2 * (SELECT m FROM smod0)) = 0
     ), b2 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i -> {byte('s2:')}) AS embedding
@@ -1855,6 +1874,329 @@ def _redecide_sql() -> str:
 
 
 register("similarity_ann_dispatch_redecide", _ann_dispatch_redecide, _redecide_sql())
+
+
+# --- dispatch staleness: recall-drift trigger at constant size (r14 #6) -----
+def _staged_recall_drift_snapshots(spark, sf_dir):
+    """Constant-size SHAPE drift on the embeddings id spine, fully
+    md5-derived so the oracle rebuilds both corpora bit-exactly: day 1 is
+    the axis-spike clustered corpus (vector[j] = 4.0*(j == vec_id%8) +
+    md5byte('c1:id:j')/256); day 2 REPLACES every vector IN PLACE with
+    uniform md5 noise ('c2:') — same ids, same labels, same row count.
+    This is exactly the drift the growth/batch-count triggers are blind
+    to: n_snapshot never moves, so only the recall probe can notice that
+    the served IVF decision's quality collapsed. Spine modulus is the
+    redecide query's count-derived 3x subsample past 10k rows (the toy
+    NSW config stays proportionate at scale; the oracle replays the same
+    modulus from its own count)."""
+    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    m = 3 if ids.count() >= 10000 else 1
+    ids = ids.filter(F.col("vec_id") % m == 0)
+
+    def byte(prefix, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix),
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            / F.lit(256.0)
+        )
+
+    dims = F.sequence(F.lit(0), F.lit(63))
+    label = (F.col("vec_id") % 8).cast("int").alias("label")
+    snap1 = ids.select(
+        "vec_id",
+        label,
+        F.transform(
+            dims,
+            lambda i: F.when(i == F.col("vec_id") % 8, F.lit(4.0))
+            .otherwise(F.lit(0.0))
+            + byte("c1:", i),
+        ).alias("embedding"),
+    )
+    snap2 = ids.select(
+        "vec_id", label, F.transform(dims, lambda i: byte("c2:", i)).alias("embedding")
+    )
+    return snap1, snap2
+
+
+def _ann_dispatch_recall_drift(spark, sf_dir):
+    """The dispatch contract's RECALL-DRIFT trigger (r14 verdict item 6):
+    growth/batch-count triggers never re-decide on a corpus that drifts in
+    SHAPE at constant size, so the trigger evaluation now also runs the
+    capped-sample self-recall probe at the decision's SERVED n_probe
+    (operators/similarity.ivf_recall_at) and fires below a floor. The
+    staged drill: day 1 prices the axis-spike corpus (n_probe=1 -> IVF,
+    persisted v1); day 2's in-place noise replacement keeps the count
+    FLAT — growth trigger provably silent — while recall@1 collapses to
+    ~1/n_cells, the recall trigger fires, the re-probe prices the
+    de-clustered corpus past n_cells/2 -> NSW (persisted v2), and day 2
+    serves the post-flip branch. The oracle replays both decisions
+    (:func:`_decision_ctes` per snapshot), the trigger arithmetic as
+    INTEGER pair counts (``trigger_hit_pairs`` / ``trigger_total_pairs``
+    — the <0.9 compare is one IEEE double division on both engines), the
+    version/age bookkeeping, each day's served branch, and pins the
+    POST-FLIP serving quality as integer counts too
+    (``served_hit_pairs`` / ``truth_pairs`` — served top-5 vs exact
+    cosine truth). A silent recall collapse, a trigger that fails to
+    fire, or a flip that stops happening is a hash mismatch."""
+    from ..operators.similarity import (
+        ann_dispatch_decision,
+        ann_dispatch_should_redecide,
+        ivf_recall_curve,
+        load_latest_dispatch_decision,
+        persist_dispatch_decision,
+    )
+    from ..scratch import scratch_dir
+
+    snap1, snap2 = _staged_recall_drift_snapshots(spark, sf_dir)
+    snap1 = snap1.localCheckpoint(eager=False)
+    n1 = snap1.count()
+    base = scratch_dir(f"ann_recalldrift_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    import shutil as _shutil
+
+    # staged scenario starts at v1 every invocation (bench runs 4x/process)
+    _shutil.rmtree(f"{base}/decision", ignore_errors=True)
+
+    nulls = [
+        F.lit(None).cast("long").alias(c)
+        for c in ("trigger_hit_pairs", "trigger_total_pairs",
+                  "served_hit_pairs", "truth_pairs")
+    ]
+    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50)
+    persist_dispatch_decision(
+        spark, base, 1, b1, p1, c1, decided_at_batch=0, n_at_decision=n1
+    )
+    dec1 = load_latest_dispatch_decision(spark, base)
+    day1 = _redecide_serve(
+        snap1, snap1.filter(F.col("vec_id") % 50 == 0), dec1
+    ).select(
+        F.lit(1).cast("int").alias("day"),
+        "query_id", "rank", "corpus_id",
+        F.lit(dec1["branch"]).alias("branch_used"),
+        F.lit(int(dec1["n_probe"])).cast("int").alias("n_probe_used"),
+        F.lit(int(dec1["n_cells"])).cast("int").alias("n_cells_used"),
+        F.lit(int(dec1["version"])).cast("int").alias("decision_version"),
+        F.lit(0 - int(dec1["decided_at_batch"])).cast("int").alias(
+            "decision_age_batches"
+        ),
+        *nulls,
+    )
+
+    # day 2 (batch 1): vectors replaced in place; trigger evaluation runs
+    # the recall probe at the SERVED n_probe against the current snapshot
+    snap2 = snap2.localCheckpoint(eager=False)
+    n2 = snap2.count()
+    hist = {
+        int(r["cell_rank"]): int(r["pairs"])
+        for r in ivf_recall_curve(snap2, k=5, target_queries=50).collect()
+    }
+    trig_total = sum(hist.values())
+    trig_hits = sum(p for r_, p in hist.items() if r_ <= int(dec1["n_probe"]))
+    served_recall = (trig_hits / trig_total) if trig_total else 1.0
+    if ann_dispatch_should_redecide(
+        n2,
+        int(dec1["n_at_decision"]),
+        1 - int(dec1["decided_at_batch"]),
+        served_recall=served_recall,
+        recall_floor=0.9,
+    ):
+        p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50)
+        persist_dispatch_decision(
+            spark, base, int(dec1["version"]) + 1, b2, p2, c2,
+            decided_at_batch=1, n_at_decision=n2,
+        )
+    dec2 = load_latest_dispatch_decision(spark, base)
+    q2 = snap2.filter(F.col("vec_id") % 50 == 0)
+    served2 = _redecide_serve(snap2, q2, dec2).localCheckpoint(eager=False)
+    # pin the post-flip serving quality: served top-5 vs exact cosine truth
+    truth2 = brute_force_topk(snap2, q2, k=5).localCheckpoint(eager=False)
+    truth_pairs = truth2.count()
+    served_hits = served2.join(
+        truth2.select("query_id", "corpus_id"), ["query_id", "corpus_id"]
+    ).count()
+    day2 = served2.select(
+        F.lit(2).cast("int").alias("day"),
+        "query_id", "rank", "corpus_id",
+        F.lit(dec2["branch"]).alias("branch_used"),
+        F.lit(int(dec2["n_probe"])).cast("int").alias("n_probe_used"),
+        F.lit(int(dec2["n_cells"])).cast("int").alias("n_cells_used"),
+        F.lit(int(dec2["version"])).cast("int").alias("decision_version"),
+        F.lit(1 - int(dec2["decided_at_batch"])).cast("int").alias(
+            "decision_age_batches"
+        ),
+        F.lit(trig_hits).cast("long").alias("trigger_hit_pairs"),
+        F.lit(trig_total).cast("long").alias("trigger_total_pairs"),
+        F.lit(served_hits).cast("long").alias("served_hit_pairs"),
+        F.lit(truth_pairs).cast("long").alias("truth_pairs"),
+    )
+    return day1.unionByName(day2).orderBy("day", "query_id", "rank")
+
+
+def _recall_drift_sql() -> str:
+    """Staged oracle for the recall-drift query: rebuild both constant-size
+    snapshots from md5, replay BOTH decisions (shared
+    :func:`_decision_ctes` — f2's recall curve IS the trigger probe's
+    histogram, so the trigger replay is one cumulative sum over it),
+    replay the trigger rule (growth OR recall@served_n_probe < 0.9), the
+    version/age arithmetic, day 1's IVF probe serve, day 2's unrolled NSW
+    build+search on the replaced snapshot, and the served-vs-truth pair
+    counts. Same discipline as the redecide oracle: if the data ever
+    stopped flipping, the SQL would keep replaying the staged branches but
+    LABEL them from the replayed trigger — a guaranteed hash mismatch."""
+
+    def byte(pfx: str) -> str:
+        return (
+            f"CAST(concat('0x', substring(md5(concat('{pfx}', "
+            "CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) "
+            "AS INT) / 256.0"
+        )
+
+    staged = f"""cmod AS (
+      SELECT CASE WHEN count(*) >= 10000 THEN 3 ELSE 1 END AS m FROM embeddings
+    ), csnap1 AS (
+      SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+             list_transform(range(0, 64), i ->
+               CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('c1:')}) AS embedding
+      FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 0
+    ), csnap2 AS (
+      SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+             list_transform(range(0, 64), i -> {byte('c2:')}) AS embedding
+      FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 0
+    ),"""
+    trig = """
+    ctrig AS (
+      SELECT hits, total,
+             CASE WHEN (SELECT count(*) FROM csnap2)
+                       >= 1.5 * (SELECT count(*) FROM csnap1)
+                       OR hits * 1.0 / total < 0.9
+                  THEN 1 ELSE 0 END AS fired
+      FROM (SELECT CAST(coalesce(sum(CASE WHEN cell_rank <=
+                     (SELECT n_probe FROM f1pick) THEN pairs END), 0) AS BIGINT) AS hits,
+                   CAST(sum(pairs) AS BIGINT) AS total
+            FROM f2curve) h
+    ), f1dec AS (
+      SELECT CASE WHEN 2 * (SELECT n_probe FROM f1pick) <= (SELECT n_cells FROM f1cells)
+                  THEN 'ivf' ELSE 'nsw' END AS branch_used,
+             CAST((SELECT n_probe FROM f1pick) AS INT) AS n_probe_used,
+             CAST((SELECT n_cells FROM f1cells) AS INT) AS n_cells_used
+    ), f2dec AS (
+      SELECT CASE WHEN 2 * (SELECT n_probe FROM f2pick) <= (SELECT n_cells FROM f2cells)
+                  THEN 'ivf' ELSE 'nsw' END AS branch_used,
+             CAST((SELECT n_probe FROM f2pick) AS INT) AS n_probe_used,
+             CAST((SELECT n_cells FROM f2cells) AS INT) AS n_cells_used
+    ), cservedec AS (
+      SELECT CASE WHEN t.fired = 1 THEN b.branch_used ELSE a.branch_used END AS branch_used,
+             CASE WHEN t.fired = 1 THEN b.n_probe_used ELSE a.n_probe_used END AS n_probe_used,
+             CASE WHEN t.fired = 1 THEN b.n_cells_used ELSE a.n_cells_used END AS n_cells_used,
+             CAST(1 + t.fired AS INT) AS decision_version,
+             CAST(1 - t.fired AS INT) AS decision_age_batches,
+             t.hits AS trigger_hit_pairs, t.total AS trigger_total_pairs
+      FROM ctrig t CROSS JOIN f1dec a CROSS JOIN f2dec b
+    ),"""
+    day1 = f"""
+    cq1 AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM csnap1 WHERE vec_id % 50 = 0
+    ), cq1probe AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="q.qv", c="c.centroid")} DESC, c.label ASC) AS pr
+        FROM cq1 q CROSS JOIN f1cent c) t
+      WHERE pr <= (SELECT n_probe FROM f1pick)
+    ), cday1r AS (
+      SELECT query_id, rank, corpus_id FROM (
+        SELECT p.query_id, m.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="p.qv", c="CAST(m.embedding AS DOUBLE[])")} DESC,
+                 m.vec_id ASC) AS rank
+        FROM cq1probe p JOIN csnap1 m ON m.label = p.label AND m.vec_id <> p.query_id
+      ) t WHERE rank <= 5
+    ),"""
+    nsw = _nsw_ctes(beam_width=16, k_build=16, n_probe=3, n_entry=16, entry_mod=5)
+    # pinned-occurrence rebind: the NSW build+search reads the REPLACED
+    # snapshot, nothing else
+    assert nsw.count("embeddings") == 4, nsw.count("embeddings")
+    nsw = nsw.replace("embeddings", "csnap2")
+    post = f"""
+    , cserved2 AS (
+      SELECT query_id, node AS corpus_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rank
+      FROM beam4
+    ), ctruth2 AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS_Q_CENT.format(q="q.qv", c="CAST(c.embedding AS DOUBLE[])")} DESC,
+                 c.vec_id ASC) AS rank
+        FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM csnap2 WHERE vec_id % 50 = 0) q
+        JOIN csnap2 c ON c.vec_id <> q.query_id
+      ) t WHERE rank <= 5
+    ), csrec AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM cserved2 s
+              JOIN ctruth2 t2 ON t2.query_id = s.query_id
+                             AND t2.corpus_id = s.corpus_id
+              WHERE s.rank <= 5) AS served_hit_pairs,
+             (SELECT CAST(count(*) AS BIGINT) FROM ctruth2) AS truth_pairs
+    )"""
+    final = """
+    SELECT day, query_id, CAST(rank AS INT) AS rank, corpus_id,
+           branch_used, n_probe_used, n_cells_used,
+           decision_version, decision_age_batches,
+           trigger_hit_pairs, trigger_total_pairs,
+           served_hit_pairs, truth_pairs
+    FROM (
+      SELECT CAST(1 AS INT) AS day, r.query_id, r.rank, r.corpus_id,
+             d.branch_used, d.n_probe_used, d.n_cells_used,
+             CAST(1 AS INT) AS decision_version,
+             CAST(0 AS INT) AS decision_age_batches,
+             CAST(NULL AS BIGINT) AS trigger_hit_pairs,
+             CAST(NULL AS BIGINT) AS trigger_total_pairs,
+             CAST(NULL AS BIGINT) AS served_hit_pairs,
+             CAST(NULL AS BIGINT) AS truth_pairs
+      FROM cday1r r CROSS JOIN f1dec d
+      UNION ALL
+      SELECT CAST(2 AS INT) AS day, t.query_id, t.rank, t.corpus_id,
+             s.branch_used, s.n_probe_used, s.n_cells_used,
+             s.decision_version, s.decision_age_batches,
+             s.trigger_hit_pairs, s.trigger_total_pairs,
+             sr.served_hit_pairs, sr.truth_pairs
+      FROM cserved2 t CROSS JOIN cservedec s CROSS JOIN csrec sr
+      WHERE t.rank <= 5
+    ) u ORDER BY day, query_id, rank
+    """
+    return (
+        "WITH "
+        + staged
+        + _decision_ctes("csnap1", "f1")
+        + _decision_ctes("csnap2", "f2")
+        + trig
+        + day1
+        + nsw
+        + post
+        + final
+    )
+
+
+register(
+    "similarity_ann_dispatch_recall_drift",
+    _ann_dispatch_recall_drift,
+    _recall_drift_sql(),
+)
 
 
 # --- streaming ANN admit loop (probe-then-admit; see streaming/similarity) --

@@ -77,78 +77,80 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 14 front-loads:
-# (a) queries NEW or CHANGED this round — the dispatch staleness/redecide
-# contract, the end-to-end curation pipeline, DP partition selection, the
-# integer-L2 scorer consolidation (every ANN/IVF/NSW oracle must re-green on
-# the shared kernels), the pid-suffixed scratch paths (prebuilt/export
-# serving queries), the span probe's unfiltered-max combine flip, and the
-# _cc_chain/_decision_ctes/_nsw_ctes oracle-generator refactors (text-equal,
-# but the driver record should vouch); (b) the 2 rows-only queries so each
-# keeps a fresh executes-cleanly row; (c) the STALEST cohort by last driver
-# green row — the r2 reference-§2/text/embedding/sampling tail that r13's
-# 50-query window (which ended at events_hypertable_rollup) did not reach.
-# Names not listed follow in registration order; a listed name missing from
-# the registry is a hard error (catches renames).
+# row ever predates the implementation it vouches for. Round 15 front-loads:
+# (a) queries NEW or CHANGED this round — the recall-drift trigger twin, the
+# redecide query's count-derived spine modulus, the MLlib minhash's JVM-side
+# sparse-vector construction (no Python worker), the curation flagship's
+# stage_walls side channel, the persistent PrivacyLedger (released values
+# must stay unchanged), and the ANN/serving queries riding quantization.py's
+# module-level numpy bind + scratch.py's age-fallback sweep; (b) the 2
+# rows-only queries so each keeps a fresh executes-cleanly row; (c) the
+# STALEST cohort by last driver green row — the union of CORRECTNESS_r01-r14
+# puts 4 queries at r2 and the 35-query r3 cohort next. Names not listed
+# follow in registration order; a listed name missing from the registry is a
+# hard error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) new or changed THIS round (r14)
-    "similarity_ann_dispatch_redecide",  # NEW r14: staleness trigger + versioned decisions, staged flip
-    "curation_end_to_end",  # NEW r14: six curation stages composed, funnel audit columns
-    "privacy_dp_stable_histogram",  # NEW r14: (eps,delta) partition selection
-    "privacy_dp_group_counts",  # CHANGED r14: public-key-domain precondition + ledger arg
-    "privacy_dp_long_doc_share",  # CHANGED r14: same
-    "similarity_ann_dispatch_prebuilt",  # CHANGED r14: pid scratch + shared scorer
-    "similarity_nsw_probe_prebuilt",  # CHANGED r14: pid scratch + shared scorer
-    "curation_export_shards",  # CHANGED r14: pid scratch
-    "similarity_ann_auto_dispatch",  # CHANGED r14: shared scorer + generator refactor
-    "similarity_ann_dispatch_labelfree",  # CHANGED r14: same
-    "similarity_ivf_kmeans_topk",  # CHANGED r14: shared relational scorer
-    "similarity_nsw_topk",  # CHANGED r14: shared kernels in build+search
-    "similarity_nsw_scale_topk",  # CHANGED r14: same
-    "similarity_ivf_auto_topk",  # decision machinery control (unchanged math)
-    "dedup_duplicated_spans",  # CHANGED r14: probe tests unfiltered sampled max
-    "dedup_strip_spans",  # CHANGED r14: same probe
-    "dedup_span_stats",  # CHANGED r14: same probe
-    "dedup_cluster_assignment",  # CHANGED r14: oracle via _cc_chain generator
-    "dedup_cluster_assignment_star",  # same oracle, star algorithm control
-    "dedup_cluster_assignment_auto",  # same oracle, auto algorithm control
-    "curation_diversity_cap",  # CHANGED r14: oracle via _cc_chain generator
+    # (a) new or changed THIS round (r15)
+    "similarity_ann_dispatch_recall_drift",  # NEW r15: recall-drift trigger, constant-size shape drift, staged flip
+    "similarity_ann_dispatch_redecide",  # CHANGED r15: count-derived spine modulus (m=1 at sf<=0.1 — hash-identical)
+    "dedup_mllib_minhash_lsh",  # CHANGED r15: sparse VectorUDT built JVM-side (parquet round-trip), zero F.udf
+    "curation_end_to_end",  # CHANGED r15: stage_walls side channel (plan + oracle unchanged)
+    "privacy_dp_stable_histogram",  # CHANGED r15: PrivacyLedger persistence (values must stay unchanged)
+    "privacy_dp_group_counts",  # CHANGED r15: same
+    "privacy_dp_long_doc_share",  # CHANGED r15: same
+    "similarity_ann_dispatch_prebuilt",  # CHANGED r15: scratch age-fallback sweep + quantization numpy bind
+    "similarity_nsw_probe_prebuilt",  # CHANGED r15: same
+    "curation_export_shards",  # CHANGED r15: scratch age-fallback sweep
+    "similarity_ivf_kmeans_topk",  # CHANGED r15: quantization module-level numpy
+    "similarity_nsw_topk",  # CHANGED r15: same kernels in build+search
+    "similarity_ann_auto_dispatch",  # CHANGED r15: same + dispatch machinery control
     # (b) rows-only refresh (wafer KMeans + float stateful profile, both
     # inherently non-SQL, both exact-twinned)
     "events_stateful_profile",
     "wafer_pipeline_on_lineitem",
-    # (c) stalest cohort: last driver-green row r2 — the tail r13's window
-    # never reached (it ended at events_hypertable_rollup)
-    "events_asof_join",
-    "events_funnel",
-    "range_filter",
-    "grouped_quantiles",
-    "crosstab_pivot",
-    "value_counts",
-    "drop_nulls",
-    "derived_ratio",
-    "conditional_label",
-    "conditional_label_join",
-    "cast_columns",
-    "iqr_bounds",
-    "iqr_cascade_rows",
-    "null_counts",
-    "distinct_sorted",
-    "boolean_sum",
-    "union_by_name",
-    "text_tfidf_topk",
-    "text_language_id",
-    "text_token_stats",
-    "text_benchmark_contamination",
-    "embedding_vector_stats",
-    "embedding_label_centroids",
-    "dedup_minhash_signatures",
-    "dedup_jaccard_pairs",
-    "sample_mixture_weights",
-    "sample_hash_split",
+    # (c) stalest cohort: the 4 queries whose last green row is still r2
+    # (they fell off the end of r14's 50-query window), then the r3 cohort
+    # (35 queries) computed from the union of CORRECTNESS_r01-r14
     "pack_sequences",
     "layout_zorder_stats",
-    # everything else (fresh r12/r13 rows or pytest-covered) follows in
+    "text_repetition_scores",
+    "sample_topk_per_group",
+    "observed_scan_metrics",
+    "json_roundtrip",
+    "partitioned_pruned_read",
+    "orc_roundtrip",
+    "bucketed_join_zeroshuffle",
+    "python_datasource_scan",
+    "compaction_small_files",
+    "xml_roundtrip",
+    "json_extract",
+    "json_variant_agg",
+    "transpose_metrics",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_region_volume",
+    "unpivot_measures",
+    "events_sliding_window",
+    "events_lag_lead",
+    "events_sessionization",
+    "events_stateful_profile_exact",
+    "events_user_topk_arrow",
+    "text_geomean_chars_udaf",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "split_leakage_audit",
+    "doc_chunking",
+    "corpus_datacard",
+    "text_inverted_index",
+    "text_editdist_pairs",
+    "events_gapfill_ffill",
+    "events_anomaly_mad",
+    "events_moving_median",
+    "graph_pagerank_suppliers",
+    "recursive_cte_hierarchy",
+    "sql_scripting_doubling",
+    "wafer_features_pandas_api",
+    # everything else (fresh r12-r14 rows or pytest-covered) follows in
     # registration order; pytest's oracle-parity sweep still covers all of
     # them every session
 ]

@@ -21,6 +21,16 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
+
+#: Age-based fallback sweep threshold (seconds). A recycled PID owned by an
+#: unrelated live process defeats the liveness check forever, and dirs whose
+#: tag never recurs (one-off sf tags) are never matched by the exact-tag
+#: sweep — both accumulate in /tmp (r14 ADVICE). Any ``wdps_*`` dir not
+#: owned by this process and untouched for this long is fair game.
+STALE_AGE_SECONDS = 24 * 3600
+
+_ANY_WDPS = re.compile(r"wdps_.+_pid(\d+)$")
 
 
 def _pid_alive(pid: int) -> bool:
@@ -37,13 +47,30 @@ def scratch_dir(tag: str, base: str = "/tmp") -> str:
     """Return ``{base}/wdps_{tag}_pid{os.getpid()}`` after sweeping dead
     siblings (``wdps_{tag}_pid<N>`` where process N no longer exists).
     ``tag`` should carry the sf key so distinct datasets never collide
-    within one process either."""
+    within one process either.
+
+    Two sweeps run on entry: (1) exact-tag siblings whose owning PID is
+    dead; (2) an age-based fallback over ALL ``wdps_*`` dirs older than
+    :data:`STALE_AGE_SECONDS` and not owned by this process — this catches
+    dirs whose tag never recurs and recycled PIDs that defeat the liveness
+    check (r14 ADVICE)."""
     pat = re.compile(re.escape(f"wdps_{tag}_pid") + r"(\d+)$")
+    now = time.time()
     try:
         for name in os.listdir(base):
+            path = os.path.join(base, name)
             m = pat.match(name)
             if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            any_m = _ANY_WDPS.match(name)
+            if any_m and int(any_m.group(1)) != os.getpid():
+                try:
+                    stale = now - os.path.getmtime(path) > STALE_AGE_SECONDS
+                except OSError:  # pragma: no cover — vanished mid-scan
+                    stale = False
+                if stale:
+                    shutil.rmtree(path, ignore_errors=True)
     except OSError:  # pragma: no cover — unreadable base dir; path still valid
         pass
     return os.path.join(base, f"wdps_{tag}_pid{os.getpid()}")
