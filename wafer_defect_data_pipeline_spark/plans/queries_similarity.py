@@ -1587,12 +1587,17 @@ def _staged_redecide_snapshots(spark, sf_dir):
     rows (count-derived, so the DuckDB oracle replays the same modulus from
     its own count — the check_new moduli discipline); below 10k the
     modulus is 1 and every committed hash at sf<=0.1 is byte-identical to
-    the r14 record. The contract exercised is unchanged: same trigger
-    arithmetic, same flip, same toy config — only the staged corpus is
-    proportionate to what the pinned config was designed for."""
+    the r14 record. The subsampled spine is RENUMBERED densely
+    (``vec_id // m``) because the NSW coarse quantizer pins the 16 lowest
+    ids to exactly 0..15 — with m=1 the renumber is the identity. The
+    contract exercised is unchanged: same trigger arithmetic, same flip,
+    same toy config — only the staged corpus is proportionate to what the
+    pinned config was designed for."""
     ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
     m = 3 if ids.count() >= 10000 else 1
-    ids = ids.filter(F.col("vec_id") % m == 0)
+    ids = ids.filter(F.col("vec_id") % m == 0).select(
+        (F.col("vec_id") / F.lit(m)).cast("long").alias("vec_id")
+    )
 
     def byte(prefix, j):
         return (
@@ -1631,9 +1636,9 @@ def _staged_redecide_snapshots(spark, sf_dir):
     # land every admission on the four even labels, skewing the centroid
     # mix instead of uniformly de-clustering it
     batch = (
-        ids.filter(F.col("vec_id") % (2 * m) == 0)
+        ids.filter(F.col("vec_id") % 2 == 0)
         .select(
-            ((F.col("vec_id") / F.lit(2 * m)).cast("long") + F.lit(1_000_000)).alias(
+            ((F.col("vec_id") / F.lit(2)).cast("long") + F.lit(1_000_000)).alias(
                 "vec_id"
             )
         )
@@ -1779,14 +1784,18 @@ def _redecide_sql() -> str:
       -- corpus subsamples 3x once embeddings reaches 10k rows, so the
       -- oracle-pinned toy NSW config stays proportionate at scale
       SELECT CASE WHEN count(*) >= 10000 THEN 3 ELSE 1 END AS m FROM embeddings
+    ), spine AS (
+      -- renumbered densely (the NSW coarse quantizer pins ids 0..15);
+      -- identity when m = 1
+      SELECT vec_id // (SELECT m FROM smod0) AS vec_id
+      FROM embeddings WHERE vec_id % (SELECT m FROM smod0) = 0
     ), snap1 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i ->
                CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('s1:')}) AS embedding
-      FROM embeddings WHERE vec_id % (SELECT m FROM smod0) = 0
+      FROM spine
     ), newids AS (
-      SELECT vec_id // (2 * (SELECT m FROM smod0)) + 1000000 AS vec_id
-      FROM embeddings WHERE vec_id % (2 * (SELECT m FROM smod0)) = 0
+      SELECT vec_id // 2 + 1000000 AS vec_id FROM spine WHERE vec_id % 2 = 0
     ), b2 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i -> {byte('s2:')}) AS embedding
@@ -1888,10 +1897,13 @@ def _staged_recall_drift_snapshots(spark, sf_dir):
     the served IVF decision's quality collapsed. Spine modulus is the
     redecide query's count-derived 3x subsample past 10k rows (the toy
     NSW config stays proportionate at scale; the oracle replays the same
-    modulus from its own count)."""
+    modulus from its own count), densely renumbered for the coarse
+    quantizer's 0..15 id pin — identity when m = 1."""
     ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
     m = 3 if ids.count() >= 10000 else 1
-    ids = ids.filter(F.col("vec_id") % m == 0)
+    ids = ids.filter(F.col("vec_id") % m == 0).select(
+        (F.col("vec_id") / F.lit(m)).cast("long").alias("vec_id")
+    )
 
     def byte(prefix, j):
         return (
@@ -2066,15 +2078,20 @@ def _recall_drift_sql() -> str:
 
     staged = f"""cmod AS (
       SELECT CASE WHEN count(*) >= 10000 THEN 3 ELSE 1 END AS m FROM embeddings
+    ), cspine AS (
+      -- densely renumbered (NSW coarse quantizer pins ids 0..15);
+      -- identity when m = 1
+      SELECT vec_id // (SELECT m FROM cmod) AS vec_id
+      FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 0
     ), csnap1 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i ->
                CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('c1:')}) AS embedding
-      FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 0
+      FROM cspine
     ), csnap2 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i -> {byte('c2:')}) AS embedding
-      FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 0
+      FROM cspine
     ),"""
     trig = """
     ctrig AS (
