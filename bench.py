@@ -380,8 +380,13 @@ def main() -> None:
     retimes: dict[str, dict] = {}
     real_flags = {n: d for n, d in regressed.items() if not n.startswith("__")}
     if real_flags:
-        load_max = float(os.environ.get("SPARK_GRAFT_RETIME_LOAD_MAX", "4.0"))
-        idle_budget = float(os.environ.get("SPARK_GRAFT_RETIME_IDLE_WAIT", "180"))
+        # the sweep itself leaves 1-min load ~3-4 for minutes, so a lax bar
+        # (the old 4.0) never waits and the retimes measure the sweep's own
+        # heat — the r15 sf0.1 run recorded all four retimes at load 3.5.
+        # Load decays with a ~60 s time constant, so 1.0 is reachable well
+        # inside the wait budget on an otherwise idle host.
+        load_max = float(os.environ.get("SPARK_GRAFT_RETIME_LOAD_MAX", "1.0"))
+        idle_budget = float(os.environ.get("SPARK_GRAFT_RETIME_IDLE_WAIT", "300"))
         waited = 0.0
         while os.getloadavg()[0] > load_max and waited < idle_budget:
             time.sleep(5)

@@ -2561,23 +2561,43 @@ def test_scratch_dir_is_pid_private_and_sweeps_dead_siblings(tmp_path):
     assert other.exists()
 
 
-def test_scratch_dir_age_fallback_sweeps_stale_foreign_dirs(tmp_path):
+def test_scratch_dir_age_fallback_sweeps_stale_foreign_dirs(tmp_path, monkeypatch):
     """r14 ADVICE: a recycled PID owned by an unrelated live process defeats
     the liveness check forever, and one-off tags never recur for the
     exact-tag sweep — dirs accumulated in /tmp indefinitely. The age
-    fallback sweeps ANY wdps_* dir not owned by this process once its
-    mtime passes STALE_AGE_SECONDS; fresh foreign dirs and this process's
-    own dirs (however old) are left alone."""
+    fallback sweeps a wdps_* dir once its mtime passes STALE_AGE_SECONDS
+    AND its owner is dead or provably recycled (started after the dir's
+    last write). Age alone must NOT sweep: a long-lived owner serving
+    reads keeps the dir's mtime at build time, and an age-only rule would
+    rmtree a LIVE process's artifacts mid-serve (r15 self-review)."""
     import os
+    import subprocess
+    import time as _time
 
+    from wafer_defect_data_pipeline_spark import scratch as scratch_mod
     from wafer_defect_data_pipeline_spark.scratch import scratch_dir
 
+    monkeypatch.setattr(scratch_mod, "STALE_AGE_SECONDS", 60)
     base = str(tmp_path)
-    # live foreign pid (1), one-off tag, STALE mtime -> swept by age
-    stale_foreign = tmp_path / "wdps_oneoff_sf0.5_pid1"
-    stale_foreign.mkdir()
-    os.utime(stale_foreign, (0, 0))
-    # live foreign pid, FRESH mtime -> kept
+    old = _time.time() - 120  # past the (patched) age threshold
+
+    # recycled PID: pid 1 is alive but started at boot, AFTER mtime=0 ->
+    # provably not the writer -> swept
+    recycled = tmp_path / "wdps_oneoff_sf0.5_pid1"
+    recycled.mkdir()
+    os.utime(recycled, (0, 0))
+    # live owner whose start PREDATES the dir's last write (pid 1 again,
+    # mtime 2 min ago): plausibly still serving from it -> kept
+    live_owner = tmp_path / "wdps_oneoff_sf0.6_pid1"
+    live_owner.mkdir()
+    os.utime(live_owner, (old, old))
+    # dead owner, stale mtime -> swept
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = tmp_path / f"wdps_oneoff_sf0.8_pid{proc.pid}"
+    dead.mkdir()
+    os.utime(dead, (old, old))
+    # live foreign pid, FRESH mtime -> kept regardless of owner state
     fresh_foreign = tmp_path / "wdps_oneoff_sf0.7_pid1"
     fresh_foreign.mkdir()
     # this process's OWN dir, stale mtime -> kept (we may still be using it)
@@ -2586,7 +2606,9 @@ def test_scratch_dir_age_fallback_sweeps_stale_foreign_dirs(tmp_path):
     os.utime(own, (0, 0))
 
     scratch_dir("unrelated_tag", base=base)
-    assert not stale_foreign.exists(), "stale foreign dir must be age-swept"
+    assert not recycled.exists(), "stale dir with recycled owner must be swept"
+    assert not dead.exists(), "stale dir with dead owner must be swept"
+    assert live_owner.exists(), "a LIVE owner's stale-mtime dir must be kept"
     assert fresh_foreign.exists(), "fresh foreign dir must be kept"
     assert own.exists(), "own dirs are never age-swept"
 
@@ -5067,6 +5089,65 @@ def test_privacy_ledger_persistence_restart_drill(spark, tmp_path):
 
     with open(p) as fh:
         assert _json.load(fh) == {"v": 1}
+
+
+def test_privacy_ledger_charge_has_no_check_to_publish_window(tmp_path):
+    """r15 self-review: charge() used to take a FRESH seq listing after its
+    budget check — a concurrent charge landing in that window bumped the
+    seq, the create-exclusive link never collided, and the combined spend
+    overran the budget with no PrivacyBudgetExceeded (the exact overspend
+    the persistent ledger exists to prevent). The fix claims the next seq
+    of the SAME snapshot the budget check ran on, so the interleaving
+    collides and retries through a fresh check. The drill replays the
+    interleaving deterministically: B's budget check is frozen at the
+    stale pre-A snapshot for exactly one evaluation."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from wafer_defect_data_pipeline_spark.operators.privacy import (
+        PrivacyBudgetExceeded,
+        PrivacyLedger,
+    )
+
+    d = str(tmp_path / "ledger")
+    led_a = PrivacyLedger(2.0, 0.0, ledger_dir=d)
+    led_b = PrivacyLedger(2.0, 0.0, ledger_dir=d)
+
+    # B snapshots the empty log (budget check would pass)...
+    led_b._refresh()
+    stale = [(0.0, 0.0)]
+    real_spent = type(led_b).spent
+
+    def spent_with_one_stale_read(self):
+        if stale:
+            return stale.pop()  # the TOCTOU window: check ran pre-A
+        return real_spent(self)
+
+    led_b.spent = spent_with_one_stale_read.__get__(led_b)
+    # ...then A lands eps=1.5 at seq 0 inside B's check-to-publish window
+    led_a.charge("docs", "release_a", 1.5)
+    # B's charge passed its (stale) budget check already; it must now
+    # COLLIDE on the snapshot seq, re-read, and refuse — not land at seq 1
+    with _pytest.raises(PrivacyBudgetExceeded):
+        led_b.charge("docs", "release_b", 1.5)
+    seqs = sorted(
+        f for f in _os.listdir(d) if f.startswith("charge=") and f.endswith(".json")
+    )
+    assert seqs == ["charge=0.json"], f"overspend published: {seqs}"
+    with open(_os.path.join(d, "charge=0.json")) as fh:
+        assert _json.load(fh)["release"] == "release_a"
+
+    # two attached instances charging back-to-back on one dir serialize
+    # via seq collisions: both land, entries exactly once each, and the
+    # next over-budget charge refuses
+    led_b2 = PrivacyLedger(2.0, 0.0, ledger_dir=d)
+    led_b2.charge("docs", "release_c", 0.4)
+    led_a.charge("docs", "release_d", 0.1)
+    assert led_a.spent() == (2.0, 0.0)
+    with _pytest.raises(PrivacyBudgetExceeded):
+        led_b2.charge("docs", "release_e", 0.01)
 
 
 def test_dp_null_group_key_still_gets_noise(spark):

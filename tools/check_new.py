@@ -1,8 +1,11 @@
 """Ad-hoc oracle-parity runner for a named subset of registered queries.
 
-Usage: python tools/check_new.py <query-name> [<query-name> ...]
-Runs each at sf0.001 and sf0.01 through the same compare the driver uses.
-"""
+Usage: python tools/check_new.py [--sf-dir=PATH ...] <query-name> [...]
+Runs each at sf0.001 and sf0.01 (or at each --sf-dir, when given) through
+the same compare the driver uses. --sf-dir exists for branches that only
+activate at scale — e.g. the staged-spine m=3 subsample past 10k
+embeddings rows, which no driver sf reaches (r15 self-review: that branch
+had never been cross-engine-verified)."""
 
 from __future__ import annotations
 
@@ -24,13 +27,16 @@ from wafer_defect_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    names = sys.argv[1:]
+    sf_dirs = [
+        a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--sf-dir=")
+    ] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    names = [a for a in sys.argv[1:] if not a.startswith("--sf-dir=")]
     queries, oracles = all_queries(), all_oracles()
     spark = get_spark(app_name="check-new")
     rc = 0
     failed: list[str] = []
     for name in names:
-        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for sf in sf_dirs:
             if name not in oracles:
                 print(f"{name}: NO ORACLE")
                 rc = 1
@@ -50,10 +56,11 @@ def main() -> None:
     # unconditional ledger append — in the tool, not a wrapper (r8 #3)
     from wafer_defect_data_pipeline_spark.ledger import record_run
 
+    sftag = "+".join(d.rstrip("/").rsplit("/", 1)[-1] for d in sf_dirs)
     record_run(
         "check-new",
         f"{len(names) - len(set(failed))}/{len(names)} oracle-green at "
-        f"sf0.001+sf0.01: {', '.join(names)[:160]}"
+        f"{sftag}: {', '.join(names)[:160]}"
         + (f"; FAILED: {', '.join(sorted(set(failed)))}" if failed else ""),
     )
     spark.stop()

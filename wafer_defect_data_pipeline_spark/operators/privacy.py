@@ -29,9 +29,11 @@ projection over the (small) per-group counts — free at any corpus size.
 
 from __future__ import annotations
 
+import itertools
 import json
 import math
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -90,6 +92,9 @@ class PrivacyLedger:
     entries: list[tuple[str, str, float, float]] = field(default_factory=list)
     ledger_dir: str | None = None
 
+    #: process-wide tmp-file discriminator (see :meth:`_publish`)
+    _tmp_counter = itertools.count()
+
     def __post_init__(self) -> None:
         if self.ledger_dir is not None:
             self._attach()
@@ -125,9 +130,15 @@ class PrivacyLedger:
         """Atomic create-exclusive JSON publish: full content lands in a tmp
         file, then ``os.link`` makes it visible — link fails with
         ``FileExistsError`` instead of clobbering, so two processes racing
-        on one seq serialize (the loser re-reads and retries). Returns True
-        iff this call created ``path``."""
-        tmp = f"{path}.tmp.{os.getpid()}"
+        on one seq serialize (the loser re-reads and retries). The tmp name
+        carries (pid, thread id, counter): pid alone let two ledger objects
+        in one process racing the same seq SHARE a tmp file, so the loser
+        could publish the winner's bytes and the finally-unlink raced.
+        Returns True iff this call created ``path``."""
+        tmp = (
+            f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+            f".{next(PrivacyLedger._tmp_counter)}"
+        )
         with open(tmp, "w") as fh:
             json.dump(obj, fh)
         try:
@@ -149,13 +160,17 @@ class PrivacyLedger:
 
     def _refresh(self) -> None:
         """Reload ``entries`` from the charge log — every budget check runs
-        against the union of ALL processes' published charges."""
+        against the union of ALL processes' published charges. Records the
+        snapshot's highest seq in ``_last_seq`` so :meth:`charge` claims
+        the NEXT seq of the SAME snapshot its budget check ran on."""
         entries = []
-        for seq in self._charge_seqs():
+        seqs = self._charge_seqs()
+        for seq in seqs:
             with open(os.path.join(self.ledger_dir, f"charge={seq}.json")) as fh:
                 e = json.load(fh)
             entries.append((e["table"], e["release"], e["eps"], e["delta"]))
         self.entries = entries
+        self._last_seq = seqs[-1] if seqs else -1
 
     @classmethod
     def recover(cls, ledger_dir: str) -> "PrivacyLedger":
@@ -197,8 +212,14 @@ class PrivacyLedger:
             if self.ledger_dir is None:
                 self.entries.append((table, release, float(eps), float(delta)))
                 return
-            seqs = self._charge_seqs()
-            next_seq = (seqs[-1] + 1) if seqs else 0
+            # claim the next seq of the snapshot spent() just checked — a
+            # FRESH listing here reopened the check-to-publish window: a
+            # concurrent charge landing in between bumped the seq, the link
+            # succeeded without collision, and the combined spend overran
+            # the budget with no PrivacyBudgetExceeded (TOCTOU). With the
+            # snapshot seq, that interleaving collides and retries through
+            # a fresh budget check instead.
+            next_seq = self._last_seq + 1
             created = self._publish(
                 os.path.join(self.ledger_dir, f"charge={next_seq}.json"),
                 {

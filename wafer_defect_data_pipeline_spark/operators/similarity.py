@@ -269,6 +269,26 @@ def ivf_recall_at(
     returns 1.0 on an empty sample (no evidence of drift — a trigger must
     not fire on no data). Cost is the probe's O(target_queries x n) brute
     force — linear in the corpus, same as the decision probe itself."""
+    hits, total = ivf_recall_counts(
+        corpus, n_probe, id_col, vec_col, cell_col, k, sample_mod, target_queries
+    )
+    return (hits / total) if total else 1.0
+
+
+def ivf_recall_counts(
+    corpus: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    sample_mod: int | None = None,
+    target_queries: int = 500,
+) -> tuple[int, int]:
+    """:func:`ivf_recall_at`'s raw integer ``(hits, total)`` pair counts —
+    the single code path both the float trigger compare and any
+    oracle-pinned integer columns derive from, so the probe semantics
+    can't drift between the operator and a registered query."""
     hist = {
         int(r["cell_rank"]): int(r["pairs"])
         for r in ivf_recall_curve(
@@ -276,9 +296,7 @@ def ivf_recall_at(
         ).collect()
     }
     total = sum(hist.values())
-    if total == 0:
-        return 1.0
-    return sum(p for r, p in hist.items() if r <= int(n_probe)) / total
+    return sum(p for r, p in hist.items() if r <= int(n_probe)), total
 
 
 def ivf_topk_auto(

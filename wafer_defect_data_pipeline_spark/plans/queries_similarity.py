@@ -1570,6 +1570,79 @@ _REDECIDE_NSW = dict(
 )
 
 
+# --- staged-corpus spine, shared by the redecide + recall-drift drills ------
+#: subsample the embeddings id spine by _SPINE_MOD once the table reaches
+#: _SPINE_THRESHOLD rows (count-derived, so the DuckDB oracles replay the
+#: same modulus from their own count — the check_new moduli discipline).
+#: ONE definition for all four consumers (two Python stagings, two oracle
+#: CTE blocks): a threshold/modulus tweak that missed one site would be a
+#: silent Spark-vs-oracle divergence at sf>=1 only.
+_SPINE_THRESHOLD = 10000
+_SPINE_MOD = 3
+
+
+def _staged_spine(spark, sf_dir):
+    """The staged drills' id spine: embeddings vec_ids, subsampled by the
+    count-derived modulus and RENUMBERED densely (``vec_id // m``) because
+    the NSW coarse quantizer pins the 16 lowest ids to exactly 0..15 —
+    with m=1 (every sf<=0.1) the renumber is the identity."""
+    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    m = _SPINE_MOD if ids.count() >= _SPINE_THRESHOLD else 1
+    return ids.filter(F.col("vec_id") % m == 0).select(
+        (F.col("vec_id") / F.lit(m)).cast("long").alias("vec_id")
+    )
+
+
+def _spine_ctes(mod_name: str, spine_name: str) -> str:
+    """The SQL replay of :func:`_staged_spine` — two CTEs, names
+    parameterized so both staged oracles share one definition."""
+    return f"""{mod_name} AS (
+      -- count-derived spine modulus: the staged corpus subsamples
+      -- {_SPINE_MOD}x once embeddings reaches {_SPINE_THRESHOLD} rows, so
+      -- the oracle-pinned toy NSW config stays proportionate at scale
+      SELECT CASE WHEN count(*) >= {_SPINE_THRESHOLD} THEN {_SPINE_MOD} ELSE 1 END AS m FROM embeddings
+    ), {spine_name} AS (
+      -- renumbered densely (the NSW coarse quantizer pins ids 0..15);
+      -- identity when m = 1
+      SELECT vec_id // (SELECT m FROM {mod_name}) AS vec_id
+      FROM embeddings WHERE vec_id % (SELECT m FROM {mod_name}) = 0
+    )"""
+
+
+def _staged_byte(prefix, j):
+    """md5-derived uniform byte/256 for the staged corpora — Spark side.
+    ``prefix`` namespaces the snapshot ('s1:', 's2:', 'c1:', 'c2:')."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("vec_id").cast("string"),
+                        F.lit(":"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        / F.lit(256.0)
+    )
+
+
+def _staged_byte_sql(pfx: str) -> str:
+    """The DuckDB replay of :func:`_staged_byte` (hex-literal cast route —
+    both engines parse the two md5 hex chars identically)."""
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{pfx}', "
+        "CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) "
+        "AS INT) / 256.0"
+    )
+
+
 def _staged_redecide_snapshots(spark, sf_dir):
     """Two-day staged drift on the embeddings id spine, fully md5-derived
     (the streaming-ANN staging discipline, so the oracle rebuilds both
@@ -1593,33 +1666,8 @@ def _staged_redecide_snapshots(spark, sf_dir):
     contract exercised is unchanged: same trigger arithmetic, same flip,
     same toy config — only the staged corpus is proportionate to what the
     pinned config was designed for."""
-    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
-    m = 3 if ids.count() >= 10000 else 1
-    ids = ids.filter(F.col("vec_id") % m == 0).select(
-        (F.col("vec_id") / F.lit(m)).cast("long").alias("vec_id")
-    )
-
-    def byte(prefix, j):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(prefix),
-                            F.col("vec_id").cast("string"),
-                            F.lit(":"),
-                            j.cast("string"),
-                        )
-                    ),
-                    1,
-                    2,
-                ),
-                16,
-                10,
-            ).cast("int")
-            / F.lit(256.0)
-        )
-
+    ids = _staged_spine(spark, sf_dir)
+    byte = _staged_byte
     dims = F.sequence(F.lit(0), F.lit(63))
     snap1 = ids.select(
         "vec_id",
@@ -1772,24 +1820,9 @@ def _redecide_sql() -> str:
     while Spark serves the loaded verdict — a guaranteed hash mismatch,
     same discipline as the dispatch twins."""
 
-    def byte(pfx: str) -> str:
-        return (
-            f"CAST(concat('0x', substring(md5(concat('{pfx}', "
-            "CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) "
-            "AS INT) / 256.0"
-        )
+    byte = _staged_byte_sql
 
-    staged = f"""smod0 AS (
-      -- count-derived spine modulus (r14 verdict item 2): the staged
-      -- corpus subsamples 3x once embeddings reaches 10k rows, so the
-      -- oracle-pinned toy NSW config stays proportionate at scale
-      SELECT CASE WHEN count(*) >= 10000 THEN 3 ELSE 1 END AS m FROM embeddings
-    ), spine AS (
-      -- renumbered densely (the NSW coarse quantizer pins ids 0..15);
-      -- identity when m = 1
-      SELECT vec_id // (SELECT m FROM smod0) AS vec_id
-      FROM embeddings WHERE vec_id % (SELECT m FROM smod0) = 0
-    ), snap1 AS (
+    staged = f"""{_spine_ctes("smod0", "spine")}, snap1 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i ->
                CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('s1:')}) AS embedding
@@ -1898,34 +1931,10 @@ def _staged_recall_drift_snapshots(spark, sf_dir):
     redecide query's count-derived 3x subsample past 10k rows (the toy
     NSW config stays proportionate at scale; the oracle replays the same
     modulus from its own count), densely renumbered for the coarse
-    quantizer's 0..15 id pin — identity when m = 1."""
-    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
-    m = 3 if ids.count() >= 10000 else 1
-    ids = ids.filter(F.col("vec_id") % m == 0).select(
-        (F.col("vec_id") / F.lit(m)).cast("long").alias("vec_id")
-    )
-
-    def byte(prefix, j):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(prefix),
-                            F.col("vec_id").cast("string"),
-                            F.lit(":"),
-                            j.cast("string"),
-                        )
-                    ),
-                    1,
-                    2,
-                ),
-                16,
-                10,
-            ).cast("int")
-            / F.lit(256.0)
-        )
-
+    quantizer's 0..15 id pin — identity when m = 1. Spine + byte are the
+    shared :func:`_staged_spine` / :func:`_staged_byte`."""
+    ids = _staged_spine(spark, sf_dir)
+    byte = _staged_byte
     dims = F.sequence(F.lit(0), F.lit(63))
     label = (F.col("vec_id") % 8).cast("int").alias("label")
     snap1 = ids.select(
@@ -1967,7 +1976,7 @@ def _ann_dispatch_recall_drift(spark, sf_dir):
     from ..operators.similarity import (
         ann_dispatch_decision,
         ann_dispatch_should_redecide,
-        ivf_recall_curve,
+        ivf_recall_counts,
         load_latest_dispatch_decision,
         persist_dispatch_decision,
     )
@@ -2011,12 +2020,9 @@ def _ann_dispatch_recall_drift(spark, sf_dir):
     # the recall probe at the SERVED n_probe against the current snapshot
     snap2 = snap2.localCheckpoint(eager=False)
     n2 = snap2.count()
-    hist = {
-        int(r["cell_rank"]): int(r["pairs"])
-        for r in ivf_recall_curve(snap2, k=5, target_queries=50).collect()
-    }
-    trig_total = sum(hist.values())
-    trig_hits = sum(p for r_, p in hist.items() if r_ <= int(dec1["n_probe"]))
+    trig_hits, trig_total = ivf_recall_counts(
+        snap2, int(dec1["n_probe"]), k=5, target_queries=50
+    )
     served_recall = (trig_hits / trig_total) if trig_total else 1.0
     if ann_dispatch_should_redecide(
         n2,
@@ -2069,21 +2075,9 @@ def _recall_drift_sql() -> str:
     stopped flipping, the SQL would keep replaying the staged branches but
     LABEL them from the replayed trigger — a guaranteed hash mismatch."""
 
-    def byte(pfx: str) -> str:
-        return (
-            f"CAST(concat('0x', substring(md5(concat('{pfx}', "
-            "CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) "
-            "AS INT) / 256.0"
-        )
+    byte = _staged_byte_sql
 
-    staged = f"""cmod AS (
-      SELECT CASE WHEN count(*) >= 10000 THEN 3 ELSE 1 END AS m FROM embeddings
-    ), cspine AS (
-      -- densely renumbered (NSW coarse quantizer pins ids 0..15);
-      -- identity when m = 1
-      SELECT vec_id // (SELECT m FROM cmod) AS vec_id
-      FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 0
-    ), csnap1 AS (
+    staged = f"""{_spine_ctes("cmod", "cspine")}, csnap1 AS (
       SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
              list_transform(range(0, 64), i ->
                CASE WHEN i = vec_id % 8 THEN 4.0 ELSE 0.0 END + {byte('c1:')}) AS embedding

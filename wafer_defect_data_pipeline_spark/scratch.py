@@ -26,8 +26,8 @@ import time
 #: Age-based fallback sweep threshold (seconds). A recycled PID owned by an
 #: unrelated live process defeats the liveness check forever, and dirs whose
 #: tag never recurs (one-off sf tags) are never matched by the exact-tag
-#: sweep — both accumulate in /tmp (r14 ADVICE). Any ``wdps_*`` dir not
-#: owned by this process and untouched for this long is fair game.
+#: sweep — both accumulate in /tmp (r14 ADVICE). A ``wdps_*`` dir untouched
+#: for this long is swept once its owner is dead or provably recycled.
 STALE_AGE_SECONDS = 24 * 3600
 
 _ANY_WDPS = re.compile(r"wdps_.+_pid(\d+)$")
@@ -43,6 +43,28 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _pid_started_after(pid: int, epoch: float) -> bool:
+    """True iff process ``pid`` provably started AFTER ``epoch`` — i.e. the
+    PID was RECYCLED since whatever touched a file at ``epoch``. Reads
+    /proc/<pid>/stat starttime (ticks since boot) + /proc/stat btime;
+    returns False (be conservative — treat as the original owner) when the
+    answer can't be established."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read()
+        # field 2 (comm) may contain spaces/parens — split after the LAST ')'
+        fields = stat[stat.rindex(b")") + 2:].split()
+        start_ticks = int(fields[19])  # starttime is field 22 overall
+        with open("/proc/stat") as fh:
+            btime = next(
+                int(line.split()[1]) for line in fh if line.startswith("btime")
+            )
+        start_epoch = btime + start_ticks / os.sysconf("SC_CLK_TCK")
+        return start_epoch > epoch
+    except (OSError, ValueError, IndexError, StopIteration):  # pragma: no cover
+        return False
+
+
 def scratch_dir(tag: str, base: str = "/tmp") -> str:
     """Return ``{base}/wdps_{tag}_pid{os.getpid()}`` after sweeping dead
     siblings (``wdps_{tag}_pid<N>`` where process N no longer exists).
@@ -51,9 +73,10 @@ def scratch_dir(tag: str, base: str = "/tmp") -> str:
 
     Two sweeps run on entry: (1) exact-tag siblings whose owning PID is
     dead; (2) an age-based fallback over ALL ``wdps_*`` dirs older than
-    :data:`STALE_AGE_SECONDS` and not owned by this process — this catches
-    dirs whose tag never recurs and recycled PIDs that defeat the liveness
-    check (r14 ADVICE)."""
+    :data:`STALE_AGE_SECONDS` whose owner is dead or provably recycled
+    (started after the dir's last write) — this catches dirs whose tag
+    never recurs and recycled PIDs that defeat the liveness check
+    (r14 ADVICE) without ever deleting a LIVE owner's artifacts."""
     pat = re.compile(re.escape(f"wdps_{tag}_pid") + r"(\d+)$")
     now = time.time()
     try:
@@ -66,10 +89,20 @@ def scratch_dir(tag: str, base: str = "/tmp") -> str:
             any_m = _ANY_WDPS.match(name)
             if any_m and int(any_m.group(1)) != os.getpid():
                 try:
-                    stale = now - os.path.getmtime(path) > STALE_AGE_SECONDS
+                    mtime = os.path.getmtime(path)
                 except OSError:  # pragma: no cover — vanished mid-scan
-                    stale = False
-                if stale:
+                    continue
+                owner = int(any_m.group(1))
+                # age alone must NOT delete: a long-lived owner serving
+                # reads for >24h keeps the dir's mtime at build time (reads
+                # don't touch mtime), so an age-only sweep would rmtree a
+                # LIVE process's artifacts mid-serve. Sweep only when the
+                # owner is dead, or its PID was provably recycled (the
+                # process now holding it started after the dir's last
+                # write).
+                if now - mtime > STALE_AGE_SECONDS and (
+                    not _pid_alive(owner) or _pid_started_after(owner, mtime)
+                ):
                     shutil.rmtree(path, ignore_errors=True)
     except OSError:  # pragma: no cover — unreadable base dir; path still valid
         pass
