@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .quantization import _subvectors, _two_level_topk
+from .quantization import _two_level_topk
 
 
 def _qarr_col(vec_col: str, scale: int):
@@ -75,7 +75,7 @@ def build_coarse_quantizer(
     """
     import numpy as np
 
-    from .quantization import _subvectors, pq_codebook
+    from .quantization import pq_codebook
 
     seed_ids = [
         r["id"]
@@ -100,15 +100,62 @@ def build_coarse_quantizer(
     C = collect_cb(
         pq_codebook(corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale)
     )
-    sub_full = _subvectors(corpus, id_col, vec_col, dim, scale).select("id", "j", "iv")
+    # Fused Lloyd step (r15 optimization, guide §2.3 "aggregate before you
+    # shuffle"): the old loop ran assign_coarse_cells, then joined the
+    # N x dim exploded subvector frame against the assignment and shuffled
+    # it into a groupBy — one exploded shuffle join per step. The kernel
+    # below assigns each batch AND emits per-(code, j) partial sums — at
+    # most n_cells x dim rows per Arrow batch — so the shuffle carries
+    # bounded partials, never the exploded corpus. Exactness: the mean is
+    # an exact-integer sum (int64, far below overflow at any corpus size
+    # that fits a long count) divided by an exact count; ``F.avg`` over
+    # longs computes the same exact-sum/count double, so the rounded
+    # centroid values are bit-identical to the joined formulation.
+    qarr = _qarr_col(vec_col, scale)
     for _ in range(lloyd_steps):
-        assign = assign_coarse_cells(
-            corpus, C, id_col, vec_col, scale, n_top=1
-        ).select("id", "code")
+        Cl = C  # bind the current matrix into the kernel closure
+
+        def partials(batches):
+            import pandas as pd
+
+            from .quantization import int_l2_dist_matrix
+
+            codes_l = np.arange(len(Cl))
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                D = int_l2_dist_matrix(X, Cl)
+                # argmin with the shared (d, code) lexsort tie-break:
+                # codes ascend left-to-right, so the first minimum wins
+                best = np.argmin(D, axis=1)
+                out = []
+                for c in codes_l:
+                    rows = X[best == c]
+                    if len(rows):
+                        s = rows.sum(axis=0)
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "code": int(c),
+                                    "j": np.arange(X.shape[1]),
+                                    "s": s.astype(np.int64),
+                                    "cnt": np.int64(len(rows)),
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out).astype(
+                        {"code": "int32", "j": "int32", "s": "int64", "cnt": "int64"}
+                    )
+
         means = (
-            sub_full.join(assign, "id")
+            corpus.select(qarr.alias("qv"))
+            .mapInPandas(partials, "code int, j int, s long, cnt long")
             .groupBy("code", "j")
-            .agg(F.round(F.avg("iv"), 0).cast("long").alias("cv"))
+            .agg(
+                F.round(F.sum("s") / F.sum("cnt"), 0).cast("long").alias("cv")
+            )
         )
         Cn = C.copy()  # centroids with no assignment keep their value
         for r in means.collect():
@@ -136,7 +183,7 @@ def assign_coarse_cells(
     import numpy as np
     import pandas as pd
 
-    from .quantization import int_l2_topk_block
+    from .quantization import int_l2_dist_matrix
 
     n_cells = len(C)
     nt = min(n_top, n_cells)
@@ -148,12 +195,16 @@ def assign_coarse_cells(
                 continue
             X = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
             ids = pdf["id"].to_numpy()
-            out_id, out_code, out_rank = [], [], []
-            for i in range(len(ids)):
-                order, _ = int_l2_topk_block(X[i], C, codes, nt)
-                out_id.extend([ids[i]] * len(order))
-                out_code.extend(order)
-                out_rank.extend(range(1, len(order) + 1))
+            # whole-batch distance matrix (one BLAS matmul — r15: the
+            # per-row (C - x)^2 loop was the hot path on million-row
+            # corpora), then the shared (d, code) lexsort per row; codes
+            # ascend, so argsort with a stable kind reproduces the
+            # int_l2_topk_block tie-break exactly (pytest-pinned).
+            D = int_l2_dist_matrix(X, C)
+            order = np.argsort(D, axis=1, kind="stable")[:, :nt]
+            out_id = np.repeat(ids, nt)
+            out_code = codes[order].ravel()
+            out_rank = np.tile(np.arange(1, nt + 1), len(ids))
             yield pd.DataFrame(
                 {"id": out_id, "code": out_code, "rank": out_rank}
             ).astype({"id": "int64", "code": "int32", "rank": "int32"})
@@ -229,7 +280,7 @@ def knn_graph(
         corpus.select(F.col(id_col).alias("cand"), qarr_col.alias("mqv")), "cand"
     ).select("cell", "cand", F.col("mqv").alias("qv"))
 
-    from .quantization import int_l2_topk_block
+    from .quantization import int_l2_dist_matrix
 
     def cell_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
@@ -239,17 +290,30 @@ def knn_graph(
         A = np.stack(left["qv"].to_numpy()).astype(np.float64)
         B = np.stack(right["qv"].to_numpy()).astype(np.float64)
         cand_ids = right["cand"].to_numpy()
+        # whole-cell distance matrix in one BLAS matmul (r15: the per-src
+        # (B - x)^2 loop was 169M pair evaluations through Python at the
+        # sf1 staging — see int_l2_dist_matrix), then the shared
+        # (dist, cand)-lexsort top-k with self-hit exclusion per row,
+        # matching the SQL row_number ORDER BY dist, cand exactly.
+        D = int_l2_dist_matrix(A, B)
+        src_ids = left["src"].to_numpy()
         out_src, out_cand, out_dist = [], [], []
-        for i, src in enumerate(left["src"].to_numpy()):
-            # shared (dist, cand)-lexsort kernel with self-hit exclusion,
-            # matching the SQL row_number ORDER BY dist, cand
-            ci, di = int_l2_topk_block(A[i], B, cand_ids, k_build, exclude_id=src)
-            out_src.extend([src] * len(ci))
-            out_cand.extend(ci)
-            out_dist.extend(di)
-        return pd.DataFrame({"src": out_src, "cand": out_cand, "dist": out_dist}).astype(
-            {"src": "int64", "cand": "int64", "dist": "int64"}
-        )
+        for i, src in enumerate(src_ids):
+            d, ids = D[i], cand_ids
+            keep = ids != src
+            if not keep.all():
+                d, ids = d[keep], ids[keep]
+            idx = np.lexsort((ids, d))[: min(k_build, len(ids))]
+            out_src.append(np.full(len(idx), src, dtype=np.int64))
+            out_cand.append(ids[idx])
+            out_dist.append(d[idx].astype(np.int64))
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "cand": np.concatenate(out_cand),
+                "dist": np.concatenate(out_dist),
+            }
+        ).astype({"src": "int64", "cand": "int64", "dist": "int64"})
 
     percell = (
         probers.groupBy("cell")
@@ -339,23 +403,37 @@ def nsw_search(
     SQL-replayable (``similarity_nsw_scale_topk``)."""
     # Pin the graph: every hop joins against it, and an unpinned lineage
     # would re-run the whole kNN build once per hop (the star-CC lesson —
-    # a lazily-checkpointed frame feeding a loop must be materialized by a
-    # cheap action before the rounds). Edges are N * 2k rows — small.
+    # a lazily-checkpointed frame feeding a loop must be materialized
+    # before the rounds; the lazy checkpoint materializes inside the first
+    # hop's job, so no separate count() action is needed).
     graph = graph.localCheckpoint(eager=False)
-    graph.count()  # materialize before the hop loop
-    sub = _subvectors(corpus, id_col, vec_col, dim, scale).select(
-        F.col("id").alias("node"), "j", F.col("iv").alias("cv")
-    )
-    qsub = _subvectors(queries, id_col, vec_col, dim, scale).select(
-        F.col("id").alias("query_id"), "j", F.col("iv").alias("qv")
-    )
+    # r15 physical rework (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    # exchanges): scoring joins quantized ARRAY columns (one row per pair,
+    # JVM zip_with/aggregate integer fold — bit-equal to the exploded
+    # scorer, see quantization.score_int_l2_pairs_arrays) instead of
+    # exploding corpus x dim subvector rows per hop, and every frontier
+    # (bounded: |queries| x beam_width x (1 + degree) rows by contract) is
+    # BROADCAST onto the corpus/graph side, so the per-hop big-side work
+    # is a streamed scan, never a shuffle. One explicit
+    # repartition(query_id) per hop then satisfies the groupBy (clustering
+    # on a superset key) AND the rank window — one small exchange per hop
+    # where the exploded form paid join + agg + window exchanges.
+    from .quantization import score_int_l2_pairs_arrays
 
-    from .quantization import score_int_l2_pairs
+    corpus_arr = corpus.select(
+        F.col(id_col).alias("node"), _qarr_col(vec_col, scale).alias("cv")
+    )
+    query_arr = queries.select(
+        F.col(id_col).alias("query_id"), _qarr_col(vec_col, scale).alias("qv")
+    )
 
     def score(frontier: DataFrame) -> DataFrame:
         """(query_id, node) → + integer squared L2 to the query vector
-        (the shared relational scorer, r13 verdict item 3)."""
-        return score_int_l2_pairs(frontier, sub, qsub, "query_id", "node", "dist")
+        (the shared scorer, r13 verdict item 3 / r15 array form)."""
+        return score_int_l2_pairs_arrays(
+            frontier, corpus_arr, query_arr, "query_id", "node", "dist",
+            broadcast_pairs=True,
+        )
 
     w = W.partitionBy("query_id").orderBy("dist", "node")
     if entry_sample_mod:
@@ -374,6 +452,7 @@ def nsw_search(
                 .crossJoin(F.broadcast(sample))
                 .filter(F.col("query_id") != F.col("node"))
             )
+            .repartition("query_id")
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= n_entry)
             .select("query_id", "node", "dist")
@@ -386,7 +465,7 @@ def nsw_search(
             queries.select(F.col(id_col).alias("query_id"))
             .crossJoin(F.broadcast(entries))
             .filter(F.col("query_id") != F.col("node"))
-        )
+        ).repartition("query_id")
     beam = (
         beam.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= beam_width)
@@ -394,14 +473,22 @@ def nsw_search(
         .localCheckpoint(eager=False)
     )
     for _ in range(n_hops):
+        b = F.broadcast(beam.select("query_id", "node"))
         nbrs = (
-            beam.join(graph, beam["node"] == graph["src"])
+            graph.join(b, b["node"] == graph["src"])
             .select("query_id", F.col("dst").alias("node"))
             .filter(F.col("query_id") != F.col("node"))
         )
-        candset = beam.select("query_id", "node").unionByName(nbrs).distinct()
+        # duplicates in beam ∪ nbrs score identically, so the dedupe the
+        # old .distinct() exchange paid is fused into the groupBy-min on
+        # the already-repartitioned rows — same (query_id, node, dist)
+        # set, one exchange instead of three
+        candset = beam.select("query_id", "node").unionByName(nbrs)
         beam = (
             score(candset)
+            .repartition("query_id")
+            .groupBy("query_id", "node")
+            .agg(F.min("dist").alias("dist"))
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= beam_width)
             .select("query_id", "node", "dist")

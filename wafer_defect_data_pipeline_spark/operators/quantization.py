@@ -260,6 +260,45 @@ def score_int_l2_pairs(
     )
 
 
+def int_l2_dist_arrays(cv, qv):
+    """Column expression: integer squared L2 between two quantized long
+    arrays — ``aggregate(zip_with(cv, qv, (x,y) -> (x-y)*(x-y)), 0L, +)``.
+    The JVM-side array twin of :func:`score_int_l2_pairs`'s exploded sum
+    (r15 optimization: the exploded form shuffled ``pairs x dim`` rows and
+    paid a groupBy exchange per scoring call; the array form is a pure
+    projection over one row per pair). All arithmetic is exact int64 —
+    identical values to the exploded sum and to the SQL replay."""
+    sq = F.zip_with(cv, qv, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def score_int_l2_pairs_arrays(
+    pairs: DataFrame,
+    corpus_arr: DataFrame,
+    query_arr: DataFrame,
+    q_col: str = "query_id",
+    c_col: str = "node",
+    out_col: str = "dist",
+    broadcast_pairs: bool = False,
+) -> DataFrame:
+    """Array-column integer-L2 scorer: ``pairs`` ``(q_col, c_col)`` joined
+    with ``corpus_arr`` ``(c_col, cv: array<long>)`` and the (small, always
+    broadcast) ``query_arr`` ``(q_col, qv: array<long>)``; returns pairs
+    plus ``out_col``. Values are bit-identical to
+    :func:`score_int_l2_pairs` (exact integer arithmetic both ways); the
+    physical plan differs: one equi-join + one broadcast join + a
+    projection — no dim-fold explode, no per-pair groupBy exchange. With
+    ``broadcast_pairs=True`` (bounded frontiers: beam-search candidates,
+    entry probes) the pair list is broadcast so the corpus side streams
+    with zero shuffle."""
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
+    return (
+        corpus_arr.join(p, c_col)
+        .join(F.broadcast(query_arr), q_col)
+        .select(q_col, c_col, int_l2_dist_arrays(F.col("cv"), F.col("qv")).alias(out_col))
+    )
+
+
 def int_l2_topk_block(x, B, ids, k: int, exclude_id=None):
     """THE numpy integer-L2 top-k block kernel (r13 verdict item 3): the
     ``k`` nearest rows of matrix ``B`` to vector ``x`` by squared L2, with
@@ -276,6 +315,22 @@ def int_l2_topk_block(x, B, ids, k: int, exclude_id=None):
         d, ids = d[keep], ids[keep]
     idx = np.lexsort((ids, d))[: min(k, len(ids))]
     return ids[idx], d[idx].astype(np.int64)
+
+
+def int_l2_dist_matrix(A, B):
+    """All-pairs integer squared-L2 distance matrix ``|A| x |B|`` via one
+    BLAS matmul: ``d(a, b) = |a|^2 - 2 a.b + |b|^2``. Inputs are
+    integer-valued float64 (quantized longs); every product and every
+    partial sum stays far below 2^53, so each entry is the EXACT integer
+    ``((B - a) ** 2).sum()`` — bit-equal to :func:`int_l2_topk_block`'s
+    row kernel and to the SQL replay (asserted by pytest). r15
+    optimization: the per-row ``(B - x) ** 2`` loop allocated and reduced
+    a ``|B| x dim`` temp per query row — on the sf1 redecide staging that
+    was 169M candidate pairs through a Python-level loop; one matmul per
+    cell block replaces it."""
+    a2 = (A * A).sum(axis=1)
+    b2 = (B * B).sum(axis=1)
+    return a2[:, None] - 2.0 * (A @ B.T) + b2[None, :]
 
 
 def _two_level_topk(scored: DataFrame, dist_col: str, k_top: int) -> DataFrame:

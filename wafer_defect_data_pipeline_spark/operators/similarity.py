@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import fan_out
-from ..functions.arrays import as_double, cosine, l2_norm
+from ..functions.arrays import as_double, cosine, dot, l2_norm
 
 
 def brute_force_topk(
@@ -60,12 +60,32 @@ def brute_force_topk(
             return brute_force_topk_arrow(
                 corpus, queries, id_col, vec_col, k, max_query_rows=arrow_max_query_rows
             )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    # Norms are precomputed per ROW (r15, guide §1.2 "per-task work"): the
+    # inlined cosine() re-folded both norms per PAIR — 3 interpreted
+    # HOF folds per candidate. dot/(qn*cn) evaluates the identical fold
+    # expressions once per vector; the division operands are bit-equal, so
+    # every rounded cos_sim is unchanged (oracle replays per-pair norms —
+    # same doubles either way).
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        as_double(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (
@@ -113,23 +133,41 @@ def ivf_topk(
     """
     centroids = array_mean(corpus, cell_col, vec_col)  # tiny: one row per cell
 
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
     probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
     probes = (
         q.crossJoin(F.broadcast(centroids))
         # 6dp round before ranking so near-tie cells resolve identically
         # across float fold orders (Spark vs oracle) — see ivfpq_topk.
-        .select("query_id", "qv", cell_col, F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"))
+        .select("query_id", "qv", "qn", cell_col, F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("cell_sim"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "qv", cell_col)
+        .select("query_id", "qv", "qn", cell_col)
     )
 
-    c = corpus.select(F.col(cell_col), F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    # per-row norm precompute on the member-scoring pass (r15) — the probe
+    # pass above keeps the inline cosine (one row per query x cell); see
+    # brute_force_topk for the bit-equality argument
+    c = corpus.select(
+        F.col(cell_col),
+        F.col(id_col).alias("corpus_id"),
+        as_double(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(probes), on=cell_col)
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (
@@ -362,7 +400,7 @@ def ivf_kmeans_topk(
     |corpus| * n_probe / n_cells scored candidates per query.
     Returns ``(query_id, rank, corpus_id, l2_dist)``."""
     from .graph_ann import assign_coarse_cells, build_coarse_quantizer
-    from .quantization import _subvectors, _two_level_topk
+    from .quantization import _two_level_topk
 
     C = build_coarse_quantizer(
         corpus, id_col, vec_col, dim, scale, n_cells, lloyd_steps
@@ -378,17 +416,21 @@ def ivf_kmeans_topk(
         .filter(F.col("cand") != F.col("query_id"))
         .select("query_id", "cand")
     )
-    csub = _subvectors(corpus, id_col, vec_col, dim, scale).select(
-        F.col("id").alias("cand"), "j", F.col("iv").alias("cv")
-    )
-    qsub = _subvectors(queries, id_col, vec_col, dim, scale).select(
-        F.col("id").alias("query_id"), "j", F.col("iv").alias("qv")
-    )
-    # shared relational integer-L2 scorer (r13 verdict item 3)
-    from .quantization import score_int_l2_pairs
+    # shared integer-L2 scorer, array form (r13 verdict item 3 / r15: the
+    # exploded form shuffled |cand| x dim subvector rows and paid a
+    # groupBy exchange; the array join ships one quantized array per
+    # candidate — same exact integer distances)
+    from .graph_ann import _qarr_col
+    from .quantization import score_int_l2_pairs_arrays
 
-    scored = score_int_l2_pairs(
-        cand, csub, qsub, "query_id", "cand", "l2_dist"
+    corpus_arr = corpus.select(
+        F.col(id_col).alias("cand"), _qarr_col(vec_col, scale).alias("cv")
+    )
+    query_arr = queries.select(
+        F.col(id_col).alias("query_id"), _qarr_col(vec_col, scale).alias("qv")
+    )
+    scored = score_int_l2_pairs_arrays(
+        cand, corpus_arr, query_arr, "query_id", "cand", "l2_dist"
     ).select("query_id", F.col("cand").alias("id"), "l2_dist")
     return _two_level_topk(scored, "l2_dist", k)
 
@@ -479,10 +521,13 @@ def persist_dispatch_decision(
     so the serving layer can always answer "what was decided, when, on how
     much data" and a re-decision leaves an audit trail instead of erasing
     the prior verdict."""
+    # coalesce(1): a one-row decision artifact written from a
+    # default-parallelism createDataFrame fanned out to one task per core
+    # (31 of them writing empty files) — one task, one file (r15)
     spark.createDataFrame(
         [(version, branch, n_probe, n_cells, decided_at_batch, int(n_at_decision))],
         _DECISION_SCHEMA,
-    ).write.mode("overwrite").parquet(f"{base}/decision/v{version}")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/decision/v{version}")
 
 
 def load_latest_dispatch_decision(spark, base: str):
