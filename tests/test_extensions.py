@@ -4696,6 +4696,14 @@ def test_ann_dispatch_redecide_trigger_and_versioning(spark, tmp_path):
     # both versions remain on disk — audit trail, not overwrite
     both = spark.read.parquet(f"{base}/decision/v*")
     assert sorted(r["version"] for r in both.collect()) == [1, 2]
+    # r15: the one-row artifact is written by ONE task as ONE part file
+    # (single-slice parallelize — the default createDataFrame fanned it out
+    # to a file per core, and coalesce(1) measured ~5 s flat per write)
+    import glob
+
+    for v in (1, 2):
+        parts = glob.glob(f"{base}/decision/v{v}/part-*")
+        assert len(parts) == 1, parts
 
 
 def test_recall_drift_trigger_constant_size_shape_drift(spark):

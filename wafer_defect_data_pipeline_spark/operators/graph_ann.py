@@ -407,6 +407,7 @@ def nsw_search(
     # before the rounds; the lazy checkpoint materializes inside the first
     # hop's job, so no separate count() action is needed).
     graph = graph.localCheckpoint(eager=False)
+    graph.count()  # materialize before the hop loop (see note above)
     # r15 physical rework (guide §2.3/§2.4 — shuffle fewer bytes, remove
     # exchanges): scoring joins quantized ARRAY columns (one row per pair,
     # JVM zip_with/aggregate integer fold — bit-equal to the exploded

@@ -1524,8 +1524,11 @@ def _ann_dispatch_prebuilt(spark, sf_dir):
 
     # build phase: decide once, persist decision + the chosen index
     n_probe, n_cells, branch = ann_dispatch_decision(e, target_queries=50)
+    # single-slice parallelize: one task, one file for the one-row artifact
+    # (see persist_dispatch_decision — coalesce(1) here costs ~5 s flat)
     spark.createDataFrame(
-        [(branch, n_probe, n_cells)], "branch string, n_probe int, n_cells int"
+        spark.sparkContext.parallelize([(branch, n_probe, n_cells)], 1),
+        "branch string, n_probe int, n_cells int",
     ).write.mode("overwrite").parquet(f"{base}/decision")
     if branch == "nsw":
         knn_graph(e, dim=64, k_build=16, n_probe=3, n_cells=16).write.mode(
