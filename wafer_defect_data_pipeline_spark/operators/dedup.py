@@ -881,11 +881,20 @@ def _gram_positions(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """Explode each doc into ``(__id, pos, gh)`` — one row per character
-    k-gram start position, gh = xxhash64 of the gram. A pure projection:
-    no shuffle, output linear in corpus chars, text never leaves the
-    scan stage."""
+    k-gram start position, gh = xxhash64 of the gram. A pure projection
+    (no shuffle, output linear in corpus chars) — but the explode+hash is
+    a CPU-bound ~|text|× expansion that inherits the SCAN's parallelism,
+    so a corpus in fewer files than the session has cores would hash every
+    gram on a handful of tasks while the rest idle (r15, guide §2.5 input
+    skew: measured 31/32 cores idle through the span family's hot stage on
+    the single-file local corpus). ``fan_out`` moves the narrow doc rows
+    once iff the scan is narrower than the core count and is a no-op at
+    scale; every consumer (window count, groupBy, semi-join, islands
+    merge) is partitioning-invariant, the documented fan_out safety
+    contract."""
     return (
-        df.filter(F.length(text_col) >= k)
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .filter(F.length(text_col) >= k)
         .select(
             F.col(id_col).alias("__id"),
             F.explode(
