@@ -45,10 +45,11 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
-    for _ in range(max_iter):
+
+    def _relax(lbl: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(
-                labels.select(F.col("id").alias("b"), F.col("component").alias("nbr_comp")),
+                lbl.select(F.col("id").alias("b"), F.col("component").alias("nbr_comp")),
                 on="b",
             )
             .groupBy("a")
@@ -58,8 +59,8 @@ def connected_components(
         # Carry the changed-flag inline instead of re-joining new vs old
         # labels: the convergence probe is then a plain agg over the frame
         # the round materializes anyway — one fewer shuffle join per round.
-        flagged = (
-            labels.join(nbr_min, on="id", how="left")
+        return (
+            lbl.join(nbr_min, on="id", how="left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce("nbr_comp", F.col("component"))).alias(
@@ -69,6 +70,25 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+
+    # TWO relax rounds per driver action (r15, guide §1.2/§5: the loop's
+    # cost at small scale is the per-action round-trip — planning, AQE
+    # re-optimization, scheduling — not the relax compute; fusing a pair
+    # halves the actions). Exactness: checking only the SECOND round's
+    # changed-count is sufficient — if round B changed nothing its input
+    # was already the fixpoint (propagation is idempotent at convergence),
+    # and labels equal the single-round loop's output because extra relax
+    # rounds on a fixpoint are identity. The max_iter budget semantics are
+    # unchanged (an odd budget's last iteration runs a single round), so
+    # connected_components_auto's probe_rounds fallback decision — converge
+    # within N rounds or raise — is decision-equivalent.
+    rounds = 0
+    while rounds < max_iter:
+        flagged = _relax(labels)
+        rounds += 1
+        if rounds < max_iter:
+            flagged = _relax(flagged.select("id", F.col("new_component").alias("component")))
+            rounds += 1
         n_changed = flagged.filter(F.col("__changed")).count()
         labels = flagged.select("id", F.col("new_component").alias("component"))
         if n_changed == 0:
@@ -262,16 +282,18 @@ def connected_components_star(
         return sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
 
     def _canon_sig(ed: DataFrame) -> tuple[int, int]:
-        # decimal(38,0) sum: long-sum of 64-bit hashes overflows under ANSI
+        # decimal(38,0) sum: long-sum of 64-bit hashes overflows under ANSI.
+        # collect()[0] not first(): executeTake can probe with an extra
+        # partial job; the 1-row agg is cheaper as a single full job.
         row = ed.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)).alias("h"),
-        ).first()
+        ).collect()[0]
         return row.n, int(row.h)
 
-    sig = _canon_sig(edges)
-    for _ in range(max_iter):
-        sym = _sym(edges)
+    def _round(ed: DataFrame) -> DataFrame:
+        """One large-star + small-star alternation (lazily pinned)."""
+        sym = _sym(ed)
         m = _mins(sym)
         # large-star: (v, m(u)) for v in N(u), v > u
         large = (
@@ -294,12 +316,23 @@ def connected_components_star(
             .select(F.col("b").alias("x"), F.col("m").alias("y"))
             .unionByName(m2.select(F.col("a").alias("x"), F.col("m").alias("y")))
         )
-        edges = (
+        return (
             small.filter(F.col("x") != F.col("y"))
             .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
             .distinct()
             .localCheckpoint(eager=False)
         )
+
+    # One alternation per signature action. An r15 experiment fused TWO
+    # alternations per action (the connected_components trick below): star
+    # rounds are compute-heavy (two distinct+checkpoint rewrites each), so
+    # the extra no-op rounds the pair boundary costs at convergence
+    # outweighed the saved driver round-trips — measured 5.0 -> 6.4 s warm
+    # at sf0.1 on dedup_cluster_assignment_star. Reverted: here the round
+    # dominates the action, the opposite regime from label propagation.
+    sig = _canon_sig(edges)
+    for _ in range(max_iter):
+        edges = _round(edges)
         new_sig = _canon_sig(edges)
         if new_sig == sig:
             break

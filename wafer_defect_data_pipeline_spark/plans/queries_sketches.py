@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..operators.sketches import cms_build, cms_point_estimate, kmv_distinct_estimate
 from ..sources import read_table
 from .registry import register
@@ -56,7 +57,14 @@ _PROBE_TERMS = ["join", "hash", "scan", "filter", "data", "the", "zzz_unseen_tok
 
 
 def _cms(spark, sf_dir):
-    d = read_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # fan_out: tokenize + depth x md5 per token is a CPU-bound expansion
+    # that otherwise runs at the (single-file) scan's parallelism — same
+    # guard as minhash_signatures / _gram_positions (r15, guide §2.5)
+    d = fan_out(
+        read_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select("text")
+    )
     tok = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
     )
@@ -232,7 +240,7 @@ def _mg_heavy_hitters(spark, sf_dir):
     pytest property."""
     from ..operators.sketches import misra_gries_summary
 
-    d = read_table(spark, sf_dir, "documents")
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),

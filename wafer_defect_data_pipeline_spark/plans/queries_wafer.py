@@ -34,6 +34,17 @@ def _as_wafer(spark, sf_dir):
 
 
 def _wafer_pipeline_on_lineitem(spark, sf_dir):
+    # r15 measurement-hygiene fix: run_kmeans_by_step persists its analysed
+    # subset, and Spark's CacheManager matches cache entries by ANALYZED
+    # PLAN — so when the bench invokes this query 4x in one session, runs
+    # 2-4 silently reused run 1's materialized blocks (the "Asked to cache
+    # already cached data" warnings; 24 jobs cold vs 16 warm) and the warm
+    # timings measured cache reads, not the pipeline. Every bench/oracle
+    # invocation must compute from the parquet inputs, so stale entries are
+    # dropped at query entry. In-flight localCheckpoints are not
+    # CacheManager entries and are unaffected; the bench runs queries
+    # sequentially, so nothing else's cache can be live here.
+    spark.catalog.clearCache()
     # attach the row id HERE, while the lineage is still a narrow select over
     # the parquet scan — the _metadata-derived id is pin-free; waiting until
     # after the outlier bounds join would force the localCheckpoint fallback
