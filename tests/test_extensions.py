@@ -20,6 +20,27 @@ from wafer_defect_data_pipeline_spark.operators.similarity import brute_force_to
 from wafer_defect_data_pipeline_spark.sources import read_table
 
 
+def test_fan_out_size_gate(spark, sf_small):
+    # r16: min_input_bytes gates the repartition on the scan's file bytes
+    # (driver-side listing). Below the gate the frame must pass through
+    # UNCHANGED (same plan object semantics — no exchange added); above it
+    # (or with the gate off) the narrow-file scan must fan out to the
+    # session's default parallelism.
+    from wafer_defect_data_pipeline_spark.functions.partitioning import fan_out
+
+    d = read_table(spark, sf_small, "documents").select("doc_id")
+    gated = fan_out(d, min_input_bytes=1 << 60)
+    assert gated is d  # tiny file: gate closed, no repartition node
+    open_gate = fan_out(d, min_input_bytes=1)
+    assert open_gate is not d
+    assert (
+        open_gate.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # default (no byte gate) keeps the r15 behavior: file-count probe only
+    assert fan_out(d) is not d
+
+
 def test_minhash_lsh_finds_planted_dups(spark, sf_small):
     d = read_table(spark, sf_small, "documents")
     planted = (
@@ -49,6 +70,28 @@ def test_exact_dedup_keeps_null_key_group(spark):
     d = spark.createDataFrame(rows, "doc_id int, text string")
     out = exact_dedup(d, ["text"], "doc_id").toPandas().sort_values("doc_id")
     assert list(out.doc_id) == [1, 3, 5]
+
+
+def test_exact_dedup_unique_order_matches_semi_join(spark, sf_small):
+    # The r16 single-shuffle min_by form must return the exact row set of
+    # the two-shuffle semi-join whenever the order column is unique and
+    # non-null — including null KEY groups and full payload columns.
+    d = read_table(spark, sf_small, "documents")
+    dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = d.unionByName(dup).withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 3, F.lit(None)).otherwise(F.col("text"))
+    )
+    cols = both.columns
+    a = sorted(map(tuple, exact_dedup(both, ["text"], "doc_id").select(cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            exact_dedup(both, ["text"], "doc_id", unique_order=True)
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
 
 
 def test_jaccard_identical_docs_score_one(spark, sf_small):

@@ -15,8 +15,27 @@ from .oracle import run_pair
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
+#: The two staged-dispatch oracles whose DuckDB replay unrolls the full NSW
+#: build+search in SQL — 16 and 25 MINUTES of single-threaded DuckDB on the
+#: r16 host (pytest --durations), ~half the default tier's wall. The
+#: driver's verify window truncated on them in r15 (VERDICT item 5), so
+#: they run at the medium tier instead; the queries stay covered at the
+#: default tier by test_every_query_runs_small, and their oracle parity by
+#: the medium tier, the driver's own t2 sweep, and every round's
+#: tools/check_new.py evidence (TESTRUNS.jsonl).
+_HEAVY_ORACLE_REPLAYS = {
+    "similarity_ann_dispatch_recall_drift",
+    "similarity_ann_dispatch_redecide",
+}
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.medium) if n in _HEAVY_ORACLE_REPLAYS else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_oracle_parity_small(spark, sf_small, name):
     errs = run_pair(spark, sf_small, QUERIES[name], ORACLES[name])
     assert not errs, f"{name}: " + "; ".join(errs)

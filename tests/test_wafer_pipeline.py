@@ -156,11 +156,29 @@ def test_row_id_pin_free_on_file_scan(spark, sf_small):
     again = set(r[0] for r in t.select(ROW_ID).collect())
     assert first == again  # stable across re-execution, no pin needed
 
-    # the full registered query keeps the pin-free lineage end to end
+    # the full registered query keeps the pin-free lineage end to end when
+    # the r16 COST pin is gated off (the r3 property under guard here is
+    # that the row id never NEEDS a pin — the size-gated localCheckpoint
+    # the query applies by default is a measured cost trade, not a
+    # correctness crutch, and past its byte threshold the plan must revert
+    # to exactly this pure-scan lineage)
+    import os
+
+    os.environ["WDPS_WAFER_PIN_MAX_BYTES"] = "0"
+    try:
+        out = all_queries()["wafer_pipeline_on_lineitem"](spark, sf_small)
+        qplan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "parquet" in qplan
+        assert not full_width_rdd_leaves(qplan)
+    finally:
+        del os.environ["WDPS_WAFER_PIN_MAX_BYTES"]
+
+    # and with the gate on (the sf<=1 default), the pinned plan materializes
+    # the cascade once — the final aggregate reads the checkpoint, not a
+    # second scan-plus-cascade lineage
     out = all_queries()["wafer_pipeline_on_lineitem"](spark, sf_small)
     qplan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "parquet" in qplan
-    assert not full_width_rdd_leaves(qplan)
+    assert full_width_rdd_leaves(qplan) or "Checkpoint" in qplan or "LogicalRDD" in qplan
 
 
 def test_row_id_fallback_pins_non_file_source(spark):

@@ -66,30 +66,29 @@ def main() -> None:
 
     starts: dict[int, dict] = {}
     jobs: list[dict] = []
-    if True:
-        for line in _lines():
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                starts[ev["Job ID"]] = {
-                    "t0": ev["Submission Time"],
-                    "group": props.get("spark.jobGroup.id", ""),
-                    "callsite": props.get("callSite.short", ""),
-                    "n_stages": len(ev.get("Stage Infos", [])),
-                }
-            elif e == "SparkListenerJobEnd":
-                s = starts.pop(ev["Job ID"], None)
-                if s is not None:
-                    jobs.append(
-                        {
-                            "job": ev["Job ID"],
-                            "ms": ev["Completion Time"] - s["t0"],
-                            "group": s["group"],
-                            "callsite": s["callsite"],
-                            "n_stages": s["n_stages"],
-                        }
-                    )
+    for line in _lines():
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            starts[ev["Job ID"]] = {
+                "t0": ev["Submission Time"],
+                "group": props.get("spark.jobGroup.id", ""),
+                "callsite": props.get("callSite.short", ""),
+                "n_stages": len(ev.get("Stage Infos", [])),
+            }
+        elif e == "SparkListenerJobEnd":
+            s = starts.pop(ev["Job ID"], None)
+            if s is not None:
+                jobs.append(
+                    {
+                        "job": ev["Job ID"],
+                        "ms": ev["Completion Time"] - s["t0"],
+                        "group": s["group"],
+                        "callsite": s["callsite"],
+                        "n_stages": s["n_stages"],
+                    }
+                )
     for name in names:
         gid = f"census_{name}"
         mine = [j for j in jobs if j["group"] == gid]
@@ -97,6 +96,9 @@ def main() -> None:
         print(f"--- {name}: {len(mine)} jobs, {total} ms summed ---")
         for j in mine:
             print(f"  job {j['job']:>4}  {j['ms']:>6} ms  stages={j['n_stages']:>2}  {j['callsite']}")
+        unfinished = [jid for jid, s in starts.items() if s["group"] == gid]
+        if unfinished:
+            print(f"  (unfinished/in-flight jobs with no JobEnd: {sorted(unfinished)})")
 
 
 if __name__ == "__main__":

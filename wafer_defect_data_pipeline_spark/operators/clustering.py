@@ -43,6 +43,10 @@ from ..schema import CLUSTER_FEATURES, DEFAULT_STEPS_TO_ANALYSE
 
 ROW_ID = "__row_id"
 
+#: run_kmeans_by_step's persisted narrow subsets, unpersisted at the next
+#: invocation (every bench/oracle run must compute from parquet — r15).
+_PERSISTED_SUBSETS: list[DataFrame] = []
+
 
 def with_row_id(df: DataFrame) -> DataFrame:
     """Attach a stable surrogate row id, pin-free whenever possible.
@@ -213,7 +217,21 @@ def run_kmeans_by_step(
     # old full-width localCheckpoint — O(analysed rows × |features|) storage
     # instead of O(table), spillable to disk, and no longer load-bearing for
     # correctness (the metadata row id is deterministic without it).
+    #
+    # Unpersist the PRIOR invocation's subset here (r15 ADVICE): Spark's
+    # CacheManager matches entries by analyzed plan, so a leaked persist
+    # would silently serve run 1's blocks to every later same-plan
+    # invocation in the process (the r15 bench-honesty bug). Evicting the
+    # tracked frame is scoped to THIS operator's leak — unlike the former
+    # spark.catalog.clearCache() at one query's entry, which wiped every
+    # cache entry in the session.
+    while _PERSISTED_SUBSETS:
+        try:
+            _PERSISTED_SUBSETS.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead session's handle is fine
+            pass
     subset = _analysed_subset(base, steps, feats).persist()
+    _PERSISTED_SUBSETS.append(subset)
 
     stats = None
     if mode == "auto":

@@ -41,7 +41,9 @@ from ..functions.text import token_shingles, tokens
 
 # --- exact -----------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str, unique_order: bool = False
+) -> DataFrame:
     """Keep the min-``order_col`` row per distinct ``key_cols``.
 
     groupBy+min instead of Window.row_number: the aggregate combines
@@ -54,7 +56,25 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     an all-null-order group still keeps its rows. Rows tied on
     (key, min order) are all kept; pass a unique order column (e.g. the
     document id) for strict keep-one semantics.
-    """
+
+    ``unique_order=True`` (r16, guide §2.3 — shuffle fewer bytes): when the
+    caller GUARANTEES ``order_col`` is unique and non-null across ``df``
+    (every registered caller passes the document id), keep-all-ties and
+    keep-one coincide and the dedup collapses to a single min_by-struct
+    aggregate — ONE exchange carrying at most one row per key per map task
+    (partial aggregation), instead of the agg exchange plus a second full
+    shuffle of ``df`` for the semi-join. Null KEYS keep the exact groupBy
+    semantics (one null-key group, its min-order row survives). Do not set
+    it with a nullable or non-unique order column: min_by ignores
+    null-order rows, and ties would keep one arbitrary-but-deterministic
+    row instead of all."""
+    if unique_order:
+        row = F.min_by(F.struct(*df.columns), F.col(order_col)).alias("__row")
+        return (
+            df.groupBy(*key_cols)
+            .agg(row)
+            .select(*[F.col("__row").getField(c).alias(c) for c in df.columns])
+        )
     keep = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
     cond = None
     for c in key_cols + [order_col]:
@@ -892,9 +912,11 @@ def _gram_positions(
     scale; every consumer (window count, groupBy, semi-join, islands
     merge) is partitioning-invariant, the documented fan_out safety
     contract."""
+    # filter BEFORE fan_out (r15 ADVICE): rows shorter than one gram are
+    # dropped anyway — shuffling them through the round-robin (and its
+    # mandatory local sort) first is pure waste.
     return (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .filter(F.length(text_col) >= k)
+        fan_out(df.select(F.col(id_col), F.col(text_col)).filter(F.length(text_col) >= k))
         .select(
             F.col(id_col).alias("__id"),
             F.explode(

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    rounds_per_action: int = 2,
 ) -> DataFrame:
     """``(id, component)`` for every id in ``pairs``; component = min reachable id.
 
@@ -37,6 +41,10 @@ def connected_components(
     orientation). Ids must be orderable (the min id in each component names
     it, making output deterministic). Raises if the propagation has not
     converged after ``max_iter`` rounds rather than return a wrong answer.
+
+    ``rounds_per_action`` fuses that many relax rounds per driver action
+    (r15/r16 A/B knob — see the loop comment; labels are bit-identical for
+    any value >= 1 because extra relaxes on a fixpoint are identity).
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -86,9 +94,11 @@ def connected_components(
     while rounds < max_iter:
         flagged = _relax(labels)
         rounds += 1
-        if rounds < max_iter:
+        extra = 1
+        while extra < rounds_per_action and rounds < max_iter:
             flagged = _relax(flagged.select("id", F.col("new_component").alias("component")))
             rounds += 1
+            extra += 1
         n_changed = flagged.filter(F.col("__changed")).count()
         labels = flagged.select("id", F.col("new_component").alias("component"))
         if n_changed == 0:

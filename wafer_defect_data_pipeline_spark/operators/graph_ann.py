@@ -77,29 +77,25 @@ def build_coarse_quantizer(
 
     from .quantization import pq_codebook
 
-    seed_ids = [
-        r["id"]
-        for r in corpus.select(F.col(id_col).alias("id"))
-        .orderBy("id")
-        .limit(n_cells)
-        .collect()
-    ]
+    # Seed-precondition check FUSED into the codebook collect (r16, guide
+    # §5 — one driver action instead of two): pq_codebook's codes ARE the
+    # n_cells lowest ids (its TakeOrderedAndProject seeding), so the
+    # collected rows carry exactly the id set the old standalone
+    # orderBy/limit readout fetched. The check must run BEFORE the matrix
+    # fill — out-of-range codes would index past C's n_cells rows.
+    cb_rows = pq_codebook(
+        corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale
+    ).collect()
+    seed_ids = sorted({int(r["code"]) for r in cb_rows})
     if seed_ids != list(range(n_cells)):
         raise ValueError(
             f"coarse quantizer requires the {n_cells} lowest {id_col} values "
             f"to be exactly 0..{n_cells - 1} (got {seed_ids[:5]}...); remap "
             "ids to a dense 0-based range first (e.g. row_number() - 1)."
         )
-
-    def collect_cb(cb_df) -> np.ndarray:
-        C = np.zeros((n_cells, dim), np.float64)
-        for r in cb_df.collect():
-            C[r["code"], r["j"]] = float(r["cv"])
-        return C
-
-    C = collect_cb(
-        pq_codebook(corpus, id_col, vec_col, dim=dim, m=1, k=n_cells, scale=scale)
-    )
+    C = np.zeros((n_cells, dim), np.float64)
+    for r in cb_rows:
+        C[r["code"], r["j"]] = float(r["cv"])
     # Fused Lloyd step (r15 optimization, guide §2.3 "aggregate before you
     # shuffle"): the old loop ran assign_coarse_cells, then joined the
     # N x dim exploded subvector frame against the assignment and shuffled

@@ -22,12 +22,34 @@ faked.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.partitioning import fan_out
+
+#: Size gate for fanning out the attach_* ID feeds (r16, VERDICT r15 item
+#: 8). The payload-synthesis kernels are pure Python/numpy work per ROW, so
+#: past this many input bytes (a row-count proxy from the driver's file
+#: listing — no job) the narrow-row repartition amortizes its ~n_cores
+#: Python worker spin-ups; below it, the ungated fan_out measured SLOWER
+#: at sf0.1 (r15 A/B, reverted). Scale-adaptive, not core-count-tuned:
+#: env-overridable for clusters whose worker spin-up/row-cost ratio
+#: differs. Downstream decode kernels inherit the feed's partitioning, so
+#: one gate parallelizes each whole attach->decode chain.
+_FANOUT_MIN_BYTES = int(os.environ.get("WDPS_MM_FANOUT_MIN_BYTES", 2 << 20))
+
+
+def _id_feed(df: DataFrame, id_col: str) -> DataFrame:
+    """The shared attach-kernel input: the narrow id projection, fanned out
+    only past the size gate (partitioning-invariant — every attach consumer
+    joins/aggregates on the id)."""
+    return fan_out(df.select(id_col), min_input_bytes=_FANOUT_MIN_BYTES)
 
 #: magic-byte prefixes -> sniffed media type
 MAGIC_PREFIXES: list[tuple[bytes, str]] = [
@@ -91,7 +113,12 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = 
                 }
             )
 
-    return df.mapInPandas(batches, schema=METADATA_SCHEMA)
+    # same size gate as the attach feeds (r16): the sha256/sniff pass is
+    # per-row Python work at the scan's parallelism; partitioning-invariant
+    # (every consumer aggregates or joins on the id)
+    return fan_out(df, min_input_bytes=_FANOUT_MIN_BYTES).mapInPandas(
+        batches, schema=METADATA_SCHEMA
+    )
 
 
 # --- PPM (P6) codec: stdlib/numpy only, so the pixel path EXECUTES here -----
@@ -1220,7 +1247,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(jpeg_encode(arr))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1251,7 +1278,7 @@ def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 payloads.append(jpeg_encode(np.stack([g, g, g], axis=-1)))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_jpeg_420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1285,7 +1312,7 @@ def attach_jpeg_420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1325,7 +1352,7 @@ def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id") -> Da
                 )
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_mixed_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1374,7 +1401,7 @@ def attach_mixed_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                     payloads.append(f"not-an-image:{int(i)}".encode())
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def decode_image(
@@ -1607,7 +1634,7 @@ def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(ppm_encode(arr))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1632,7 +1659,7 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(png_encode(arr))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def extract_features(
@@ -1806,7 +1833,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(wav_encode(base + np.arange(n, dtype=np.int16), rate))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_mixed_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1838,7 +1865,7 @@ def attach_mixed_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 payloads.append(enc if variant == 0 else enc[:16])
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 # --- Y4M (YUV4MPEG2) codec: stdlib only, the video twin of P6/RIFF ----------
@@ -1969,7 +1996,7 @@ def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(y4m_encode(lumas, int(w), int(h)))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_mixed_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1996,7 +2023,7 @@ def attach_mixed_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 payloads.append(enc if variant == 0 else enc[:20])
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 # --- spectral analysis: real DSP on the executed audio path -----------------
@@ -2058,7 +2085,7 @@ def attach_tone_payload(df: DataFrame, id_col: str = "doc_id", n: int = 256) -> 
                 payloads.append(wav_encode(s, rate))
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _id_feed(df, id_col).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 def attach_ppm_payload_random(
@@ -2118,7 +2145,7 @@ def attach_ppm_payload_random(
                 payloads.append(ppm_encode(a.reshape(side, side, 3)))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _id_feed(df, id_col).mapInPandas(
         encode, schema=f"{id_col} long, payload binary"
     )
 
@@ -2206,7 +2233,7 @@ def attach_pcm_payload_random(
                 payloads.append(wav_encode(s, sample_rate=8000))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _id_feed(df, id_col).mapInPandas(
         encode, schema=f"{id_col} long, payload binary"
     )
 
@@ -2305,7 +2332,7 @@ def attach_y4m_payload_random(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _id_feed(df, id_col).mapInPandas(
         encode, schema=f"{id_col} long, payload binary"
     )
 

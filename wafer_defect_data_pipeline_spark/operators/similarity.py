@@ -31,8 +31,10 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    arrow_threshold_pairs: int = 2_000_000,
+    arrow_threshold_pairs: int = 20_000,
     arrow_max_query_rows: int = 10_000,
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) for each query row.
 
@@ -41,7 +43,15 @@ def brute_force_topk(
     ``arrow_threshold_pairs`` corpus x query pairs the same contract is
     served by :func:`brute_force_topk_arrow` — BLAS matmul over Arrow
     batches, ~4x faster at sf1 (102 s -> ~25 s) and the only sane shape
-    at 100 TB. The delegated kernel reproduces the HOF contract EXACTLY
+    at 100 TB. The crossover default was re-measured in r16 (guide §1.2 —
+    per-task work: the HOF fold is interpreted per pair): interleaved
+    medians HOF vs arrow 0.77/0.52 s at 80k pairs, 1.01/0.43 s at 1M,
+    0.64/0.42 s even at 25k, so the old 2M default was leaving the
+    dispatch-family recall probes on the slow engine at every SF; below
+    ~20k pairs both engines are at the per-action floor and the
+    oracle-replayable HOF stays the default. Engine-pinned callers (the
+    registered bruteforce twins pass an explicit threshold/None) are
+    unaffected. The delegated kernel reproduces the HOF contract EXACTLY
     (it rounds to 6dp before its per-batch prune and breaks ties by
     lowest corpus id — see :func:`brute_force_topk_arrow`), verified by
     a hash-equality pytest forcing both paths on the same input
@@ -51,12 +61,18 @@ def brute_force_topk(
     arrow kernel's broadcast bound (``max_query_rows=10_000``) — a
     many-queries/small-corpus workload stays on the HOF path instead of
     tripping the kernel's guard. The two count() probes pricing the
-    delegation are narrow single-column scans.
+    delegation are narrow single-column scans; a caller that already
+    holds the sizes passes ``n_corpus``/``n_queries`` and pays no probe
+    action at all (r16, guide §5 — the recall-probe path was spending
+    two driver round-trips per curve on sizes its caller had). The
+    delegation choice is value-neutral either way (both kernels are
+    contract-equal, pinned by the hash-equality test), so pricing it on
+    a caller-supplied estimate never changes results.
     """
     if arrow_threshold_pairs is not None:
-        n_q = queries.count()
-        n_pairs = corpus.count() * n_q
-        if n_pairs > arrow_threshold_pairs and n_q <= arrow_max_query_rows:
+        n_q = n_queries if n_queries is not None else queries.count()
+        n_c = n_corpus if n_corpus is not None else corpus.count()
+        if n_c * n_q > arrow_threshold_pairs and n_q <= arrow_max_query_rows:
             return brute_force_topk_arrow(
                 corpus, queries, id_col, vec_col, k, max_query_rows=arrow_max_query_rows
             )
@@ -66,7 +82,14 @@ def brute_force_topk(
     # expressions once per vector; the division operands are bit-equal, so
     # every rounded cos_sim is unchanged (oracle replays per-pair norms —
     # same doubles either way).
-    c = corpus.select(
+    # fan_out (r16, guide §2.5 input skew): the |corpus| x |queries| HOF
+    # scoring inherits the corpus scan's parallelism — ONE task for the
+    # single-file local embeddings (and for every localCheckpoint-pinned
+    # staged snapshot derived from it). The narrow-row repartition is
+    # no-op at scale and partitioning-invariant here: the only consumer
+    # is the per-query row_number window, a total order on
+    # (cos_sim desc, corpus_id asc) that cannot depend on partitioning.
+    c = fan_out(corpus).select(
         F.col(id_col).alias("corpus_id"),
         as_double(vec_col).alias("cv"),
         l2_norm(vec_col).alias("cn"),
@@ -152,7 +175,11 @@ def ivf_topk(
     # per-row norm precompute on the member-scoring pass (r15) — the probe
     # pass above keeps the inline cosine (one row per query x cell); see
     # brute_force_topk for the bit-equality argument
-    c = corpus.select(
+    # fan_out (r16, guide §2.5): the members-x-probes scoring runs at the
+    # corpus scan's parallelism (1 task on the single-file local corpus);
+    # the broadcast join preserves partitioning, and the only consumer is
+    # the per-query total-order window — partitioning-invariant.
+    c = fan_out(corpus).select(
         F.col(cell_col),
         F.col(id_col).alias("corpus_id"),
         as_double(vec_col).alias("cv"),
@@ -198,6 +225,7 @@ def ivf_recall_curve(
     k: int = 5,
     sample_mod: int | None = None,
     target_queries: int = 500,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Sampled self-recall curve for IVF cell partitioning, in ONE pass.
 
@@ -226,12 +254,23 @@ def ivf_recall_curve(
     the centroid agg and two broadcast joins.
     """
     if sample_mod is None:
-        sample_mod = ivf_sample_mod(corpus.count(), target_queries)
+        if n_corpus is None:
+            n_corpus = corpus.count()
+        sample_mod = ivf_sample_mod(n_corpus, target_queries)
     sample = corpus.filter(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("long") % F.lit(sample_mod) == 0
     )
-    truth = brute_force_topk(corpus, sample, id_col, vec_col, k)
+    # When the caller supplied n_corpus, price the truth stage's arrow
+    # delegation on it plus the EXPECTED sample size (~n/mod, the cap the
+    # modulus was derived for) instead of two more count() round-trips
+    # (r16, guide §5). Value-neutral: both brute-force kernels reproduce
+    # the same contract (pinned hash-equality test), so the gate's inputs
+    # only pick which engine runs, never what it returns.
+    n_q_est = None if n_corpus is None else max(1, -(-n_corpus // sample_mod))
+    truth = brute_force_topk(
+        corpus, sample, id_col, vec_col, k, n_corpus=n_corpus, n_queries=n_q_est
+    )
     centroids = array_mean(corpus, cell_col, vec_col)
     q = sample.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     rank_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc(cell_col))
@@ -254,6 +293,60 @@ def ivf_recall_curve(
     return pair_ranks.groupBy("cell_rank").agg(F.count("*").alias("pairs"))
 
 
+def _pick_n_probe(hist: dict[int, int], n_cells_fallback, target_recall: float) -> int:
+    """Smallest cell_rank whose cumulative histogram share meets
+    ``target_recall`` — the single pick rule every probe consumer shares.
+    An empty histogram falls back to probing every cell (exact search):
+    conservative by construction, recall(n_cells) = 1.0."""
+    total = sum(hist.values())
+    if total == 0:
+        return n_cells_fallback() if callable(n_cells_fallback) else int(n_cells_fallback)
+    cum = 0
+    for p in sorted(hist):
+        cum += hist[p]
+        if cum / total >= target_recall:
+            return p
+    return max(hist)
+
+
+def _recall_readout(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int,
+    sample_mod: int | None,
+    target_queries: int,
+    n_corpus: int | None = None,
+    with_cells: bool = False,
+) -> tuple[dict[int, int], int | None]:
+    """ONE collect for the probe's full driver readout: the
+    :func:`ivf_recall_curve` histogram rows, plus (``with_cells=True``)
+    the distinct-cell count riding along as a tagged ``cell_rank = -1``
+    row — the r16 consolidation of what used to be two to four driver
+    actions per dispatch decision (guide §5: few round-trips). The
+    distinct-cell row is a plain unionByName of a second tiny aggregate,
+    not a crossJoin column (the r15 audit-fold lesson), and its
+    ``distinct().count()`` subtree keeps the exact null-inclusive
+    semantics of the action it replaces."""
+    curve = ivf_recall_curve(
+        corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries,
+        n_corpus=n_corpus,
+    ).select(F.col("cell_rank").cast("int").alias("cell_rank"), F.col("pairs"))
+    if with_cells:
+        cells = (
+            corpus.select(cell_col)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("pairs"))
+            .select(F.lit(-1).alias("cell_rank"), F.col("pairs"))
+        )
+        curve = curve.unionByName(cells)
+    rows = curve.collect()
+    hist = {int(r["cell_rank"]): int(r["pairs"]) for r in rows if r["cell_rank"] >= 1}
+    n_cells = next((int(r["pairs"]) for r in rows if r["cell_rank"] == -1), None)
+    return hist, n_cells
+
+
 def ivf_auto_n_probe(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -263,31 +356,25 @@ def ivf_auto_n_probe(
     target_recall: float = 0.95,
     sample_mod: int | None = None,
     target_queries: int = 500,
+    n_corpus: int | None = None,
 ) -> int:
     """Smallest n_probe whose SAMPLED recall@k meets ``target_recall``.
 
     Collects only the :func:`ivf_recall_curve` histogram (<= n_cells rows).
     ``sample_mod=None`` (default) derives the probe sample size from the
-    corpus count via :func:`ivf_sample_mod` — see :func:`ivf_recall_curve`.
-    Falls back to probing every cell (exact search) when the sample is
-    empty — conservative by construction: more probes only add candidates,
-    so recall(n_cells) = 1.0 and the pick always exists.
+    corpus count via :func:`ivf_sample_mod` — see :func:`ivf_recall_curve`;
+    pass ``n_corpus`` when the caller already holds the count. Falls back
+    to probing every cell (exact search) when the sample is empty —
+    conservative by construction: more probes only add candidates, so
+    recall(n_cells) = 1.0 and the pick always exists.
     """
-    hist = {
-        int(r["cell_rank"]): int(r["pairs"])
-        for r in ivf_recall_curve(
-            corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries
-        ).collect()
-    }
-    total = sum(hist.values())
-    if total == 0:
-        return corpus.select(cell_col).distinct().count()
-    cum = 0
-    for p in sorted(hist):
-        cum += hist[p]
-        if cum / total >= target_recall:
-            return p
-    return max(hist)
+    hist, _ = _recall_readout(
+        corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries,
+        n_corpus=n_corpus,
+    )
+    return _pick_n_probe(
+        hist, lambda: corpus.select(cell_col).distinct().count(), target_recall
+    )
 
 
 def ivf_recall_at(
@@ -299,6 +386,7 @@ def ivf_recall_at(
     k: int = 5,
     sample_mod: int | None = None,
     target_queries: int = 500,
+    n_corpus: int | None = None,
 ) -> float:
     """Sampled self-recall@k of IVF serving at a FIXED probe count — the
     capped-sample probe evaluated at the n_probe a persisted decision is
@@ -308,7 +396,8 @@ def ivf_recall_at(
     not fire on no data). Cost is the probe's O(target_queries x n) brute
     force — linear in the corpus, same as the decision probe itself."""
     hits, total = ivf_recall_counts(
-        corpus, n_probe, id_col, vec_col, cell_col, k, sample_mod, target_queries
+        corpus, n_probe, id_col, vec_col, cell_col, k, sample_mod,
+        target_queries, n_corpus=n_corpus,
     )
     return (hits / total) if total else 1.0
 
@@ -322,17 +411,16 @@ def ivf_recall_counts(
     k: int = 5,
     sample_mod: int | None = None,
     target_queries: int = 500,
+    n_corpus: int | None = None,
 ) -> tuple[int, int]:
     """:func:`ivf_recall_at`'s raw integer ``(hits, total)`` pair counts —
     the single code path both the float trigger compare and any
     oracle-pinned integer columns derive from, so the probe semantics
     can't drift between the operator and a registered query."""
-    hist = {
-        int(r["cell_rank"]): int(r["pairs"])
-        for r in ivf_recall_curve(
-            corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries
-        ).collect()
-    }
+    hist, _ = _recall_readout(
+        corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries,
+        n_corpus=n_corpus,
+    )
     total = sum(hist.values())
     return sum(p for r, p in hist.items() if r <= int(n_probe)), total
 
@@ -361,10 +449,13 @@ def ivf_topk_auto(
     carries ``n_probe_used`` AND ``sample_mod_used`` so both derivations
     replay in the oracle.
     """
+    n = None
     if sample_mod is None:
-        sample_mod = ivf_sample_mod(corpus.count(), target_queries)
+        n = corpus.count()
+        sample_mod = ivf_sample_mod(n, target_queries)
     n_probe = ivf_auto_n_probe(
-        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod
+        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod,
+        n_corpus=n,
     )
     return (
         ivf_topk(corpus, queries, id_col, vec_col, cell_col, k, n_probe)
@@ -443,18 +534,30 @@ def ann_dispatch_decision(
     k: int = 5,
     target_recall: float = 0.95,
     target_queries: int = 500,
+    n: int | None = None,
 ) -> tuple[int, int, str]:
     """The dispatch's decision alone: ``(n_probe, n_cells, branch)`` with
     branch ``"ivf"`` iff ``2 * n_probe <= n_cells``. Factored out so a
     build-once pipeline can persist the decision next to the index it
     selects (``similarity_ann_dispatch_prebuilt``) and serve later query
-    batches without re-probing."""
-    n = corpus.count()
+    batches without re-probing.
+
+    Driver round-trips (r16, guide §5): the whole decision is ONE
+    corpus count (skipped when the caller passes ``n`` — the staged
+    drills already hold it for their trigger arithmetic) plus ONE
+    :func:`_recall_readout` collect that returns the recall histogram
+    and the distinct-cell count together — down from five actions
+    (count, two brute-force size probes, curve collect, distinct
+    count) in the r15 shape. Every derived number is computed by the
+    same rules as before, so decisions are bit-identical."""
+    if n is None:
+        n = corpus.count()
     sample_mod = ivf_sample_mod(n, target_queries)
-    n_probe = ivf_auto_n_probe(
-        corpus, id_col, vec_col, cell_col, k, target_recall, sample_mod
+    hist, n_cells = _recall_readout(
+        corpus, id_col, vec_col, cell_col, k, sample_mod, target_queries,
+        n_corpus=n, with_cells=True,
     )
-    n_cells = corpus.select(cell_col).distinct().count()
+    n_probe = _pick_n_probe(hist, n_cells, target_recall)
     return n_probe, n_cells, ("ivf" if 2 * n_probe <= n_cells else "nsw")
 
 
@@ -538,12 +641,13 @@ def persist_dispatch_decision(
 def load_latest_dispatch_decision(spark, base: str):
     """Highest-version persisted decision row (Row with the
     ``_DECISION_SCHEMA`` fields). ``decision_age_batches`` for a batch
-    ``b`` served from it is ``b - decided_at_batch``."""
-    return (
-        spark.read.parquet(f"{base}/decision/v*")
-        .orderBy(F.desc("version"))
-        .first()
-    )
+    ``b`` served from it is ``b - decided_at_batch``.
+
+    collect()+max instead of orderBy().first(): the artifact is a handful
+    of one-row files by contract, and executeTake's partial-job probing
+    plus the sort cost an extra job per load (the graph.py:284 lesson)."""
+    rows = spark.read.parquet(f"{base}/decision/v*").collect()
+    return max(rows, key=lambda r: r["version"])
 
 
 def ann_topk_auto(

@@ -1749,8 +1749,11 @@ def _curation_end_to_end(spark, sf_dir, stage_walls=None):
     n_input = corpus.count()
     _mark("input")
 
-    # stage 1: exact dedup (min-id per identical text)
-    deduped = exact_dedup(corpus, ["text"], "doc_id").localCheckpoint(eager=False)
+    # stage 1: exact dedup (min-id per identical text); doc_id unique across
+    # all five planted generations (+1M/+2M/+3M/+4M shifts) -> min_by form
+    deduped = exact_dedup(
+        corpus, ["text"], "doc_id", unique_order=True
+    ).localCheckpoint(eager=False)
     n_exact = deduped.count()
     _mark("exact_dedup")
 

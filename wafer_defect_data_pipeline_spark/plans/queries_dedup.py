@@ -29,7 +29,9 @@ def _exact_dedup(spark, sf_dir):
     # duplicate every doc under a shifted id: dedup must keep the originals
     dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     both = d.unionByName(dup)
-    out = exact_dedup(both, ["text"], "doc_id")
+    # doc_id is unique across both halves by construction (+1M shift), so
+    # the single-shuffle min_by form is value-identical (r16, guide §2.3)
+    out = exact_dedup(both, ["text"], "doc_id", unique_order=True)
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 

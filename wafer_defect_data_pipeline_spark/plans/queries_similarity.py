@@ -1762,7 +1762,8 @@ def _ann_dispatch_redecide(spark, sf_dir):
     _shutil.rmtree(f"{base}/decision", ignore_errors=True)
 
     # day 1 (batch 0): price the dispatch, persist v1, serve from it
-    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50)
+    # (n1 already counted above — the decision re-uses it, r16 guide §5)
+    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50, n=n1)
     persist_dispatch_decision(
         spark, base, 1, b1, p1, c1, decided_at_batch=0, n_at_decision=n1
     )
@@ -1788,7 +1789,7 @@ def _ann_dispatch_redecide(spark, sf_dir):
     if ann_dispatch_should_redecide(
         n2, int(dec1["n_at_decision"]), 1 - int(dec1["decided_at_batch"])
     ):
-        p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50)
+        p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50, n=n2)
         persist_dispatch_decision(
             spark, base, int(dec1["version"]) + 1, b2, p2, c2,
             decided_at_batch=1, n_at_decision=n2,
@@ -1999,7 +2000,7 @@ def _ann_dispatch_recall_drift(spark, sf_dir):
         for c in ("trigger_hit_pairs", "trigger_total_pairs",
                   "served_hit_pairs", "truth_pairs")
     ]
-    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50)
+    p1, c1, b1 = ann_dispatch_decision(snap1, target_queries=50, n=n1)
     persist_dispatch_decision(
         spark, base, 1, b1, p1, c1, decided_at_batch=0, n_at_decision=n1
     )
@@ -2024,7 +2025,7 @@ def _ann_dispatch_recall_drift(spark, sf_dir):
     snap2 = snap2.localCheckpoint(eager=False)
     n2 = snap2.count()
     trig_hits, trig_total = ivf_recall_counts(
-        snap2, int(dec1["n_probe"]), k=5, target_queries=50
+        snap2, int(dec1["n_probe"]), k=5, target_queries=50, n_corpus=n2
     )
     served_recall = (trig_hits / trig_total) if trig_total else 1.0
     if ann_dispatch_should_redecide(
@@ -2034,7 +2035,7 @@ def _ann_dispatch_recall_drift(spark, sf_dir):
         served_recall=served_recall,
         recall_floor=0.9,
     ):
-        p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50)
+        p2, c2, b2 = ann_dispatch_decision(snap2, target_queries=50, n=n2)
         persist_dispatch_decision(
             spark, base, int(dec1["version"]) + 1, b2, p2, c2,
             decided_at_batch=1, n_at_decision=n2,

@@ -361,7 +361,8 @@ def _curation(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     gated = d.filter(F.col("lang") == "en").filter(X.quality_score("text") >= 0.5)
     deduped = exact_dedup(
-        gated.withColumn("__fp", X.fingerprint_md5("text")), ["__fp"], "doc_id"
+        gated.withColumn("__fp", X.fingerprint_md5("text")), ["__fp"], "doc_id",
+        unique_order=True,  # doc_id unique in documents — single-shuffle form
     )
     return (
         deduped.groupBy("source")

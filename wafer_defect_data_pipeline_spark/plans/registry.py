@@ -77,80 +77,75 @@ def _load_all() -> None:
 
 # The driver's correctness sweep covers the registry in iteration order and
 # samples only ~50 entries per round, so the order must ROTATE so no green
-# row ever predates the implementation it vouches for. Round 15 front-loads:
-# (a) queries NEW or CHANGED this round — the recall-drift trigger twin, the
-# redecide query's count-derived spine modulus, the MLlib minhash's JVM-side
-# sparse-vector construction (no Python worker), the curation flagship's
-# stage_walls side channel, the persistent PrivacyLedger (released values
-# must stay unchanged), and the ANN/serving queries riding quantization.py's
-# module-level numpy bind + scratch.py's age-fallback sweep; (b) the 2
-# rows-only queries so each keeps a fresh executes-cleanly row; (c) the
-# STALEST cohort by last driver green row — the union of CORRECTNESS_r01-r14
-# puts 4 queries at r2 and the 35-query r3 cohort next. Names not listed
-# follow in registration order; a listed name missing from the registry is a
-# hard error (catches renames).
+# row ever predates the implementation it vouches for. Round 16 (optimization
+# round 2) front-loads: (a) queries whose EXECUTION changed this round — the
+# exact_dedup single-shuffle min_by callers, the dispatch family (decision
+# readout fused to one collect, size probes threaded, brute-force truth
+# stage fanned out + re-measured arrow crossover), the quantizer-build
+# collect fusion consumers, the span-family filter-before-fan_out reorder,
+# and the multimodal attach feeds behind the new size gate (closed at the
+# oracle sfs — plans byte-identical there, listed anyway because the code
+# path changed); (b) the 2 rows-only queries so each keeps a fresh
+# executes-cleanly row (the wafer pipeline additionally carries this
+# round's size-gated cascade pin); (c) the STALEST cohort by last driver
+# green row — the union of CORRECTNESS_r01-r15 puts 4 queries at r3 and
+# the r4 cohort next (alphabetical within cohort). Names not listed follow
+# in registration order; a listed name missing from the registry is a hard
+# error (catches renames).
 _PRIORITY: list[str] = [
-    # (a) new or changed THIS round (r15)
-    "similarity_ann_dispatch_recall_drift",  # NEW r15: recall-drift trigger, constant-size shape drift, staged flip
-    "similarity_ann_dispatch_redecide",  # CHANGED r15: count-derived spine modulus (m=1 at sf<=0.1 — hash-identical)
-    "dedup_mllib_minhash_lsh",  # CHANGED r15: sparse VectorUDT built JVM-side (parquet round-trip), zero F.udf
-    "curation_end_to_end",  # CHANGED r15: stage_walls side channel (plan + oracle unchanged)
-    "privacy_dp_stable_histogram",  # CHANGED r15: PrivacyLedger persistence (values must stay unchanged)
-    "privacy_dp_group_counts",  # CHANGED r15: same
-    "privacy_dp_long_doc_share",  # CHANGED r15: same
-    "similarity_ann_dispatch_prebuilt",  # CHANGED r15: scratch age-fallback sweep + quantization numpy bind
-    "similarity_nsw_probe_prebuilt",  # CHANGED r15: same
-    "curation_export_shards",  # CHANGED r15: scratch age-fallback sweep
-    "similarity_ivf_kmeans_topk",  # CHANGED r15: quantization module-level numpy
-    "similarity_nsw_topk",  # CHANGED r15: same kernels in build+search
-    "similarity_ann_auto_dispatch",  # CHANGED r15: same + dispatch machinery control
-    # (b) rows-only refresh (wafer KMeans + float stateful profile, both
-    # inherently non-SQL, both exact-twinned)
+    # (a) execution changed THIS round (r16)
+    "dedup_exact",  # exact_dedup unique_order=True: one min_by exchange
+    "curation_pipeline",  # same single-shuffle exact_dedup call site
+    "curation_end_to_end",  # same + stage counters over the min_by stage 1
+    "similarity_bruteforce_topk",  # fan_out on the HOF scoring corpus
+    "similarity_ivf_topk",  # fan_out on the member-scoring corpus
+    "similarity_ivf_auto_topk",  # fused recall readout + arrow crossover
+    "similarity_ann_auto_dispatch",  # one-collect decision + arrow crossover
+    "similarity_ann_dispatch_labelfree",  # decision machinery
+    "similarity_ann_dispatch_prebuilt",  # decision + collect()-max load
+    "similarity_ann_dispatch_redecide",  # n= threading + fused readout
+    "similarity_ann_dispatch_recall_drift",  # same + n_corpus recall counts
+    "similarity_streaming_ann_probe",  # rides the dispatch machinery
+    "similarity_ivf_kmeans_topk",  # quantizer seed-check fused into codebook collect
+    "similarity_nsw_topk",  # same quantizer build inside knn_graph
+    "multimodal_image_decode_stats",  # size-gated attach fan_out (gate closed at oracle sfs)
+    "multimodal_jpeg_decode_stats",  # same
+    "multimodal_image_phash_pairs",  # same
+    "dedup_duplicated_spans",  # span gram filter before fan_out (plan-identical)
+    "text_decontaminate_strip",  # same
+    # (b) rows-only refresh (wafer also carries the r16 size-gated pin)
     "events_stateful_profile",
     "wafer_pipeline_on_lineitem",
-    # (c) stalest cohort: the 4 queries whose last green row is still r2
-    # (they fell off the end of r14's 50-query window), then the r3 cohort
-    # (35 queries) computed from the union of CORRECTNESS_r01-r14
-    "pack_sequences",
-    "layout_zorder_stats",
-    "text_repetition_scores",
-    "sample_topk_per_group",
-    "observed_scan_metrics",
-    "json_roundtrip",
-    "partitioned_pruned_read",
-    "orc_roundtrip",
-    "bucketed_join_zeroshuffle",
-    "python_datasource_scan",
-    "compaction_small_files",
-    "xml_roundtrip",
-    "json_extract",
-    "json_variant_agg",
-    "transpose_metrics",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_region_volume",
-    "unpivot_measures",
-    "events_sliding_window",
-    "events_lag_lead",
-    "events_sessionization",
-    "events_stateful_profile_exact",
-    "events_user_topk_arrow",
-    "text_geomean_chars_udaf",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "split_leakage_audit",
-    "doc_chunking",
-    "corpus_datacard",
-    "text_inverted_index",
-    "text_editdist_pairs",
-    "events_gapfill_ffill",
-    "events_anomaly_mad",
-    "events_moving_median",
+    # (c) stalest cohort: last green r3, then the r4 cohort (alphabetical)
     "graph_pagerank_suppliers",
     "recursive_cte_hierarchy",
     "sql_scripting_doubling",
     "wafer_features_pandas_api",
-    # everything else (fresh r12-r14 rows or pytest-covered) follows in
+    "dedup_quality_keep",
+    "embedding_covariance",
+    "embedding_quantization_recall",
+    "events_cohort_retention",
+    "events_range_join",
+    "events_streaming_available_now",
+    "events_streaming_static_enrich",
+    "events_user_profile",
+    "events_windowed_quantiles",
+    "graph_triangle_count",
+    "multimodal_audio_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_size_by_lang",
+    "numeric_correlations",
+    "price_histogram",
+    "privacy_k_anonymity",
+    "rag_chunk_retrieval",
+    "sample_shuffled_head",
+    "schema_evolution_read",
+    "sketch_cms_join_size",
+    "sketch_kmv_distinct",
+    "text_boilerplate_ngrams",
+    "text_fingerprints",
+    "text_language_profile",
+    # everything else (fresh r12-r15 rows or pytest-covered) follows in
     # registration order; pytest's oracle-parity sweep still covers all of
     # them every session
 ]
